@@ -1,0 +1,418 @@
+"""The ADMM solve loop, TPU-native.
+
+Re-architecture of /root/reference/src/tinympc/admm.cpp. Structural map
+(reference -> here):
+
+  backward_pass_grad (admm.cpp:13-20)   -> :func:`backward_pass`  (lax.scan, reverse)
+  forward_pass       (admm.cpp:25-32)   -> :func:`forward_pass`   (lax.scan)
+  update_slack       (admm.cpp:81-213)  -> :func:`update_slack`   (vectorised wheres)
+  update_dual        (admm.cpp:219-256) -> :func:`update_dual`
+  update_linear_cost (admm.cpp:262-304) -> :func:`update_linear_cost`
+  termination_condition (admm.cpp:310-328) -> :func:`compute_residuals`
+  solve              (admm.cpp:331-455) -> :func:`solve`          (lax.while_loop)
+
+Key inversions vs the reference:
+  * One compiled program per (spec, settings); constraint-family ``if``\\ s
+    resolve at trace time.
+  * Arbitrary batch shape ``*b`` rides along every array (see types.py for
+    the layout); convergence is tracked per problem and converged problems
+    freeze (masked commit) so per-problem iteration counts match a
+    single-problem solve exactly. The global loop exits when every problem
+    in the batch converged or ``max_iter`` is reached.
+  * No printing, no mutation: the final state (including warm-start iterates
+    carried to the next solve) is returned.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .projections import project_box, project_soc
+from .rho_adapt import adapt_rho
+from .types import (
+    Cache, ConstraintData, ProblemSpec, Settings, SolverState, Solution,
+    TinyProblem, TINY_SOLVED, TINY_UNSOLVED,
+)
+
+
+# ---------------------------------------------------------------- helpers
+
+def mv(M, v):
+    """M @ v with batch broadcasting: M (..., i, j), v (..., j) -> (..., i)."""
+    return jnp.einsum("...ij,...j->...i", M, v)
+
+
+def mtv(M, v):
+    """M.T @ v with batch broadcasting."""
+    return jnp.einsum("...ji,...j->...i", M, v)
+
+
+def _emid(a, nb: int):
+    """Insert ``nb`` singleton batch axes after the leading (time) axis so an
+    unbatched (T, F) constraint table broadcasts against (T, *b, F) state."""
+    if nb == 0 or a is None:
+        return a
+    return jax.lax.expand_dims(a, tuple(range(1, nb + 1)))
+
+
+def _maxabs_tf(a):
+    """max|a| over the time and feature axes, keeping batch axes: (T, *b, F) -> (*b,)."""
+    return jnp.max(jnp.abs(a), axis=(0, a.ndim - 1))
+
+
+def _rho_b(rho):
+    """Reshape rho (() or (*b,)) to broadcast against (T, *b, F) arrays."""
+    return jnp.asarray(rho)[..., None]
+
+
+def _where_tf(mask, new, old):
+    """Masked commit for a (T, *b, F) leaf given a (*b,) mask."""
+    return jnp.where(mask[None, ..., None], new, old)
+
+
+def _where_trail(mask, new, old):
+    """Masked commit for a batch-leading leaf ((*b,) scalar or (*b, i[, j]) cache)."""
+    m = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
+    return jnp.where(m, new, old)
+
+
+# ----------------------------------------------------------- linear cost
+
+def update_linear_cost(spec: ProblemSpec, prob: TinyProblem, state: SolverState,
+                       Xref, Uref) -> SolverState:
+    """q/r/p[N-1] from references, slacks, and duals (admm.cpp:262-304)."""
+    rho = _rho_b(prob.cache.rho)
+
+    q = -(Xref * prob.Qdiag) - rho * (state.vnew - state.g)
+    if spec.en_state_soc and spec.state_cones:
+        q = q - rho * (state.vcnew - state.gc)
+    if spec.en_state_linear:
+        q = q - rho * (state.vlnew - state.gl)
+    if spec.en_tv_state_linear:
+        q = q - rho * (state.vlnew_tv - state.gl_tv)
+
+    r = -(Uref * prob.Rdiag) - rho * (state.znew - state.y)
+    if spec.en_input_soc and spec.input_cones:
+        r = r - rho * (state.zcnew - state.yc)
+    if spec.en_input_linear:
+        r = r - rho * (state.zlnew - state.yl)
+    if spec.en_tv_input_linear:
+        r = r - rho * (state.zlnew_tv - state.yl_tv)
+
+    # Terminal cost: p[N-1] = -Pinf^T Xref[N-1] - rho * sum(state slacks - duals)
+    # (admm.cpp:292-303; the reference's row-vector product is x^T Pinf, i.e.
+    # Pinf^T x — Pinf is only symmetric up to round-off, so keep the transpose).
+    rhoT = rho  # (*b, 1) or (1,), broadcasts against the (*b, nx) terminal row
+    pN = -mtv(prob.cache.Pinf, Xref[-1]) - rhoT * (state.vnew[-1] - state.g[-1])
+    if spec.en_state_soc and spec.state_cones:
+        pN = pN - rhoT * (state.vcnew[-1] - state.gc[-1])
+    if spec.en_state_linear:
+        pN = pN - rhoT * (state.vlnew[-1] - state.gl[-1])
+    if spec.en_tv_state_linear:
+        pN = pN - rhoT * (state.vlnew_tv[-1] - state.gl_tv[-1])
+
+    p = state.p.at[-1].set(pN)
+    return state.replace(q=q, r=r, p=p)
+
+
+# --------------------------------------------------------- Riccati sweeps
+
+def backward_pass(cache: Cache, B, state: SolverState) -> SolverState:
+    """Linear (gradient) Riccati backward recursion (admm.cpp:13-20)::
+
+        d[i] = Quu_inv (B' p[i+1] + r[i] + BPf)
+        p[i] = q[i] + AmBKt p[i+1] - Kinf' r[i] + APf      i = N-2 .. 0
+    """
+    def step(p_next, qr):
+        q_i, r_i = qr
+        d_i = mv(cache.Quu_inv, mtv(B, p_next) + r_i + cache.BPf)
+        p_i = q_i + mv(cache.AmBKt, p_next) - mtv(cache.Kinf, r_i) + cache.APf
+        return p_i, (p_i, d_i)
+
+    _, (ps, ds) = jax.lax.scan(
+        step, state.p[-1], (state.q[:-1], state.r), reverse=True
+    )
+    p = jnp.concatenate([ps, state.p[-1:]], axis=0)
+    return state.replace(p=p, d=ds)
+
+
+def forward_pass(A, B, f, cache: Cache, state: SolverState) -> SolverState:
+    """LQR rollout (admm.cpp:25-32)::
+
+        u[i] = -Kinf x[i] - d[i];  x[i+1] = A x[i] + B u[i] + f
+    """
+    def step(x_i, d_i):
+        u_i = -mv(cache.Kinf, x_i) - d_i
+        x_next = mv(A, x_i) + mv(B, u_i) + f
+        return x_next, (x_i, u_i)
+
+    x_last, (xs, us) = jax.lax.scan(step, state.x[0], state.d)
+    x = jnp.concatenate([xs, x_last[None]], axis=0)
+    return state.replace(x=x, u=us)
+
+
+# ----------------------------------------------------------- slack / dual
+
+def update_slack(spec: ProblemSpec, cons: ConstraintData, state: SolverState,
+                 nb: int) -> SolverState:
+    """Project candidate slacks into each enabled family's feasible set
+    (admm.cpp:81-213)."""
+    upd = {}
+
+    vnew = state.x + state.g
+    znew = state.u + state.y
+    if spec.en_state_bound:
+        vnew = project_box(vnew, _emid(cons.x_min, nb), _emid(cons.x_max, nb))
+    if spec.en_input_bound:
+        znew = project_box(znew, _emid(cons.u_min, nb), _emid(cons.u_max, nb))
+    upd["vnew"], upd["znew"] = vnew, znew
+
+    if spec.en_state_soc and spec.state_cones:
+        vc = state.x + state.gc
+        for k, (start, dim) in enumerate(spec.state_cones):
+            seg = project_soc(vc[..., start:start + dim], cons.cx[..., k])
+            vc = vc.at[..., start:start + dim].set(seg)
+        upd["vcnew"] = vc
+    if spec.en_input_soc and spec.input_cones:
+        zc = state.u + state.yc
+        for k, (start, dim) in enumerate(spec.input_cones):
+            seg = project_soc(zc[..., start:start + dim], cons.cu[..., k])
+            zc = zc.at[..., start:start + dim].set(seg)
+        upd["zcnew"] = zc
+
+    # Hyperplanes are applied *sequentially* over constraints, like the
+    # reference's k-loop (admm.cpp:148-173): projection k sees the result of
+    # projection k-1. Counts are static, so the loop unrolls at trace time.
+    if spec.en_state_linear:
+        vl = state.x + state.gl
+        for k in range(spec.num_state_linear):
+            vl = _hyperplane_step(vl, cons.Alin_x[..., k, :], cons.blin_x[..., k])
+        upd["vlnew"] = vl
+    if spec.en_input_linear:
+        zl = state.u + state.yl
+        for k in range(spec.num_input_linear):
+            zl = _hyperplane_step(zl, cons.Alin_u[..., k, :], cons.blin_u[..., k])
+        upd["zlnew"] = zl
+
+    if spec.en_tv_state_linear:
+        vltv = state.x + state.gl_tv
+        for k in range(spec.num_tv_state_linear):
+            a_t = cons.tv_Alin_x[..., k, :]   # (N, nx) or (N, *b, nx)
+            b_t = cons.tv_blin_x[..., k]      # (N,)    or (N, *b)
+            if a_t.ndim == 2:
+                a_t, b_t = _emid(a_t, nb), _emid(b_t[..., None], nb)[..., 0]
+            vltv = _hyperplane_step(vltv, a_t, b_t)
+        upd["vlnew_tv"] = vltv
+    if spec.en_tv_input_linear:
+        zltv = state.u + state.yl_tv
+        for k in range(spec.num_tv_input_linear):
+            a_t = cons.tv_Alin_u[..., k, :]
+            b_t = cons.tv_blin_u[..., k]
+            if a_t.ndim == 2:
+                a_t, b_t = _emid(a_t, nb), _emid(b_t[..., None], nb)[..., 0]
+            zltv = _hyperplane_step(zltv, a_t, b_t)
+        upd["zlnew_tv"] = zltv
+
+    return state.replace(**upd)
+
+
+def _hyperplane_step(zmat, a, b):
+    """One violated-only hyperplane projection over all timesteps at once."""
+    val = jnp.sum(zmat * a, axis=-1)
+    dist = (val - b) / jnp.sum(a * a, axis=-1)
+    proj = zmat - dist[..., None] * a
+    return jnp.where((val > b)[..., None], proj, zmat)
+
+
+def update_dual(spec: ProblemSpec, state: SolverState) -> SolverState:
+    """Scaled-dual ascent for each enabled family (admm.cpp:219-256)."""
+    upd = dict(
+        g=state.g + state.x - state.vnew,
+        y=state.y + state.u - state.znew,
+    )
+    if spec.en_state_soc and spec.state_cones:
+        upd["gc"] = state.gc + state.x - state.vcnew
+    if spec.en_input_soc and spec.input_cones:
+        upd["yc"] = state.yc + state.u - state.zcnew
+    if spec.en_state_linear:
+        upd["gl"] = state.gl + state.x - state.vlnew
+    if spec.en_input_linear:
+        upd["yl"] = state.yl + state.u - state.zlnew
+    if spec.en_tv_state_linear:
+        upd["gl_tv"] = state.gl_tv + state.x - state.vlnew_tv
+    if spec.en_tv_input_linear:
+        upd["yl_tv"] = state.yl_tv + state.u - state.zlnew_tv
+    return state.replace(**upd)
+
+
+# ----------------------------------------------------------- termination
+
+def compute_residuals(state: SolverState, rho):
+    """Max-abs primal/dual residuals (admm.cpp:314-317). Shapes (*b,)."""
+    pri_state = _maxabs_tf(state.x - state.vnew)
+    dua_state = _maxabs_tf(state.v - state.vnew) * rho
+    pri_input = _maxabs_tf(state.u - state.znew)
+    dua_input = _maxabs_tf(state.z - state.znew) * rho
+    return pri_state, pri_input, dua_state, dua_input
+
+
+# ------------------------------------------------------------- iteration
+
+def admm_iteration(prob: TinyProblem, state: SolverState, Xref, Uref,
+                   nb: int) -> SolverState:
+    """One full ADMM iteration (the body of admm.cpp:378-394)."""
+    spec = prob.spec
+    state = update_linear_cost(spec, prob, state, Xref, Uref)
+    state = backward_pass(prob.cache, prob.B, state)
+    state = forward_pass(prob.A, prob.B, prob.f, prob.cache, state)
+    state = update_slack(spec, prob.cons, state, nb)
+    state = update_dual(spec, state)
+    return state
+
+
+# ------------------------------------------------------------------ solve
+
+ADAPTIVE_RHO_PERIOD = 5  # admm.cpp:405
+
+
+def seed_extra_slacks(spec: ProblemSpec, state: SolverState) -> SolverState:
+    """Per-solve initialisation of SOC / linear / tv slack copies from the
+    current primal iterates (admm.cpp:352-376)."""
+    upd = {}
+    if spec.en_state_soc and spec.state_cones:
+        upd["vcnew"] = state.x
+    if spec.en_input_soc and spec.input_cones:
+        upd["zcnew"] = state.u
+    if spec.en_state_linear:
+        upd["vlnew"] = state.x
+    if spec.en_input_linear:
+        upd["zlnew"] = state.u
+    if spec.en_tv_state_linear:
+        upd["vlnew_tv"] = state.x
+    if spec.en_tv_input_linear:
+        upd["zlnew_tv"] = state.u
+    return state.replace(**upd) if upd else state
+
+
+def solve(prob: TinyProblem, state: SolverState, Xref=None, Uref=None,
+          x0=None) -> Tuple[Solution, SolverState, Cache]:
+    """Run ADMM to convergence (admm.cpp:331-455), functionally.
+
+    Args:
+      prob: configured problem (spec/settings static).
+      state: warm-start iterates from a previous solve, or
+        :func:`~tinympc_tpu.types.init_state`.
+      Xref/Uref: reference trajectories, (N, nx)/(N-1, nu) or batched
+        (N, *b, nx). Default zeros.
+      x0: initial state, (nx,) or (*b, nx); when given, written into x[0]
+        (the functional ``tiny_set_x0``, tiny_api.cpp:443-453).
+
+    Returns (solution, final_state, final_cache). ``final_cache`` differs
+    from ``prob.cache`` only when adaptive rho is enabled.
+    """
+    spec, settings = prob.spec, prob.settings
+    nb = len(state.batch_shape)
+    dtype = prob.dtype
+
+    if Xref is None:
+        Xref = jnp.zeros((spec.N, spec.nx), dtype)
+    if Uref is None:
+        Uref = jnp.zeros((spec.N - 1, spec.nu), dtype)
+    Xref = _emid(Xref, nb) if Xref.ndim == 2 else Xref
+    Uref = _emid(Uref, nb) if Uref.ndim == 2 else Uref
+    if x0 is not None:
+        state = state.replace(x=state.x.at[0].set(jnp.asarray(x0, dtype)))
+
+    # Per-solve reset (admm.cpp:334-337) + slack seeding (admm.cpp:352-376).
+    b = state.batch_shape
+    state = state.replace(
+        iter=jnp.zeros(b, jnp.int32),
+        solved=jnp.zeros(b, jnp.bool_),
+        status=jnp.full(b, TINY_UNSOLVED, jnp.int32),
+    )
+    state = seed_extra_slacks(spec, state)
+
+    cache = prob.cache
+    if settings.adaptive_rho and nb > 0 and jnp.ndim(cache.rho) == 0:
+        # Each batch member adapts its own rho -> per-problem cache copies.
+        cache = jax.tree.map(
+            lambda l: (jnp.broadcast_to(l, b + l.shape) if l is not None else None),
+            cache,
+        )
+
+    tols = (settings.abs_pri_tol, settings.abs_dua_tol)
+
+    def cond(carry):
+        _, _, it, converged = carry
+        return (it < settings.max_iter) & ~jnp.all(converged)
+
+    def body(carry):
+        st, ca, it, converged = carry
+        active = ~converged
+
+        pr = prob.replace(cache=ca)
+        new = admm_iteration(pr, st, Xref, Uref, nb)
+
+        # Adaptive rho every ADAPTIVE_RHO_PERIOD iterations (admm.cpp:397-422),
+        # applied per problem only while that problem is still active.
+        if settings.adaptive_rho:
+            mask = (it > 0) & (it % ADAPTIVE_RHO_PERIOD == 0) & active
+            ca_new = adapt_rho(prob, ca, new, settings)
+            ca = jax.tree.map(
+                lambda n, o: _where_trail(jnp.asarray(mask), n, o), ca_new, ca
+            )
+
+        it1 = it + 1
+
+        # Termination check every check_termination iterations with the
+        # (possibly adapted) rho (admm.cpp:310-328, 430).
+        pred_check = (it1 % settings.check_termination) == 0
+        prs, pri, drs, dri = compute_residuals(new, ca.rho)
+        ok = (prs < tols[0]) & (pri < tols[0]) & (drs < tols[1]) & (dri < tols[1])
+        just_conv = pred_check & ok & active
+
+        # v/z carry-over happens only when the loop continues
+        # (admm.cpp:444-446 is skipped by the converged early-return).
+        keep_vz = active & ~just_conv
+        new = new.replace(
+            v=_where_tf(keep_vz, new.vnew, st.v),
+            z=_where_tf(keep_vz, new.znew, st.z),
+        )
+
+        # Residual fields only refresh when the check ran.
+        res_mask = pred_check & active
+        new = new.replace(
+            pri_res_state=jnp.where(res_mask, prs, st.pri_res_state),
+            pri_res_input=jnp.where(res_mask, pri, st.pri_res_input),
+            dua_res_state=jnp.where(res_mask, drs, st.dua_res_state),
+            dua_res_input=jnp.where(res_mask, dri, st.dua_res_input),
+            iter=st.iter + active.astype(jnp.int32),
+            solved=st.solved | just_conv,
+            status=jnp.where(just_conv, TINY_SOLVED, st.status),
+        )
+
+        # Freeze every field of converged problems.
+        committed = _commit(new, st, active)
+        return committed, ca, it1, converged | just_conv
+
+    state, cache, _, _ = jax.lax.while_loop(
+        cond, body, (state, cache, jnp.int32(0), jnp.zeros(b, jnp.bool_))
+    )
+
+    solution = Solution(iter=state.iter, solved=state.solved,
+                        x=state.vnew, u=state.znew)
+    return solution, state, cache
+
+
+def _commit(new: SolverState, old: SolverState, active) -> SolverState:
+    """Commit per-problem updates only where ``active`` (shape (*b,))."""
+    def sel(n, o):
+        if n is o or n is None:
+            return n
+        if n.ndim == active.ndim:          # per-problem scalars
+            return n                        # already masked above
+        return _where_tf(active, n, o)      # (T, *b, F) leaves
+
+    return jax.tree.map(sel, new, old)

@@ -1,0 +1,225 @@
+"""User-facing functional API.
+
+The reference exposes mutating setters on a heap-allocated solver
+(/root/reference/src/tinympc/tiny_api.cpp). Here a problem is built by pure
+constructors and solved by a jitted pure function; "setters" become either
+builder methods returning a new :class:`TinyProblem` (constraints, settings)
+or per-call arguments (x0, Xref, Uref — the functional ``tiny_set_x0`` /
+``tiny_set_x_ref`` / ``tiny_set_u_ref``, tiny_api.cpp:443-477).
+
+    prob = setup(A, B, Q, R, rho=5.0, N=10)          # tiny_setup
+    prob = prob.with_bounds(x_min=-5, x_max=5, u_min=-0.5, u_max=0.5)
+    state = init_state(prob)
+    sol, state, cache = solve(prob, state, x0=x0, Xref=Xref)
+
+Deviation from the reference (documented): ``tiny_set_cone_constraints`` /
+``tiny_set_linear_constraints`` do **not** flip the matching ``en_*`` flags
+(tiny_api.cpp:176-304; the examples flip them manually, and the rocket
+example forgets to). The builders here enable the family they configure
+unless ``enable=False`` is passed.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import admm
+from .riccati import precompute_cache, compute_sensitivities
+from .types import (
+    Cache, ConstraintData, ProblemSpec, Settings, SolverState, Solution,
+    TinyProblem,
+)
+from .types import init_state as _init_state_spec
+
+
+def _as_diag(M, n, dtype):
+    """Accept a diagonal vector or a full matrix; full matrices contribute
+    only their diagonal, exactly like tiny_setup (tiny_api.cpp:117-118)."""
+    M = jnp.asarray(M, dtype)
+    return jnp.diagonal(M) if M.ndim == 2 else M
+
+
+def setup(A, B, Q, R, rho, N, f=None, *, settings: Settings = Settings(),
+          dtype=None) -> TinyProblem:
+    """Build a problem + Riccati cache (reference tiny_setup, tiny_api.cpp:21-147)."""
+    if dtype is None:
+        dtype = jnp.asarray(A).dtype
+        if dtype not in (jnp.float32, jnp.float64):
+            dtype = jnp.float32
+    A = jnp.asarray(A, dtype)
+    B = jnp.asarray(B, dtype)
+    nx, nu = B.shape
+    f = jnp.zeros(nx, dtype) if f is None else jnp.asarray(f, dtype).reshape(nx)
+    Qdiag = _as_diag(Q, nx, dtype)
+    Rdiag = _as_diag(R, nu, dtype)
+    rho = jnp.asarray(rho, dtype)
+
+    # work->Q = (Q + rho*I).diagonal() (tiny_api.cpp:117-118)
+    Qdiag_aug = Qdiag + rho
+    Rdiag_aug = Rdiag + rho
+    cache = precompute_cache(A, B, f, Qdiag_aug, Rdiag_aug, rho)
+
+    spec = ProblemSpec(nx=nx, nu=nu, N=N)
+    # Bounds default to +-inf (identity projection) rather than the
+    # reference's uninitialised empty matrices.
+    inf = jnp.asarray(jnp.inf, dtype)
+    cons = ConstraintData(
+        x_min=jnp.full((N, nx), -inf), x_max=jnp.full((N, nx), inf),
+        u_min=jnp.full((N - 1, nu), -inf), u_max=jnp.full((N - 1, nu), inf),
+    )
+    prob = TinyProblem(A=A, B=B, f=f, Qdiag=Qdiag_aug, Rdiag=Rdiag_aug,
+                       cache=cache, cons=cons, spec=spec, settings=settings)
+    if settings.adaptive_rho and cache.dKinf_drho is None:
+        prob = with_sensitivities(prob)
+    return prob
+
+
+def _bcast(v, shape, dtype):
+    v = jnp.asarray(v, dtype)
+    return jnp.broadcast_to(v, shape)
+
+
+def with_bounds(prob: TinyProblem, x_min=None, x_max=None, u_min=None,
+                u_max=None, enable: bool = True) -> TinyProblem:
+    """Box constraints (tiny_set_bound_constraints, tiny_api.cpp:149-174).
+    Scalars and (nx,) rows broadcast over the horizon."""
+    spec, dt = prob.spec, prob.dtype
+    xs, us = (spec.N, spec.nx), (spec.N - 1, spec.nu)
+    cons = dataclasses.replace(
+        prob.cons,
+        x_min=_bcast(x_min, xs, dt) if x_min is not None else prob.cons.x_min,
+        x_max=_bcast(x_max, xs, dt) if x_max is not None else prob.cons.x_max,
+        u_min=_bcast(u_min, us, dt) if u_min is not None else prob.cons.u_min,
+        u_max=_bcast(u_max, us, dt) if u_max is not None else prob.cons.u_max,
+    )
+    spec = dataclasses.replace(spec, en_state_bound=enable, en_input_bound=enable)
+    return prob.replace(cons=cons, spec=spec)
+
+
+def with_cones(prob: TinyProblem,
+               state_cones: Sequence[Tuple[int, int, float]] = (),
+               input_cones: Sequence[Tuple[int, int, float]] = (),
+               enable: bool = True) -> TinyProblem:
+    """Second-order cones as (start, dim, mu) triples
+    (tiny_set_cone_constraints, tiny_api.cpp:176-208; layout types.hpp:124-131).
+    Any cone dimension is supported (the reference aborts for dim != 3,
+    admm.cpp:53)."""
+    dt = prob.dtype
+    sc = tuple((int(s), int(d)) for s, d, _ in state_cones)
+    ic = tuple((int(s), int(d)) for s, d, _ in input_cones)
+    cons = dataclasses.replace(
+        prob.cons,
+        cx=jnp.asarray([m for _, _, m in state_cones], dt) if state_cones else None,
+        cu=jnp.asarray([m for _, _, m in input_cones], dt) if input_cones else None,
+    )
+    spec = dataclasses.replace(
+        prob.spec, state_cones=sc, input_cones=ic,
+        en_state_soc=enable and bool(sc), en_input_soc=enable and bool(ic),
+    )
+    return prob.replace(cons=cons, spec=spec)
+
+
+def with_linear_constraints(prob: TinyProblem, Alin_x=None, blin_x=None,
+                            Alin_u=None, blin_u=None,
+                            enable: bool = True) -> TinyProblem:
+    """Static hyperplane constraints a.x <= b
+    (tiny_set_linear_constraints, tiny_api.cpp:210-252)."""
+    dt = prob.dtype
+    upd = {}
+    nsl = nil = 0
+    if Alin_x is not None:
+        Alin_x = jnp.atleast_2d(jnp.asarray(Alin_x, dt))
+        nsl = Alin_x.shape[0]
+        upd.update(Alin_x=Alin_x, blin_x=jnp.asarray(blin_x, dt).reshape(nsl))
+    if Alin_u is not None:
+        Alin_u = jnp.atleast_2d(jnp.asarray(Alin_u, dt))
+        nil = Alin_u.shape[0]
+        upd.update(Alin_u=Alin_u, blin_u=jnp.asarray(blin_u, dt).reshape(nil))
+    spec = dataclasses.replace(
+        prob.spec, num_state_linear=nsl, num_input_linear=nil,
+        en_state_linear=enable and nsl > 0, en_input_linear=enable and nil > 0,
+    )
+    return prob.replace(cons=dataclasses.replace(prob.cons, **upd), spec=spec)
+
+
+def with_tv_linear_constraints(prob: TinyProblem, tv_Alin_x=None, tv_blin_x=None,
+                               tv_Alin_u=None, tv_blin_u=None,
+                               enable: bool = True) -> TinyProblem:
+    """Time-varying hyperplanes (tiny_set_tv_linear_constraints,
+    tiny_api.cpp:254-304). Natural layout: ``tv_Alin_x`` is (N, S, nx) and
+    ``tv_blin_x`` is (N, S) — use :func:`tv_from_stacked` to convert the
+    reference's stacked ((S*N) x nx) / (S x N) arrays."""
+    dt = prob.dtype
+    upd = {}
+    ns = ni = 0
+    if tv_Alin_x is not None:
+        tv_Alin_x = jnp.asarray(tv_Alin_x, dt)
+        ns = tv_Alin_x.shape[1]
+        upd.update(tv_Alin_x=tv_Alin_x,
+                   tv_blin_x=jnp.asarray(tv_blin_x, dt).reshape(prob.spec.N, ns))
+    if tv_Alin_u is not None:
+        tv_Alin_u = jnp.asarray(tv_Alin_u, dt)
+        ni = tv_Alin_u.shape[1]
+        upd.update(tv_Alin_u=tv_Alin_u,
+                   tv_blin_u=jnp.asarray(tv_blin_u, dt).reshape(prob.spec.N - 1, ni))
+    spec = dataclasses.replace(
+        prob.spec, num_tv_state_linear=ns, num_tv_input_linear=ni,
+        en_tv_state_linear=enable and ns > 0, en_tv_input_linear=enable and ni > 0,
+    )
+    return prob.replace(cons=dataclasses.replace(prob.cons, **upd), spec=spec)
+
+
+def tv_from_stacked(A_stacked, b_stacked):
+    """Convert the reference's stacked tv layout (types.hpp:170-173):
+    A ((S*T) x n) with row (S*t + k) and b (S x T) -> (T, S, n), (T, S)."""
+    A_stacked = np.asarray(A_stacked)
+    b_stacked = np.asarray(b_stacked)
+    S, T = b_stacked.shape
+    return A_stacked.reshape(T, S, -1), b_stacked.T.copy()
+
+
+def with_settings(prob: TinyProblem, **kw) -> TinyProblem:
+    """Override settings fields (tiny_update_settings, tiny_api.cpp:388-411)."""
+    prob = prob.replace(settings=dataclasses.replace(prob.settings, **kw))
+    if prob.settings.adaptive_rho and prob.cache.dKinf_drho is None:
+        prob = with_sensitivities(prob)
+    return prob
+
+
+def with_sensitivities(prob: TinyProblem, tables=None) -> TinyProblem:
+    """Attach d{Kinf,Pinf,C1,C2}/drho for adaptive rho.
+
+    By default they are computed for *this* system by autodiff of the
+    Riccati fixed point (riccati.compute_sensitivities) — the general
+    version of the reference's quadrotor-only hard-coded tables
+    (tiny_initialize_sensitivity_matrices, tiny_api.cpp:479-540). Pass
+    ``tables=(dKinf, dPinf, dC1, dC2)`` to use explicit values (e.g.
+    :func:`tinympc_tpu.systems.crazyflie_sensitivity_tables` for bit-parity
+    with the reference)."""
+    if tables is None:
+        Qdiag_user = prob.Qdiag - prob.cache.rho   # undo the setup augmentation
+        Rdiag_user = prob.Rdiag - prob.cache.rho
+        tables = compute_sensitivities(
+            prob.A, prob.B, prob.f, Qdiag_user, Rdiag_user, prob.cache.rho
+        )
+    dK, dP, dC1, dC2 = (jnp.asarray(t, prob.dtype) for t in tables)
+    cache = dataclasses.replace(
+        prob.cache, dKinf_drho=dK, dPinf_drho=dP, dC1_drho=dC1, dC2_drho=dC2
+    )
+    return prob.replace(cache=cache)
+
+
+def init_state(prob: TinyProblem, batch_shape: Tuple[int, ...] = ()) -> SolverState:
+    """Zero workspace for this problem (tiny_setup's zero-init,
+    tiny_api.cpp:68-133)."""
+    return _init_state_spec(prob.spec, batch_shape, prob.dtype)
+
+
+# The jitted solve. TinyProblem's spec/settings are pytree *metadata*, so
+# jax.jit specialises on them with no static_argnums bookkeeping.
+solve = jax.jit(admm.solve)
+solve_ = admm.solve  # unjitted, for tests/debugging
