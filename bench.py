@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched quadrotor MPC solves/s on one TPU chip.
+
+Workload (mirrors tools/oracle/oracle_bench.cpp, which measures the
+reference C++ solver on one CPU core): quadrotor 20 Hz model, N=20 horizon,
+box constraints +-5 / +-0.5, Xref = hover at z=1, cold-start solves with
+x0 ~ U[-0.5, 0.5]^12, tol 1e-3, max_iter 100 (nearly every problem runs the
+full 100 iterations, so this is a fixed-work throughput benchmark).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is against the reference C++ solver measured on this machine:
+1739 solves/s (171.9k ADMM iters/s), oracle_bench 2000 @ 2026-08-17.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CPP_BASELINE_SOLVES_PER_S = 1739.0
+
+N_HORIZON = 20
+MAX_ITER = 100
+
+
+def build(B, dtype):
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu import systems
+    import jax
+
+    s = systems.quadrotor_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N_HORIZON, dtype=dtype)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    prob = tm.with_settings(prob, max_iter=MAX_ITER)
+    Xref = jnp.tile(jnp.asarray([0, 0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0], dtype),
+                    (N_HORIZON, 1))
+
+    kernel = os.environ.get("BENCH_KERNEL", "xla")
+    if kernel == "pallas":
+        from tinympc_tpu.kernels import solve_fused
+        def step(x0s):
+            sol = solve_fused(prob, Xref, None, x0s)
+            return sol.u[0], sol.iter, sol.solved
+    else:
+        def step(x0s):
+            state = tm.init_state(prob, (B,))
+            sol, _, _ = tm.solve_(prob, state, Xref, None, x0s)
+            return sol.u[0], sol.iter, sol.solved
+
+    return jax.jit(step)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.float32
+    B = int(os.environ.get("BENCH_B", 16384))
+    reps = int(os.environ.get("BENCH_REPS", 5))
+
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 12)), dtype)
+
+    step = build(B, dtype)
+    u0, iters, solved = jax.block_until_ready(step(x0s))  # compile + warmup
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        u0, iters, solved = step(x0s)
+    jax.block_until_ready(u0)
+    dt = time.perf_counter() - t0
+
+    solves_per_s = B * reps / dt
+    total_iters = int(np.sum(np.asarray(iters))) * reps
+    iters_per_s = total_iters / dt
+
+    print(json.dumps({
+        "metric": "batched_quadrotor_mpc_solves_per_s",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_s / CPP_BASELINE_SOLVES_PER_S, 2),
+        "batch": B,
+        "admm_iters_per_s": round(iters_per_s, 1),
+        "avg_iters": round(float(np.mean(np.asarray(iters))), 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

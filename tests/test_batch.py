@@ -1,0 +1,111 @@
+"""Batched-solve invariants.
+
+The framework's core parallelism axis is the problem batch (SURVEY.md §2.4):
+a batched solve must reproduce each member's single-problem result exactly —
+including per-problem iteration counts, which requires converged problems to
+freeze while the rest of the batch keeps iterating.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tinympc_tpu as tm
+from tinympc_tpu import systems
+
+
+def _quadrotor_problem(N=10, **settings):
+    s = systems.quadrotor_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    return tm.with_settings(prob, max_iter=100, **settings)
+
+
+def _x0_batch(B, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(-0.5, 0.5, (B, 12)))
+
+
+XREF = jnp.tile(jnp.asarray([0, 0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0]), (10, 1))
+
+
+def test_batched_equals_single():
+    prob = _quadrotor_problem()
+    B = 8
+    x0s = _x0_batch(B)
+
+    state = tm.init_state(prob, (B,))
+    sol_b, st_b, _ = tm.solve(prob, state, Xref=XREF, x0=x0s)
+
+    for i in range(B):
+        sol_1, st_1, _ = tm.solve(prob, tm.init_state(prob), Xref=XREF, x0=x0s[i])
+        assert int(sol_b.iter[i]) == int(sol_1.iter), f"problem {i} iter"
+        assert bool(sol_b.solved[i]) == bool(sol_1.solved)
+        np.testing.assert_allclose(sol_b.x[:, i], sol_1.x, atol=1e-12)
+        np.testing.assert_allclose(sol_b.u[:, i], sol_1.u, atol=1e-12)
+        np.testing.assert_allclose(st_b.pri_res_state[i], st_1.pri_res_state,
+                                   atol=1e-12)
+
+
+def test_batched_identical_problems_bitwise():
+    prob = _quadrotor_problem()
+    x0 = jnp.asarray([0, 1, 0, 0.2, 0, 0, 0.1, 0, 0, 0, 0, 0])
+    x0s = jnp.tile(x0, (4, 1))
+    sol_b, _, _ = tm.solve(prob, tm.init_state(prob, (4,)), Xref=XREF, x0=x0s)
+    for i in range(1, 4):
+        np.testing.assert_array_equal(sol_b.x[:, 0], sol_b.x[:, i])
+        assert int(sol_b.iter[0]) == int(sol_b.iter[i])
+
+
+def test_batched_per_problem_xref():
+    prob = _quadrotor_problem()
+    B = 3
+    x0s = _x0_batch(B, seed=1)
+    Xrefs = jnp.stack([XREF * (0.5 * (i + 1)) for i in range(B)], axis=1)  # (N, B, nx)
+    sol_b, _, _ = tm.solve(prob, tm.init_state(prob, (B,)), Xref=Xrefs, x0=x0s)
+    for i in range(B):
+        sol_1, _, _ = tm.solve(prob, tm.init_state(prob), Xref=Xrefs[:, i], x0=x0s[i])
+        np.testing.assert_allclose(sol_b.x[:, i], sol_1.x, atol=1e-12)
+        assert int(sol_b.iter[i]) == int(sol_1.iter)
+
+
+def test_batched_adaptive_rho_equals_single():
+    prob = _quadrotor_problem(adaptive_rho=True)
+    prob = tm.with_sensitivities(prob, systems.crazyflie_sensitivity_tables())
+    B = 3
+    x0s = _x0_batch(B, seed=2) * 2.0
+    sol_b, _, cache_b = tm.solve(prob, tm.init_state(prob, (B,)), Xref=XREF, x0=x0s)
+    assert cache_b.rho.shape == (B,)
+    for i in range(B):
+        sol_1, _, cache_1 = tm.solve(prob, tm.init_state(prob), Xref=XREF, x0=x0s[i])
+        np.testing.assert_allclose(sol_b.x[:, i], sol_1.x, atol=1e-12)
+        np.testing.assert_allclose(cache_b.rho[i], cache_1.rho, atol=1e-12)
+        assert int(sol_b.iter[i]) == int(sol_1.iter)
+
+
+def test_vmap_heterogeneous_systems():
+    """Fleets of *different* systems: vmap over the problem pytree (spec and
+    settings stay static/shared)."""
+    s = systems.cartpole()
+    probs = []
+    for scale in (1.0, 1.02):
+        A = s["A"] * np.where(np.eye(4) == 1, 1.0, scale)
+        p = tm.setup(A, s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"], N=10,
+                     dtype=jnp.float64)
+        p = tm.with_bounds(p, x_min=-1e17, x_max=1e17, u_min=-1e17, u_max=1e17)
+        probs.append(tm.with_settings(p, max_iter=50))
+
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *probs)
+    x0 = jnp.asarray([0.5, 0.0, 0.0, 0.0])
+    Xref = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (10, 1))
+
+    vsolve = jax.vmap(tm.solve_, in_axes=(0, None, None, None, None))
+    sol_v, _, _ = vsolve(stacked, tm.init_state(probs[0]), Xref, None, x0)
+
+    for i, p in enumerate(probs):
+        sol_1, _, _ = tm.solve(p, tm.init_state(p), Xref=Xref, x0=x0)
+        np.testing.assert_allclose(sol_v.x[i], sol_1.x, atol=1e-10)
+        assert int(sol_v.iter[i]) == int(sol_1.iter)

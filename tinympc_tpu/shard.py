@@ -1,0 +1,94 @@
+"""Mesh sharding for fleet-scale batched solves.
+
+The reference is single-problem/single-thread (SURVEY.md §2.4); here the
+problem batch is the parallelism axis. Solves are embarrassingly parallel
+except for one global scalar: the ``jnp.all(converged)`` loop predicate in
+:func:`tinympc_tpu.admm.solve`, which XLA lowers to a cross-shard AND every
+iteration — the only collective on the hot path, striding with
+``Settings.check_termination`` exactly like the reference amortises its
+termination check (admm.cpp:312).
+
+Usage::
+
+    mesh = make_mesh()                       # all local devices, axis "dp"
+    state = shard_state(mesh, tm.init_state(prob, (B,)))
+    x0s = shard_batch_leading(mesh, x0s)
+    sol, state, cache = tm.solve(prob, state, x0=x0s)   # GSPMD-partitioned
+
+Problem data (A, B, cache, bounds) is replicated — it is tiny. For
+heterogeneous fleets with batched cache leaves, shard the problem with
+:func:`shard_batch_leading` too.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AxisLike = Union[str, Sequence[str]]
+
+
+def make_mesh(shape: Optional[Tuple[int, ...]] = None,
+              axis_names: Optional[Tuple[str, ...]] = None,
+              devices=None) -> Mesh:
+    """Build a device mesh. Default: 1-D over all devices, axis ``dp``.
+    Pass e.g. ``shape=(2, 4), axis_names=("host", "chip")`` for hierarchical
+    layouts (batch outer-sharded over DCN, inner over ICI)."""
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),)
+    if axis_names is None:
+        axis_names = ("dp",) if len(shape) == 1 else tuple(
+            f"dp{i}" for i in range(len(shape)))
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def _axes(mesh: Mesh, axis: Optional[AxisLike]) -> Tuple[str, ...]:
+    if axis is None:
+        return tuple(mesh.axis_names)
+    return (axis,) if isinstance(axis, str) else tuple(axis)
+
+
+def shard_state(mesh: Mesh, state, axis: Optional[AxisLike] = None):
+    """Place a batch-shape-(B,) SolverState on the mesh with the batch axis
+    partitioned. Time-major leaves (T, B, F) shard on axis 1; per-problem
+    scalars (B,) on axis 0."""
+    ax = _axes(mesh, axis)
+
+    def put(leaf):
+        spec = P(ax) if leaf.ndim == 1 else P(None, ax)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, state)
+
+
+def shard_batch_leading(mesh: Mesh, tree, axis: Optional[AxisLike] = None):
+    """Shard every leaf of a batch-leading pytree ((B, ...) arrays: x0
+    batches, batched cache/problem leaves) on its first axis."""
+    ax = _axes(mesh, axis)
+
+    def put(leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, P(ax)))
+
+    return jax.tree.map(put, tree)
+
+
+def shard_batch_middle(mesh: Mesh, tree, axis: Optional[AxisLike] = None):
+    """Shard (T, B, ...) reference trajectories on their second axis."""
+    ax = _axes(mesh, axis)
+
+    def put(leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, P(None, ax)))
+
+    return jax.tree.map(put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate problem data across the mesh."""
+
+    def put(leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, tree)

@@ -1,0 +1,74 @@
+// Baseline benchmark: reference TinyMPC solves/s on one CPU core.
+// Workload matches bench.py: quadrotor 20 Hz params, N=20 horizon, box
+// constraints +-5 / +-0.5, tol 1e-3, max_iter=100, cold-start solves with
+// x0 ~ U[-0.5, 0.5]^12, Xref = hover at z=1. Prints one JSON line.
+#include <chrono>
+#include <cstdio>
+#include <random>
+#include <tinympc/tiny_api.hpp>
+
+#define NSTATES 12
+#define NINPUTS 4
+#define NHORIZON 20
+
+#include "problem_data/quadrotor_20hz_params.hpp"
+
+int main(int argc, char** argv) {
+    int num_solves = argc > 1 ? atoi(argv[1]) : 2000;
+
+    TinySolver* solver;
+    tinyMatrix Adyn = Map<Matrix<tinytype, NSTATES, NSTATES, RowMajor>>(Adyn_data);
+    tinyMatrix Bdyn = Map<Matrix<tinytype, NSTATES, NINPUTS, RowMajor>>(Bdyn_data);
+    tinyVector fdyn = Matrix<tinytype, NSTATES, 1>::Zero();
+    tinyVector Q = Map<Matrix<tinytype, NSTATES, 1>>(Q_data);
+    tinyVector R = Map<Matrix<tinytype, NINPUTS, 1>>(R_data);
+
+    tinyMatrix x_min = Matrix<tinytype, NSTATES, NHORIZON>::Constant(-5);
+    tinyMatrix x_max = Matrix<tinytype, NSTATES, NHORIZON>::Constant(5);
+    tinyMatrix u_min = Matrix<tinytype, NINPUTS, NHORIZON - 1>::Constant(-0.5);
+    tinyMatrix u_max = Matrix<tinytype, NINPUTS, NHORIZON - 1>::Constant(0.5);
+
+    tiny_setup(&solver, Adyn, Bdyn, fdyn, Q.asDiagonal(), R.asDiagonal(),
+               rho_value, NSTATES, NINPUTS, NHORIZON, 0);
+    tiny_set_bound_constraints(solver, x_min, x_max, u_min, u_max);
+    solver->settings->max_iter = 100;
+
+    TinyWorkspace* work = solver->work;
+    tinyVector xref(NSTATES);
+    xref << 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0;
+    work->Xref = xref.replicate(1, NHORIZON);
+
+    std::mt19937 gen(0);
+    std::uniform_real_distribution<double> dist(-0.5, 0.5);
+
+    // Pre-generate initial states.
+    std::vector<tinyVector> x0s(num_solves, tinyVector(NSTATES));
+    for (auto& x0 : x0s)
+        for (int i = 0; i < NSTATES; i++) x0(i) = dist(gen);
+
+    long total_iters = 0;
+    // Warm-up solve (first-touch costs).
+    tiny_set_x0(solver, x0s[0]);
+    tiny_solve(solver);
+
+    auto t0 = std::chrono::steady_clock::now();
+    for (int k = 0; k < num_solves; k++) {
+        // Cold start: zero all iterates (matching a fresh batched solve).
+        work->x.setZero(); work->u.setZero();
+        work->v.setZero(); work->vnew.setZero();
+        work->z.setZero(); work->znew.setZero();
+        work->g.setZero(); work->y.setZero();
+        tiny_set_x0(solver, x0s[k]);
+        tiny_solve(solver);
+        total_iters += solver->solution->iter;
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    double secs = std::chrono::duration<double>(t1 - t0).count();
+
+    fprintf(stderr,
+            "{\"solves\":%d,\"seconds\":%.6f,\"solves_per_s\":%.1f,"
+            "\"total_iters\":%ld,\"iters_per_s\":%.1f,\"avg_iters\":%.2f}\n",
+            num_solves, secs, num_solves / secs, total_iters,
+            total_iters / secs, (double)total_iters / num_solves);
+    return 0;
+}
