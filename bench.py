@@ -40,11 +40,12 @@ def build(B, dtype):
     Xref = jnp.tile(jnp.asarray([0, 0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0], dtype),
                     (N_HORIZON, 1))
 
-    kernel = os.environ.get("BENCH_KERNEL", "xla")
+    kernel = os.environ.get("BENCH_KERNEL", "pallas")
     if kernel == "pallas":
         from tinympc_tpu.kernels import solve_fused
+        tile = int(os.environ.get("BENCH_TILE", 1024))
         def step(x0s):
-            sol = solve_fused(prob, Xref, None, x0s)
+            sol, _res = solve_fused(prob, Xref, None, x0s, tile=tile)
             return sol.u[0], sol.iter, sol.solved
     else:
         def step(x0s):

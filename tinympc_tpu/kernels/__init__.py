@@ -1,0 +1,2 @@
+"""Pallas TPU kernels for the solver hot path."""
+from .admm_pallas import solve_fused, fused_supported
