@@ -1,0 +1,102 @@
+"""Export subsystem: problem persistence, AOT StableHLO round trip, and the
+standalone C++ code generator (generated project is compiled with g++ and
+its closed loop compared against the Python solver)."""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tinympc_tpu as tm
+from tinympc_tpu import systems
+from tinympc_tpu.export import (export_solver, generate_cpp, load_problem,
+                                load_solver, save_problem)
+
+
+def _cartpole_problem():
+    s = systems.cartpole()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=10, dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-1e17, x_max=1e17, u_min=-1e17, u_max=1e17)
+    return tm.with_settings(prob, max_iter=100)
+
+
+def test_problem_roundtrip(tmp_path):
+    prob = _cartpole_problem()
+    save_problem(prob, tmp_path / "prob.npz")
+    loaded = load_problem(tmp_path / "prob.npz")
+    assert loaded.spec == prob.spec
+    assert loaded.settings == prob.settings
+    np.testing.assert_array_equal(loaded.cache.Kinf, prob.cache.Kinf)
+    np.testing.assert_array_equal(loaded.cons.x_max, prob.cons.x_max)
+
+    # A loaded problem solves identically.
+    x0 = jnp.asarray([0.5, 0.0, 0.0, 0.0])
+    Xref = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (10, 1))
+    s1, _, _ = tm.solve(prob, tm.init_state(prob), Xref=Xref, x0=x0)
+    s2, _, _ = tm.solve(loaded, tm.init_state(loaded), Xref=Xref, x0=x0)
+    np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))
+
+
+def test_problem_roundtrip_with_cones_and_sens(tmp_path):
+    s = systems.rocket_landing_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=10, f=s["f"], dtype=jnp.float64)
+    prob = tm.with_cones(prob, state_cones=[(0, 3, 0.25)],
+                         input_cones=[(0, 3, 0.5)])
+    save_problem(prob, tmp_path / "p.npz")
+    loaded = load_problem(tmp_path / "p.npz")
+    assert loaded.spec == prob.spec
+    np.testing.assert_array_equal(loaded.cons.cx, prob.cons.cx)
+
+
+def test_aot_export_roundtrip():
+    prob = _cartpole_problem()
+    blob = export_solver(prob)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    call = load_solver(blob)
+
+    x0 = jnp.asarray([0.5, 0.0, 0.0, 0.0])
+    Xref = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (10, 1))
+    Uref = jnp.zeros((9, 1))
+    sol_exp, _, _ = call(tm.init_state(prob), Xref, Uref, x0)
+    sol_ref, _, _ = tm.solve(prob, tm.init_state(prob), Xref=Xref, x0=x0)
+    np.testing.assert_allclose(np.asarray(sol_exp.x), np.asarray(sol_ref.x),
+                               atol=1e-12)
+    assert int(sol_exp.iter) == int(sol_ref.iter)
+
+
+def test_codegen_cpp_matches_python(tmp_path):
+    s = systems.quadrotor_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=10, dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    prob = tm.with_settings(prob, max_iter=100)
+
+    x0 = np.array([0, 1, 0, 0.2, 0, 0, 0.1, 0, 0, 0, 0, 0.0])
+    Xref = np.tile([0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0.0], (10, 1))
+    nsteps = 25
+    out = generate_cpp(prob, tmp_path / "gen", x0=x0, Xref=Xref, nsteps=nsteps)
+
+    exe = tmp_path / "tiny_main"
+    subprocess.run(["g++", "-O2", "-std=c++17", str(out / "src" / "tiny_main.cpp"),
+                    "-o", str(exe)], check=True)
+    res = subprocess.run([str(exe)], capture_output=True, text=True, check=True)
+    steps = [json.loads(line) for line in res.stdout.strip().splitlines()]
+    assert len(steps) == nsteps
+
+    # Python closed loop (same warm-starting semantics).
+    state = tm.init_state(prob)
+    x0j = jnp.asarray(x0)
+    Xrefj = jnp.asarray(Xref)
+    for rec in steps:
+        sol, state, _ = tm.solve(prob, state, Xref=Xrefj, x0=x0j)
+        np.testing.assert_allclose(np.asarray(x0j), rec["x0"], atol=1e-9,
+                                   err_msg=f"step {rec['step']} x0")
+        np.testing.assert_allclose(np.asarray(state.u[0]), rec["u0"], atol=1e-9,
+                                   err_msg=f"step {rec['step']} u0")
+        assert int(sol.iter) == rec["iter"], f"step {rec['step']} iters"
+        x0j = prob.A @ x0j + prob.B @ state.u[0]

@@ -30,6 +30,7 @@ from .api import (
     tv_from_stacked,
     with_bounds,
     with_cones,
+    with_consensus,
     with_linear_constraints,
     with_sensitivities,
     with_settings,

@@ -100,6 +100,9 @@ def update_linear_cost(spec: ProblemSpec, prob: TinyProblem, state: SolverState,
         r = r - rho * (state.zlnew - state.yl)
     if spec.en_tv_input_linear:
         r = r - rho * (state.zlnew_tv - state.yl_tv)
+    if spec.en_consensus:
+        r = r.at[0].add(-jnp.asarray(prob.cache.rho)[..., None]
+                        * (state.zc0new - state.yc0))
 
     # Terminal cost: p[N-1] = -Pinf^T Xref[N-1] - rho * sum(state slacks - duals)
     # (admm.cpp:292-303; the reference's row-vector product is x^T Pinf, i.e.
@@ -156,7 +159,7 @@ def forward_pass(A, B, f, cache: Cache, state: SolverState) -> SolverState:
 # ----------------------------------------------------------- slack / dual
 
 def update_slack(spec: ProblemSpec, cons: ConstraintData, state: SolverState,
-                 nb: int) -> SolverState:
+                 nb: int, axis_name=None) -> SolverState:
     """Project candidate slacks into each enabled family's feasible set
     (admm.cpp:81-213)."""
     upd = {}
@@ -215,6 +218,19 @@ def update_slack(spec: ProblemSpec, cons: ConstraintData, state: SolverState,
             zltv = _hyperplane_step(zltv, a_t, b_t)
         upd["zlnew_tv"] = zltv
 
+    if spec.en_consensus:
+        # Consensus on u[0] across scenarios: projection onto the
+        # all-equal subspace is the scenario mean. The scenario group is
+        # the last batch axis (local) composed with an optional named mesh
+        # axis (pmean over ICI/DCN when scenarios are sharded).
+        cand = state.u[0] + state.yc0          # (*b, nu)
+        m = cand
+        if nb >= 1:
+            m = jnp.mean(m, axis=-2, keepdims=True)
+        if axis_name is not None:
+            m = jax.lax.pmean(m, axis_name)
+        upd["zc0new"] = jnp.broadcast_to(m, cand.shape)
+
     return state.replace(**upd)
 
 
@@ -244,6 +260,8 @@ def update_dual(spec: ProblemSpec, state: SolverState) -> SolverState:
         upd["gl_tv"] = state.gl_tv + state.x - state.vlnew_tv
     if spec.en_tv_input_linear:
         upd["yl_tv"] = state.yl_tv + state.u - state.zlnew_tv
+    if spec.en_consensus:
+        upd["yc0"] = state.yc0 + state.u[0] - state.zc0new
     return state.replace(**upd)
 
 
@@ -267,7 +285,8 @@ def admm_iteration(prob: TinyProblem, state: SolverState, Xref, Uref,
     state = update_linear_cost(spec, prob, state, Xref, Uref)
     state = backward_pass(prob.cache, prob.B, state)
     state = forward_pass(prob.A, prob.B, prob.f, prob.cache, state)
-    state = update_slack(spec, prob.cons, state, nb)
+    state = update_slack(spec, prob.cons, state, nb,
+                         prob.settings.consensus_axis_name)
     state = update_dual(spec, state)
     return state
 
@@ -293,6 +312,8 @@ def seed_extra_slacks(spec: ProblemSpec, state: SolverState) -> SolverState:
         upd["vlnew_tv"] = state.x
     if spec.en_tv_input_linear:
         upd["zlnew_tv"] = state.u
+    if spec.en_consensus:
+        upd["zc0new"] = state.u[0]
     return state.replace(**upd) if upd else state
 
 
@@ -371,6 +392,9 @@ def solve(prob: TinyProblem, state: SolverState, Xref=None, Uref=None,
         pred_check = (it1 % settings.check_termination) == 0
         prs, pri, drs, dri = compute_residuals(new, ca.rho)
         ok = (prs < tols[0]) & (pri < tols[0]) & (drs < tols[1]) & (dri < tols[1])
+        if spec.en_consensus:
+            cres = jnp.max(jnp.abs(new.u[0] - new.zc0new), axis=-1)
+            ok = ok & (cres < tols[0])
         just_conv = pred_check & ok & active
 
         # v/z carry-over happens only when the loop continues
@@ -413,6 +437,8 @@ def _commit(new: SolverState, old: SolverState, active) -> SolverState:
             return n
         if n.ndim == active.ndim:          # per-problem scalars
             return n                        # already masked above
+        if n.ndim == active.ndim + 1:      # (*b, F) consensus leaves
+            return jnp.where(active[..., None], n, o)
         return _where_tf(active, n, o)      # (T, *b, F) leaves
 
     return jax.tree.map(sel, new, old)

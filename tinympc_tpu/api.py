@@ -182,6 +182,19 @@ def tv_from_stacked(A_stacked, b_stacked):
     return A_stacked.reshape(T, S, -1), b_stacked.T.copy()
 
 
+def with_consensus(prob: TinyProblem, enable: bool = True,
+                   axis_name: Optional[str] = None) -> TinyProblem:
+    """Scenario-tree consensus ADMM on the first control input: all
+    problems in the scenario group (the last batch axis, optionally
+    combined with a named mesh axis for sharded groups) are driven to a
+    common u[0]. No reference analog (the reference is single-problem,
+    SURVEY.md §2.4); this is the coupled-scenario capability of the
+    BASELINE north star."""
+    spec = dataclasses.replace(prob.spec, en_consensus=enable)
+    settings = dataclasses.replace(prob.settings, consensus_axis_name=axis_name)
+    return prob.replace(spec=spec, settings=settings)
+
+
 def with_settings(prob: TinyProblem, **kw) -> TinyProblem:
     """Override settings fields (tiny_update_settings, tiny_api.cpp:388-411)."""
     prob = prob.replace(settings=dataclasses.replace(prob.settings, **kw))

@@ -76,6 +76,7 @@ class ProblemSpec:
     en_input_linear: bool = False
     en_tv_state_linear: bool = False
     en_tv_input_linear: bool = False
+    en_consensus: bool = False    # scenario-tree consensus on u[0]
     state_cones: Tuple[Tuple[int, int], ...] = ()  # (start, dim) per cone
     input_cones: Tuple[Tuple[int, int], ...] = ()
     num_state_linear: int = 0
@@ -107,6 +108,10 @@ class Settings:
     adaptive_rho_min: float = 1.0
     adaptive_rho_max: float = 100.0
     adaptive_rho_clip: bool = True
+    # Consensus ADMM (no reference analog — SURVEY.md §2.4): when set, the
+    # scenario mean inside the consensus projection runs as a pmean over this
+    # named mesh axis (shard_map); None averages over the last batch axis.
+    consensus_axis_name: Optional[str] = None
     # Extension over the reference: when True, the adaptive-rho Taylor step
     # also applies dC1/dC2 to the Quu_inv/AmBKt matrices actually used by the
     # Riccati recursion. The reference updates only its unused C1/C2 aliases
@@ -230,6 +235,9 @@ class SolverState:
     gl: Optional[jax.Array] = None
     zlnew: Optional[jax.Array] = None
     yl: Optional[jax.Array] = None
+    # Consensus-on-u[0] family (scenario trees; no reference analog)
+    zc0new: Optional[jax.Array] = None   # (*b, nu) consensus slack
+    yc0: Optional[jax.Array] = None      # (*b, nu) per-scenario dual
     # Time-varying linear family
     vlnew_tv: Optional[jax.Array] = None
     gl_tv: Optional[jax.Array] = None
@@ -264,6 +272,43 @@ class Solution:
     u: jax.Array       # (N-1, *b, nu)
 
 
+def _register_export_serialization():
+    """Make every pytree dataclass serializable by jax.export (AOT export of
+    solvers whose signatures carry these types)."""
+    import json
+
+    from jax import export as jexport
+
+    def reg(cls, ser, des):
+        jexport.register_pytree_node_serialization(
+            cls,
+            serialized_name=f"tinympc_tpu.{cls.__name__}",
+            serialize_auxdata=ser,
+            deserialize_auxdata=des,
+        )
+
+    for cls in (Cache, ConstraintData, SolverState, Solution):
+        reg(cls, lambda aux: b"", lambda b: ())
+
+    def ser_problem(aux):
+        spec, settings = aux
+        return json.dumps({
+            "spec": dataclasses.asdict(spec),
+            "settings": dataclasses.asdict(settings),
+        }).encode()
+
+    def des_problem(b):
+        d = json.loads(bytes(b))
+        for k in ("state_cones", "input_cones"):
+            d["spec"][k] = tuple(tuple(c) for c in d["spec"][k])
+        return (ProblemSpec(**d["spec"]), Settings(**d["settings"]))
+
+    reg(TinyProblem, ser_problem, des_problem)
+
+
+_register_export_serialization()
+
+
 def init_state(
     spec: ProblemSpec, batch_shape: Tuple[int, ...] = (), dtype=jnp.float32
 ) -> SolverState:
@@ -293,6 +338,9 @@ def init_state(
         fam.update(vlnew_tv=zx(), gl_tv=zx())
     if spec.en_tv_input_linear:
         fam.update(zlnew_tv=zu(), yl_tv=zu())
+    if spec.en_consensus:
+        fam.update(zc0new=jnp.zeros((*b, spec.nu), dtype),
+                   yc0=jnp.zeros((*b, spec.nu), dtype))
 
     return SolverState(
         x=zx(), u=zu(), q=zx(), r=zu(), p=zx(), d=zu(),
