@@ -8,10 +8,13 @@ Reference files cited per function.
 from __future__ import annotations
 
 import dataclasses
+import sys
+from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import tinympc_tpu as tm
 from tinympc_tpu import systems
 

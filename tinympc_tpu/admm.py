@@ -156,6 +156,66 @@ def forward_pass(A, B, f, cache: Cache, state: SolverState) -> SolverState:
     return state.replace(x=x, u=us)
 
 
+# ------------------------------------------------- horizon-parallel sweeps
+#
+# Both recursions are first-order affine recurrences with constant matrices
+# (the reference runs them strictly sequentially, admm.cpp:15,27):
+#
+#   backward: p[i] = AmBKt p[i+1] + c[i],  c[i] = q[i] - Kinf' r[i] + APf
+#   forward:  x[i+1] = (A - B Kinf) x[i] + (f - B d[i])
+#
+# so they parallelise over the horizon in O(log N) depth by composing
+# affine maps (v -> a v + b) under lax.associative_scan — the MPC analog of
+# sequence parallelism (SURVEY.md §5), selected via
+# Settings.horizon_parallel for long horizons. d and u then follow
+# elementwise from p and x.
+
+def _compose(lo, hi):
+    """(hi ∘ lo): v -> a_h (a_l v + b_l) + b_h, elementwise along the scan
+    axis t. Matrices are (t, nx, nx); vectors (t, *b, nx) — the explicit t
+    index lets unbatched matrices act on batched vectors."""
+    a_l, b_l = lo
+    a_h, b_h = hi
+    a = jnp.einsum("tij,tjk->tik", a_h, a_l)
+    nb = b_l.ndim - 2
+    bspec = "t" + "abcde"[:nb] + "j"
+    b = jnp.einsum(f"tij,{bspec}->{bspec.replace('j', 'i')}", a_h, b_l) + b_h
+    return a, b
+
+
+def backward_pass_assoc(cache: Cache, B, state: SolverState) -> SolverState:
+    N = state.p.shape[0]
+    c = state.q[:-1] - mtv(cache.Kinf, state.r) + cache.APf  # (N-1, *b, nx)
+    AmBKt = jnp.asarray(cache.AmBKt)
+    a = jnp.concatenate([
+        jnp.broadcast_to(AmBKt, (N - 1, *AmBKt.shape)),
+        jnp.zeros((1, *AmBKt.shape), AmBKt.dtype),   # terminal: constant map
+    ], axis=0)
+    b = jnp.concatenate([c, state.p[-1:]], axis=0)
+    # Suffix scan: p[j] = (e_j ∘ e_{j+1} ∘ ... ∘ e_{N-1})(anything); element
+    # j < N-1 maps p[j+1] -> AmBKt p[j+1] + c[j]. In reverse mode fn's first
+    # argument carries the already-accumulated suffix (later indices), so the
+    # same _compose(lo=accum, hi=element) works for both directions.
+    _, p = jax.lax.associative_scan(_compose, (a, b), reverse=True)
+    d = mv(cache.Quu_inv, mtv(B, p[1:]) + state.r + cache.BPf)
+    return state.replace(p=p, d=d)
+
+
+def forward_pass_assoc(A, B, f, cache: Cache, state: SolverState) -> SolverState:
+    N = state.x.shape[0]
+    Acl = A - jnp.einsum("ij,jk->ik", B, cache.Kinf)
+    w = f - mv(B, state.d)                     # (N-1, *b, nx)
+    a = jnp.concatenate([
+        jnp.zeros((1, *Acl.shape), Acl.dtype),       # x0: constant map
+        jnp.broadcast_to(Acl, (N - 1, *Acl.shape)),
+    ], axis=0)
+    b = jnp.concatenate([state.x[:1], w], axis=0)
+    # Prefix scan: x[j] = (f_j ∘ ... ∘ f_0)(anything).
+    _, x = jax.lax.associative_scan(_compose, (a, b))
+    u = -mv(cache.Kinf, x[:-1]) - state.d
+    return state.replace(x=x, u=u)
+
+
 # ----------------------------------------------------------- slack / dual
 
 def update_slack(spec: ProblemSpec, cons: ConstraintData, state: SolverState,
@@ -283,8 +343,12 @@ def admm_iteration(prob: TinyProblem, state: SolverState, Xref, Uref,
     """One full ADMM iteration (the body of admm.cpp:378-394)."""
     spec = prob.spec
     state = update_linear_cost(spec, prob, state, Xref, Uref)
-    state = backward_pass(prob.cache, prob.B, state)
-    state = forward_pass(prob.A, prob.B, prob.f, prob.cache, state)
+    if prob.settings.horizon_parallel:
+        state = backward_pass_assoc(prob.cache, prob.B, state)
+        state = forward_pass_assoc(prob.A, prob.B, prob.f, prob.cache, state)
+    else:
+        state = backward_pass(prob.cache, prob.B, state)
+        state = forward_pass(prob.A, prob.B, prob.f, prob.cache, state)
     state = update_slack(spec, prob.cons, state, nb,
                          prob.settings.consensus_axis_name)
     state = update_dual(spec, state)

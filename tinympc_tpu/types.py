@@ -108,6 +108,11 @@ class Settings:
     adaptive_rho_min: float = 1.0
     adaptive_rho_max: float = 100.0
     adaptive_rho_clip: bool = True
+    # Horizon-parallel Riccati sweeps via lax.associative_scan (O(log N)
+    # depth instead of N sequential steps) — the long-horizon path
+    # (SURVEY.md §5). Requires an unbatched cache (not compatible with
+    # per-problem adaptive-rho caches).
+    horizon_parallel: bool = False
     # Consensus ADMM (no reference analog — SURVEY.md §2.4): when set, the
     # scenario mean inside the consensus projection runs as a pmean over this
     # named mesh axis (shard_map); None averages over the last batch axis.
