@@ -1,0 +1,72 @@
+"""Property-based checks on random problems: whenever the solver reports
+convergence, the solution must actually satisfy the contract — projected
+feasibility and residuals below tolerance — independent of any golden."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tinympc_tpu as tm
+
+
+def _random_system(rng, nx, nu):
+    # Stable-ish random discrete system
+    A = np.eye(nx) + 0.05 * rng.normal(size=(nx, nx))
+    A /= max(1.0, np.max(np.abs(np.linalg.eigvals(A))) / 0.99)
+    B = 0.1 * rng.normal(size=(nx, nu))
+    Q = rng.uniform(0.5, 10.0, nx)
+    R = rng.uniform(0.5, 2.0, nu)
+    return A, B, Q, R
+
+
+@pytest.mark.parametrize("seed,nx,nu,N", [(0, 4, 2, 8), (1, 7, 3, 12),
+                                          (2, 12, 4, 20), (3, 3, 1, 5)])
+def test_solved_implies_feasible_and_converged(seed, nx, nu, N):
+    rng = np.random.default_rng(seed)
+    A, B, Q, R = _random_system(rng, nx, nu)
+    prob = tm.setup(A, B, Q, R, rho=1.0, N=N, dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-10.0, x_max=10.0, u_min=-1.0, u_max=1.0)
+    prob = tm.with_settings(prob, max_iter=500)
+
+    Bsz = 16
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (Bsz, nx)))
+    sol, state, _ = tm.solve(prob, tm.init_state(prob, (Bsz,)), x0=x0s)
+
+    solved = np.asarray(sol.solved)
+    assert solved.sum() > 0, "premise: at least some problems converge"
+
+    # Projected solution is feasible w.r.t. the box (admm.cpp:436-437 returns
+    # vnew/znew precisely because they are the projected, feasible iterates).
+    assert float(jnp.max(jnp.abs(sol.x))) <= 10.0 + 1e-12
+    assert float(jnp.max(jnp.abs(sol.u))) <= 1.0 + 1e-12
+
+    # Converged problems report residuals under tolerance.
+    for field, tol in (("pri_res_state", 1e-3), ("pri_res_input", 1e-3),
+                       ("dua_res_state", 1e-3), ("dua_res_input", 1e-3)):
+        res = np.asarray(getattr(state, field))[solved]
+        assert np.all(res < tol), f"{field} above tolerance for solved problems"
+
+    # The raw trajectory obeys the dynamics exactly.
+    x, u = state.x, state.u
+    sim = jnp.einsum("ij,tbj->tbi", prob.A, x[:-1]) \
+        + jnp.einsum("ij,tbj->tbi", prob.B, u) + prob.f
+    np.testing.assert_allclose(np.asarray(x[1:]), np.asarray(sim), atol=1e-10)
+
+
+def test_unconstrained_matches_lqr():
+    """With inactive bounds and zero reference, the first ADMM iteration's
+    rollout is exactly the infinite-horizon LQR policy."""
+    rng = np.random.default_rng(7)
+    A, B, Q, R = _random_system(rng, 6, 2)
+    prob = tm.setup(A, B, Q, R, rho=0.1, N=30, dtype=jnp.float64)
+    prob = tm.with_settings(prob, max_iter=1, check_termination=1000)
+
+    x0 = jnp.asarray(rng.uniform(-1, 1, 6))
+    sol, state, _ = tm.solve(prob, tm.init_state(prob), x0=x0)
+
+    K = np.asarray(prob.cache.Kinf)
+    x = np.asarray(x0)
+    for t in range(10):
+        u_lqr = -K @ x
+        np.testing.assert_allclose(np.asarray(state.u[t]), u_lqr, atol=1e-9)
+        x = np.asarray(prob.A) @ x + np.asarray(prob.B) @ u_lqr
