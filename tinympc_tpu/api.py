@@ -198,6 +198,11 @@ def with_consensus(prob: TinyProblem, enable: bool = True,
 def with_settings(prob: TinyProblem, **kw) -> TinyProblem:
     """Override settings fields (tiny_update_settings, tiny_api.cpp:388-411)."""
     prob = prob.replace(settings=dataclasses.replace(prob.settings, **kw))
+    if prob.settings.horizon_parallel and prob.settings.adaptive_rho:
+        raise ValueError(
+            "horizon_parallel requires an unbatched cache and is not "
+            "compatible with adaptive_rho (which makes the cache "
+            "per-problem); pick one")
     if prob.settings.adaptive_rho and prob.cache.dKinf_drho is None:
         prob = with_sensitivities(prob)
     return prob
