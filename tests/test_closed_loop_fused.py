@@ -1,0 +1,56 @@
+"""Fused closed-loop kernel vs the XLA closed loop (interpret mode on CPU;
+verified bit-exact on TPU during development, including per-step iteration
+counts across warm-started sequences)."""
+import jax.numpy as jnp
+import numpy as np
+
+import tinympc_tpu as tm
+from tinympc_tpu import systems
+from tinympc_tpu.closed_loop import closed_loop
+from tinympc_tpu.kernels import closed_loop_fused
+
+
+def test_fused_closed_loop_matches_xla_interpret():
+    s = systems.quadrotor_20hz()
+    N, B, T = 10, 8, 12
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"], N=N,
+                    dtype=jnp.float32)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    prob = tm.with_settings(prob, max_iter=25)
+    Xref = jnp.tile(jnp.asarray([0, 0, 0.5, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                                jnp.float32), (N, 1))
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.2, 0.2, (B, 12)), jnp.float32)
+
+    xs_r, us_r, it_r, sv_r, _ = closed_loop(
+        prob, tm.init_state(prob, (B,)), x0s, Xref, T)
+    xs_f, us_f, it_f, sv_f = closed_loop_fused(
+        prob, Xref, x0s, T, tile=B, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(us_f), np.asarray(us_r), atol=1e-4)
+    # interpret mode computes f32 matmuls exactly while TPU XLA uses bf16
+    # passes; iteration counts may flip by 1 near thresholds.
+    assert np.mean(np.asarray(it_f) == np.asarray(it_r)) > 0.9
+
+
+def test_fused_closed_loop_windowed_reset():
+    s = systems.quadrotor_20hz()
+    N, B, T = 10, 8, 10
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"], N=N,
+                    dtype=jnp.float32)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    prob = tm.with_settings(prob, max_iter=20)
+    Xref_total = jnp.asarray(
+        systems.trajectory("quadrotor_20hz_y_axis_line"), jnp.float32)
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(Xref_total[0] + rng.uniform(-0.05, 0.05, (B, 12)),
+                      jnp.float32)
+
+    xs_r, us_r, it_r, _, _ = closed_loop(
+        prob, tm.init_state(prob, (B,)), x0s, Xref_total, T, reset_duals=True)
+    xs_f, us_f, it_f, _ = closed_loop_fused(
+        prob, Xref_total, x0s, T, reset_duals=True, tile=B, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(us_f), np.asarray(us_r), atol=1e-4)
