@@ -61,7 +61,7 @@ def main():
     import jax.numpy as jnp
 
     dtype = jnp.float32
-    B = int(os.environ.get("BENCH_B", 16384))
+    B = int(os.environ.get("BENCH_B", 32768))
     reps = int(os.environ.get("BENCH_REPS", 5))
 
     rng = np.random.default_rng(0)

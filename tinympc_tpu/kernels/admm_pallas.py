@@ -69,8 +69,9 @@ def _kernel(
     iters_ref,    # (1, Bt) i32
     solved_ref,   # (1, Bt) i32
     res_ref,      # (4, Bt) f32: pri_state, pri_input, dua_state, dua_input
-    # scratch
-    x, u, d, v, vnew, z, znew, g, y,
+    # scratch (vnew/znew are (2, ...) ping-pong buffers; the reference's
+    # separate v/z "previous slack" arrays are their other halves)
+    x, u, d, vnew, znew, g, y,
     done, iters, res,
     *,
     N: int, nx: int, nu: int, max_iter: int, check_termination: int,
@@ -107,7 +108,7 @@ def _kernel(
     # --- init (tiny_api.cpp:68-133 zero workspace; x[0] = x0). x, u, d are
     # fully rewritten before first read each iteration (see module docstring
     # for why they must not be zeroed here).
-    for ref in (v, vnew, z, znew, g, y):
+    for ref in (vnew, znew, g, y):
         ref[:] = jnp.zeros(ref.shape, ref.dtype)
     x[0] = x0_ref[:]
     done[:] = jnp.zeros(done.shape, done.dtype)
@@ -122,10 +123,11 @@ def _kernel(
         # backward sweep (admm.cpp:13-20): q/r rows are formed on the fly,
         # and the costate p rolls as a value. The terminal row uses the
         # carried value of vnew[N-1] - g[N-1] from the previous iteration.
+        pv = 1 - it % 2                          # previous ping-pong half
         p_next = pN_ref_term - rho * dvgN
         for i in range(N - 2, -1, -1):          # static unroll
-            r_i = neg_uref_r[i] - rho * (znew[i] - y[i])
-            q_i = neg_xref_q[i] - rho * (vnew[i] - g[i])
+            r_i = neg_uref_r[i] - rho * (znew[pv, i] - y[i])
+            q_i = neg_xref_q[i] - rho * (vnew[pv, i] - g[i])
             d[i] = mm(Quu, mm(BT, p_next) + r_i + BPf)
             p_next = q_i + mm(AmBKt, p_next) - mm(KinfT, r_i) + APf
 
@@ -137,11 +139,17 @@ def _kernel(
             x_i = mm(A, x_i) + mm(Bm, u_i) + fvec
             x[i + 1] = x_i
 
-        # 4. slack projection + 5. dual update (admm.cpp:81-98, 219-225)
+        # 4. slack projection + 5. dual update (admm.cpp:81-98, 219-225).
+        # vnew/v and znew/z are ping-pong halves: iteration `it` writes its
+        # projected slack into half it%2 and reads the previous iterate from
+        # the other half — the reference's v <- vnew copy (admm.cpp:445-446)
+        # costs nothing.
+        cur = it % 2
+        prev = 1 - cur
         vn = jnp.minimum(xmax, jnp.maximum(xmin, x[:] + g[:]))
         zn = jnp.minimum(umax, jnp.maximum(umin, u[:] + y[:]))
-        vnew[:] = vn
-        znew[:] = zn
+        vnew[cur] = vn
+        znew[cur] = zn
         g_new = g[:] + x[:] - vn
         y_new = y[:] + u[:] - zn
         g[:] = g_new
@@ -154,8 +162,8 @@ def _kernel(
         active = done[0] == 0                      # (Bt,)
         pri_s = jnp.max(jnp.abs(x[:] - vn), axis=(0, 1))
         pri_i = jnp.max(jnp.abs(u[:] - zn), axis=(0, 1))
-        dua_s = jnp.max(jnp.abs(v[:] - vn), axis=(0, 1)) * rho
-        dua_i = jnp.max(jnp.abs(z[:] - zn), axis=(0, 1)) * rho
+        dua_s = jnp.max(jnp.abs(vnew[prev] - vn), axis=(0, 1)) * rho
+        dua_i = jnp.max(jnp.abs(znew[prev] - zn), axis=(0, 1)) * rho
         checking = (it1 % check_termination) == 0
         ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
             & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
@@ -167,13 +175,16 @@ def _kernel(
         res[1] = jnp.where(commit, pri_i, res[1])
         res[2] = jnp.where(commit, dua_s, res[2])
         res[3] = jnp.where(commit, dua_i, res[3])
-
-        outx_ref[:] = jnp.where(just[None, None, :], vn, outx_ref[:])
-        outu_ref[:] = jnp.where(just[None, None, :], zn, outu_ref[:])
         done[0] = jnp.where(just, 1, done[0])
 
-        v[:] = vn
-        z[:] = zn
+        # Snapshot solutions only on iterations where some lane converged:
+        # the output read-modify-write is two full VMEM passes, wasted on
+        # the (typical) all-or-nothing iterations.
+        @pl.when(jnp.any(just))
+        def _():
+            outx_ref[:] = jnp.where(just[None, None, :], vn, outx_ref[:])
+            outu_ref[:] = jnp.where(just[None, None, :], zn, outu_ref[:])
+
         return jnp.all(done[0] == 1), dvgN_next
 
     def cond(carry):
@@ -186,15 +197,17 @@ def _kernel(
         return it + 1, all_done, dvgN_next
 
     Bt = x0_ref.shape[-1]
-    jax.lax.while_loop(
+    it_final, _, _ = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), False, jnp.zeros((nx, Bt), f32)),
     )
 
-    # Unconverged lanes: report the final iterates (admm.cpp:450-453).
+    # Unconverged lanes: report the final iterates (admm.cpp:450-453) from
+    # the last-written ping-pong half.
+    last = (it_final - 1) % 2
     active = done[0] == 0
-    outx_ref[:] = jnp.where(active[None, None, :], vnew[:], outx_ref[:])
-    outu_ref[:] = jnp.where(active[None, None, :], znew[:], outu_ref[:])
+    outx_ref[:] = jnp.where(active[None, None, :], vnew[last], outx_ref[:])
+    outu_ref[:] = jnp.where(active[None, None, :], znew[last], outu_ref[:])
     solved_ref[0] = jnp.where(active, 0, 1)
     iters_ref[:] = iters[:]
     res_ref[:] = res[:]
@@ -288,9 +301,10 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
             jax.ShapeDtypeStruct((4, B), dtype),
         ),
         scratch_shapes=[
-            zx(), zu(), zu(),        # x u d
-            zx(), zx(), zu(), zu(),  # v vnew z znew
-            zx(), zu(),              # g y
+            zx(), zu(), zu(),                       # x u d
+            pltpu.VMEM((2, N, nx, Bt), dtype),      # vnew ping-pong
+            pltpu.VMEM((2, N - 1, nu, Bt), dtype),  # znew ping-pong
+            zx(), zu(),                             # g y
             pltpu.VMEM((1, Bt), jnp.int32),   # done
             pltpu.VMEM((1, Bt), jnp.int32),   # iters
             pltpu.VMEM((4, Bt), dtype),       # residuals
