@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Extended benchmark suite: one JSON line per workload (bench.py stays the
+single-line headline benchmark). Covers every solver path on multiple
+configurations; writes BENCH_TABLE.md.
+
+Run on TPU:  python bench_all.py
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _mk(system_name, N, dtype, max_iter=100, **settings):
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu import systems
+
+    s = getattr(systems, system_name)()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, f=s["f"], dtype=dtype)
+    return tm.with_settings(prob, max_iter=max_iter, **settings), s
+
+
+def bench(name, fn, *args, reps=3):
+    import jax
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return out, (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu.closed_loop import closed_loop
+    from tinympc_tpu.kernels import solve_fused
+
+    f32 = jnp.float32
+    rng = np.random.default_rng(0)
+    rows = []
+
+    def record(workload, B, value, unit, extra=""):
+        rows.append((workload, B, value, unit, extra))
+        print(json.dumps({"workload": workload, "batch": B,
+                          "value": round(value, 1), "unit": unit,
+                          "note": extra}), flush=True)
+
+    # --- cold-start batched solves, XLA vs fused, several configs ---
+    for sys_name, nx, nus, N, B in [
+        ("cartpole", 4, 1, 10, 32768),
+        ("quadrotor_20hz", 12, 4, 10, 32768),
+        ("quadrotor_20hz", 12, 4, 20, 32768),
+        ("quadrotor_20hz", 12, 4, 64, 8192),
+    ]:
+        prob, _ = _mk(sys_name, N, f32)
+        prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+        Xref = jnp.zeros((N, nx), f32).at[:, min(2, nx - 1)].set(1.0)
+        x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (B, nx)), f32)
+
+        xla = jax.jit(lambda x0s: tm.solve_(prob, tm.init_state(prob, (B,)),
+                                            Xref, None, x0s)[0].iter)
+        out, dt = bench("xla", xla, x0s)
+        iters = float(np.mean(np.asarray(out)))
+        record(f"{sys_name} N={N} cold solve (XLA)", B, B / dt, "solves/s",
+               f"avg_iters={iters:.1f}")
+
+        fused = jax.jit(lambda x0s: solve_fused(prob, Xref, None, x0s)[0].iter)
+        out, dt = bench("fused", fused, x0s)
+        record(f"{sys_name} N={N} cold solve (fused)", B, B / dt, "solves/s",
+               f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
+
+    # --- SOC rocket landing (XLA path) ---
+    prob, s = _mk("rocket_landing_20hz", 10, f32, abs_pri_tol=2e-3)
+    prob = tm.with_bounds(prob,
+                          x_min=np.tile([-5, -5, -0.5, -10, -10, -20.], (10, 1)),
+                          x_max=np.tile([5, 5, 100, 10, 10, 20.], (10, 1)),
+                          u_min=-10.0, u_max=105.0)
+    prob = tm.with_cones(prob, state_cones=[(0, 3, 0.25)],
+                         input_cones=[(0, 3, 0.5)])
+    B = 16384
+    xinit = np.array([4, 2, 20, -3, 2, -4.5])
+    x0s = jnp.asarray(xinit * rng.uniform(0.9, 1.2, (B, 1)), f32)
+    Xref = jnp.asarray(np.linspace(xinit, np.zeros(6), 10), f32)
+    Uref = jnp.zeros((9, 3), f32).at[:, 2].set(10.0)
+    soc = jax.jit(lambda x0s: tm.solve_(prob, tm.init_state(prob, (B,)),
+                                        Xref, Uref, x0s)[0].iter)
+    out, dt = bench("soc", soc, x0s)
+    record("rocket SOC cold solve (XLA)", B, B / dt, "solves/s",
+           f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
+
+    # --- long-horizon: sequential vs associative scan ---
+    for N in (128, 512):
+        B = 1024
+        prob, _ = _mk("quadrotor_20hz", N, f32, max_iter=20)
+        prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+        Xref = jnp.zeros((N, 12), f32).at[:, 2].set(1.0)
+        x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
+        for hp in (False, True):
+            p = tm.with_settings(prob, horizon_parallel=hp)
+            fn = jax.jit(lambda x0s, p=p: tm.solve_(
+                p, tm.init_state(p, (B,)), Xref, None, x0s)[0].iter)
+            out, dt = bench("hp", fn, x0s)
+            label = "assoc-scan" if hp else "sequential"
+            record(f"long horizon N={N} ({label})", B,
+                   B * 20 / dt, "iters*B/s", "")
+
+    # --- closed loop (XLA scan), warm-started fleet ---
+    B, T = 4096, 50
+    prob, _ = _mk("quadrotor_20hz", 10, f32)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    Xref = jnp.zeros((10, 12), f32).at[:, 2].set(1.0)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
+    cl = jax.jit(lambda x0s: closed_loop(prob, tm.init_state(prob, (B,)),
+                                         x0s, Xref, T)[2])
+    out, dt = bench("cl", cl, x0s)
+    record("closed-loop MPC steps (XLA scan)", B, B * T / dt, "MPC steps/s",
+           f"T={T} warm-started")
+
+    with open("BENCH_TABLE.md", "w") as fh:
+        fh.write("# Benchmark table (1x TPU v5e chip)\n\n"
+                 "Generated by bench_all.py.\n\n"
+                 "| workload | batch | value | unit | note |\n|---|---|---|---|---|\n")
+        for w, b, v, u, e in rows:
+            fh.write(f"| {w} | {b} | {v:,.0f} | {u} | {e} |\n")
+    print("wrote BENCH_TABLE.md")
+
+
+if __name__ == "__main__":
+    main()
