@@ -93,6 +93,12 @@ def main():
     record("rocket SOC cold solve (XLA)", B, B / dt, "solves/s",
            f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
 
+    soc_f = jax.jit(lambda x0s: solve_fused(prob, Xref, Uref, x0s,
+                                            tile=2048)[0].iter)
+    out, dt = bench("soc_fused", soc_f, x0s)
+    record("rocket SOC cold solve (fused)", B, B / dt, "solves/s",
+           f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
+
     # --- long-horizon: sequential vs associative scan ---
     for N in (128, 512):
         B = 1024

@@ -1,4 +1,4 @@
-"""Fused Pallas kernel vs the XLA path.
+"""Fused Pallas kernel vs the XLA path, across every constraint family.
 
 On TPU the two paths are bit-identical (verified in development); here the
 kernel runs in Pallas interpret mode on CPU so CI needs no TPU. Interpret
@@ -6,6 +6,8 @@ mode computes matmuls in full f32 while the TPU MXU uses single-pass bf16
 for both paths, so tolerances are loose-ish but the iteration counts and
 flags must still match.
 """
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +26,24 @@ def _problem(max_iter=15):
     return tm.with_settings(prob, max_iter=max_iter)
 
 
+def _check_fused_matches_xla(prob, x0s, Xref=None, Uref=None, atol=1e-4,
+                             iter_slack=1):
+    B = x0s.shape[0]
+    sol_ref, st_ref, _ = tm.solve(prob, tm.init_state(prob, (B,)), Xref=Xref,
+                                  Uref=Uref, x0=x0s)
+    sol_f, res = solve_fused(prob, Xref, Uref, x0s, tile=B, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(sol_f.x), np.asarray(sol_ref.x),
+                               atol=atol)
+    np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_ref.u),
+                               atol=atol)
+    it_f, it_r = np.asarray(sol_f.iter), np.asarray(sol_ref.iter)
+    assert np.all(np.abs(it_f - it_r) <= iter_slack)
+    np.testing.assert_allclose(np.asarray(res[0]),
+                               np.asarray(st_ref.pri_res_state), atol=atol)
+    return sol_f, sol_ref
+
+
 def test_fused_matches_xla_interpret():
     prob = _problem()
     B = 8
@@ -31,25 +51,99 @@ def test_fused_matches_xla_interpret():
     x0s = jnp.asarray(rng.uniform(-0.2, 0.2, (B, 12)), jnp.float32)
     Xref = jnp.tile(jnp.asarray([0, 0, 0.5, 0, 0, 0, 0, 0, 0, 0, 0, 0],
                                 jnp.float32), (10, 1))
+    _check_fused_matches_xla(prob, x0s, Xref)
 
-    sol_ref, st_ref, _ = tm.solve(prob, tm.init_state(prob, (B,)), Xref=Xref,
-                                  x0=x0s)
-    sol_f, res = solve_fused(prob, Xref, None, x0s, tile=B, interpret=True)
 
-    np.testing.assert_allclose(np.asarray(sol_f.x), np.asarray(sol_ref.x),
-                               atol=1e-4)
-    np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_ref.u),
-                               atol=1e-4)
-    it_f, it_r = np.asarray(sol_f.iter), np.asarray(sol_ref.iter)
-    assert np.all(np.abs(it_f - it_r) <= 1)
-    np.testing.assert_allclose(np.asarray(res[0]),
-                               np.asarray(st_ref.pri_res_state), atol=1e-4)
+def test_fused_soc_matches_xla_interpret():
+    """Rocket-landing config: SOC cones on state and input + box bounds +
+    affine dynamics (examples/rocket_landing_mpc.cpp with the cones
+    actually enabled)."""
+    s = systems.rocket_landing_20hz()
+    N = 10
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, f=s["f"], dtype=jnp.float32)
+    x_min = np.tile([-5.0, -5.0, -0.5, -10.0, -10.0, -20.0], (N, 1))
+    x_max = np.tile([5.0, 5.0, 100.0, 10.0, 10.0, 20.0], (N, 1))
+    prob = tm.with_bounds(prob, x_min=x_min, x_max=x_max, u_min=-10.0,
+                          u_max=105.0)
+    prob = tm.with_cones(prob, state_cones=[(0, 3, 0.25)],
+                         input_cones=[(0, 3, 0.5)])
+    prob = tm.with_settings(prob, max_iter=20, abs_pri_tol=2e-3)
+    assert fused_supported(prob)
+
+    B = 8
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(
+        np.asarray([4, 2, 20, -3, 2, -4.5]) * (1 + 0.1 * rng.uniform(-1, 1, (B, 6))),
+        jnp.float32)
+    frac = jnp.arange(N, dtype=jnp.float32) / 99.0
+    Xref = jnp.asarray([4, 2, 20, -3, 2, -4.5], jnp.float32) * (1 - frac[:, None])
+    Uref = jnp.zeros((N - 1, 3), jnp.float32).at[:, 2].set(10.0)
+    _check_fused_matches_xla(prob, x0s, Xref, Uref, atol=2e-4)
+
+
+def test_fused_linear_matches_xla_interpret():
+    """quadrotor_linear_constraints config: static hyperplanes, bounds off."""
+    s = systems.quadrotor_50hz()
+    N, nx, nu = 10, 12, 4
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, dtype=jnp.float32)
+    Alin_x = np.zeros((1, nx)); Alin_x[0, 2] = 1.0
+    Alin_u = np.ones((1, nu))
+    prob = tm.with_linear_constraints(prob, Alin_x, [3.0], Alin_u, [6.0])
+    prob = tm.with_settings(prob, max_iter=20)
+    prob = dataclasses.replace(
+        prob, spec=dataclasses.replace(prob.spec, en_state_bound=False,
+                                       en_input_bound=False))
+    assert fused_supported(prob)
+
+    B = 8
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(
+        np.asarray([-2.0, -2.0, 1.0] + [0.0] * 9) + 0.1 * rng.uniform(-1, 1, (B, 12)),
+        jnp.float32)
+    Xref = jnp.tile(jnp.asarray([2.0, 2.0, 4.0] + [0.0] * 9, jnp.float32),
+                    (N, 1))
+    _check_fused_matches_xla(prob, x0s, Xref)
+
+
+def test_fused_tv_linear_matches_xla_interpret():
+    """quadrotor_tv_linear_constraints config: per-timestep hyperplanes."""
+    s = systems.quadrotor_50hz()
+    N, nx, nu = 10, 12, 4
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, dtype=jnp.float32)
+    tv_Alin_x = np.zeros((N, 1, nx)); tv_Alin_x[:, 0, 2] = 1.0
+    tv_blin_x = (1.1 + 1.9 * np.arange(N) / (N - 1)).reshape(N, 1)
+    tv_Alin_u = np.ones((N - 1, 1, nu))
+    tv_blin_u = np.full((N - 1, 1), 6.0)
+    prob = tm.with_tv_linear_constraints(prob, tv_Alin_x, tv_blin_x,
+                                         tv_Alin_u, tv_blin_u)
+    prob = tm.with_settings(prob, max_iter=20)
+    prob = dataclasses.replace(
+        prob, spec=dataclasses.replace(prob.spec, en_state_bound=False,
+                                       en_input_bound=False))
+    assert fused_supported(prob)
+
+    B = 8
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(
+        np.asarray([-2.0, -2.0, 1.0] + [0.0] * 9) + 0.1 * rng.uniform(-1, 1, (B, 12)),
+        jnp.float32)
+    Xref = jnp.tile(jnp.asarray([2.0, 2.0, 4.0] + [0.0] * 9, jnp.float32),
+                    (N, 1))
+    _check_fused_matches_xla(prob, x0s, Xref)
 
 
 def test_fused_supported_gate():
     prob = _problem()
     assert fused_supported(prob)
-    soc = tm.with_cones(prob, input_cones=[(0, 3, 0.5)])
-    assert not fused_supported(soc)
+    # SOC / hyperplane specs are fused-supported since v2.
+    assert fused_supported(tm.with_cones(prob, input_cones=[(0, 3, 0.5)]))
+    # Adaptive rho and consensus stay on the XLA path.
+    adaptive = tm.with_settings(prob, adaptive_rho=True)
+    assert not fused_supported(adaptive)
+    consensus = tm.with_consensus(prob)
+    assert not fused_supported(consensus)
     with pytest.raises(ValueError):
-        solve_fused(soc, None, None, jnp.zeros((8, 12), jnp.float32))
+        solve_fused(adaptive, None, None, jnp.zeros((8, 12), jnp.float32))

@@ -16,9 +16,14 @@ Memory frugality buys tile width: the Riccati linear terms q/r are
 computed row-on-the-fly inside the backward sweep and the costate p is a
 rolling (nx, Bt) value, so neither occupies an (N, ...) VMEM array.
 
-Scope (v1): box constraints + fixed rho (the configuration of every
-reference example except the SOC/linear demos). The general solver falls
-back to the XLA path for other specs.
+Scope: every projection family of the reference — box bounds, second-order
+cones of any dimension (admm.cpp:39-60 generalised), static hyperplanes
+(admm.cpp:148-173), and time-varying hyperplanes (admm.cpp:186-211) — with
+fixed rho. Family selection is trace-time static, so the box-only variant
+compiles to exactly the v1 kernel. Adaptive rho falls back to the XLA path
+(the Taylor cache update makes Kinf per-problem, which breaks the shared
+small-matrix MXU structure this kernel is built on), as does consensus
+(needs cross-tile collectives).
 
 Semantics vs admm.solve: *bit-identical* solutions, iteration counts,
 solved flags, and residuals (verified on-chip; both paths use the MXU's
@@ -35,7 +40,9 @@ Mosaic v5e pitfalls encoded here (each cost a debugging session):
     transposes are passed in precomputed;
   * no full-array zero store to a ref that later receives a row store the
     zero has no data dependence on (the WAW gets reordered) — arrays that
-    are fully rewritten each iteration are simply not zero-initialised.
+    are fully rewritten each iteration are simply not zero-initialised,
+    and per-solve seeds that differ per row are built as one value and
+    written with a single full store.
 """
 from __future__ import annotations
 
@@ -52,179 +59,354 @@ from ..types import Solution, TinyProblem
 DEFAULT_TILE = 1024
 
 
-def _kernel(
-    # inputs (all VMEM)
-    x0_ref,       # (nx, Bt)
-    xref_ref,     # (N, nx)
-    uref_ref,     # (N-1, nu)
-    xmin_ref, xmax_ref,   # (N, nx)
-    umin_ref, umax_ref,   # (N-1, nu)
-    A_ref, B_ref, BT_ref,                      # dynamics (+ B^T)
-    Kinf_ref, KinfT_ref, PinfT_ref, Quu_ref, AmBKt_ref,  # cache
-    APf_ref, BPf_ref, f_ref,                   # (nx,1)/(nu,1)/(nx,1)
-    Qdiag_ref, Rdiag_ref,                      # (nx,1), (nu,1)
-    # outputs
-    outx_ref,     # (N, nx, Bt)
-    outu_ref,     # (N-1, nu, Bt)
-    iters_ref,    # (1, Bt) i32
-    solved_ref,   # (1, Bt) i32
-    res_ref,      # (4, Bt) f32: pri_state, pri_input, dua_state, dua_input
-    # scratch (vnew/znew are (2, ...) ping-pong buffers; the reference's
-    # separate v/z "previous slack" arrays are their other halves)
-    x, u, d, vnew, znew, g, y,
-    done, iters, res,
-    *,
-    N: int, nx: int, nu: int, max_iter: int, check_termination: int,
-    abs_pri_tol: float, abs_dua_tol: float, rho: float,
-):
+def _project_soc_rows(seg, mu, dim):
+    """SOC projection on a (T, dim, Bt) segment, cone axis = feature axis.
+
+    Same three cases as projections.project_soc (admm.cpp:39-60) with the
+    feature dimension on the sublane axis: ``u0 = mu * seg[dim-1]``,
+    ``a = ||seg[:dim-1]||``; below -> 0, inside -> seg,
+    outside -> 0.5*(1 + u0/a) * [seg[:dim-1]; a/mu].
+    """
+    u0 = seg[:, dim - 1:dim, :] * mu                       # (T, 1, Bt)
+    v = seg[:, :dim - 1, :]                                # (T, dim-1, Bt)
+    a = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))    # (T, 1, Bt)
+    below = a <= -u0
+    inside = a <= u0
+    safe_a = jnp.where(a > 0, a, jnp.ones_like(a))
+    scale = 0.5 * (1.0 + u0 / safe_a)
+    proj_v = jnp.where(below, 0.0, jnp.where(inside, v, scale * v))
+    last = seg[:, dim - 1:dim, :]
+    proj_last = jnp.where(below, 0.0,
+                          jnp.where(inside, last, scale * (a / mu)))
+    return jnp.concatenate([proj_v, proj_last], axis=1)
+
+
+def _apply_cones(cand, cones, mus):
+    """Apply SOC projections sequentially per cone (admm.cpp:112-135).
+
+    ``cand`` is a (T, F, Bt) value; each cone is a static (start, dim)
+    slice of the feature axis and sees the previous cone's result, like
+    the reference's k-loop. ``mus[k]`` is a scalar read off the cone-mu
+    input ref."""
+    for k, (start, dim) in enumerate(cones):
+        seg = _project_soc_rows(cand[:, start:start + dim, :], mus[k], dim)
+        parts = []
+        if start > 0:
+            parts.append(cand[:, :start, :])
+        parts.append(seg)
+        if start + dim < cand.shape[1]:
+            parts.append(cand[:, start + dim:, :])
+        cand = jnp.concatenate(parts, axis=1) if len(parts) > 1 else seg
+    return cand
+
+
+def _apply_hyperplanes(cand, A_ref, b_ref, count):
+    """Sequential violated-only hyperplane projections (admm.cpp:148-173).
+
+    ``A_ref`` is (S, F); ``b_ref`` is (S, 1). Constraint k sees the result
+    of constraint k-1, exactly like the reference's k-loop."""
+    for k in range(count):
+        a_k = A_ref[k]                                     # (F,)
+        b_k = b_ref[k, 0]
+        val = jnp.sum(cand * a_k[None, :, None], axis=1, keepdims=True)
+        dist = (val - b_k) / jnp.sum(a_k * a_k)
+        proj = cand - dist * a_k[None, :, None]
+        cand = jnp.where(val > b_k, proj, cand)
+    return cand
+
+
+def _apply_tv_hyperplanes(cand, A_ref, b_ref, count):
+    """Per-timestep hyperplane rows (admm.cpp:186-211). ``A_ref`` is
+    (T, S, F); ``b_ref`` is (T, S)."""
+    for k in range(count):
+        a_t = A_ref[:, k, :]                               # (T, F)
+        b_t = b_ref[:, k].reshape(-1, 1, 1)                # (T, 1, 1)
+        a_b = a_t[:, :, None]                              # (T, F, 1)
+        val = jnp.sum(cand * a_b, axis=1, keepdims=True)   # (T, 1, Bt)
+        nrm = jnp.sum(a_t * a_t, axis=1).reshape(-1, 1, 1)
+        dist = (val - b_t) / nrm
+        proj = cand - dist * a_b
+        cand = jnp.where(val > b_t, proj, cand)
+    return cand
+
+
+def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
+                 check_termination: int, abs_pri_tol: float,
+                 abs_dua_tol: float, rho: float,
+                 state_cones=(), input_cones=(),
+                 n_state_lin: int = 0, n_input_lin: int = 0,
+                 n_tv_state_lin: int = 0, n_tv_input_lin: int = 0):
+    """Build the fused-solve kernel for a static constraint-family layout.
+
+    Ref order (inputs → outputs → scratch) must match the spec/shape lists
+    assembled in :func:`solve_fused`; optional families contribute refs only
+    when enabled, so the box-only kernel is byte-for-byte the v1 trace.
+    """
+    en_ssoc = bool(state_cones)
+    en_isoc = bool(input_cones)
     f32 = jnp.float32
 
-    A = A_ref[:]
-    Bm = B_ref[:]
-    BT = BT_ref[:]
-    Kinf = Kinf_ref[:]
-    KinfT = KinfT_ref[:]
-    PinfT = PinfT_ref[:]
-    Quu = Quu_ref[:]
-    AmBKt = AmBKt_ref[:]
-    APf = APf_ref[:]          # (nx, 1) broadcasts over lanes
-    BPf = BPf_ref[:]
-    fvec = f_ref[:]
-    xmin = xmin_ref[:][:, :, None]
-    xmax = xmax_ref[:][:, :, None]
-    umin = umin_ref[:][:, :, None]
-    umax = umax_ref[:][:, :, None]
-    qx = Qdiag_ref[:]                  # (nx, 1)
-    ru = Rdiag_ref[:]
-    # -(ref .* costdiag) tables (admm.cpp:266,279), (N, nx, 1)-shaped.
-    neg_xref_q = -(xref_ref[:][:, :, None] * qx[None])
-    neg_uref_r = -(uref_ref[:][:, :, None] * ru[None])
-    # Terminal -Pinf^T Xref[N-1] as a VPU multiply+reduce: an MXU jnp.dot
-    # here runs single-pass bf16 and loses ~0.1% — enough to break bit-parity
-    # with the XLA path, which lowers this vector matvec in full f32.
-    pN_ref_term = -jnp.sum(PinfT * xref_ref[N - 1][None, :], axis=1,
-                           keepdims=True)  # (nx, 1)
+    def kernel(*refs):
+        it_refs = iter(refs)
+        nxt = lambda: next(it_refs)
+        # --- inputs
+        x0_ref = nxt()
+        xref_ref, uref_ref = nxt(), nxt()
+        xmin_ref, xmax_ref, umin_ref, umax_ref = nxt(), nxt(), nxt(), nxt()
+        A_ref, B_ref, BT_ref = nxt(), nxt(), nxt()
+        Kinf_ref, KinfT_ref, PinfT_ref, Quu_ref, AmBKt_ref = (
+            nxt(), nxt(), nxt(), nxt(), nxt())
+        APf_ref, BPf_ref, f_ref = nxt(), nxt(), nxt()
+        Qdiag_ref, Rdiag_ref = nxt(), nxt()
+        cx_ref = nxt() if en_ssoc else None
+        cu_ref = nxt() if en_isoc else None
+        Alx_ref = nxt() if n_state_lin else None
+        blx_ref = nxt() if n_state_lin else None
+        Alu_ref = nxt() if n_input_lin else None
+        blu_ref = nxt() if n_input_lin else None
+        tvAx_ref = nxt() if n_tv_state_lin else None
+        tvbx_ref = nxt() if n_tv_state_lin else None
+        tvAu_ref = nxt() if n_tv_input_lin else None
+        tvbu_ref = nxt() if n_tv_input_lin else None
+        # --- outputs
+        outx_ref, outu_ref = nxt(), nxt()
+        iters_ref, solved_ref, res_ref = nxt(), nxt(), nxt()
+        # --- scratch
+        x, u, d = nxt(), nxt(), nxt()
+        vnew, znew = nxt(), nxt()       # (2, ...) ping-pong halves
+        g, y = nxt(), nxt()
+        done, iters, res = nxt(), nxt(), nxt()
+        vc = nxt() if en_ssoc else None
+        gc = nxt() if en_ssoc else None
+        zc = nxt() if en_isoc else None
+        yc = nxt() if en_isoc else None
+        vl = nxt() if n_state_lin else None
+        gl = nxt() if n_state_lin else None
+        zl = nxt() if n_input_lin else None
+        yl = nxt() if n_input_lin else None
+        vtv = nxt() if n_tv_state_lin else None
+        gtv = nxt() if n_tv_state_lin else None
+        ztv = nxt() if n_tv_input_lin else None
+        ytv = nxt() if n_tv_input_lin else None
 
-    # --- init (tiny_api.cpp:68-133 zero workspace; x[0] = x0). x, u, d are
-    # fully rewritten before first read each iteration (see module docstring
-    # for why they must not be zeroed here).
-    for ref in (vnew, znew, g, y):
-        ref[:] = jnp.zeros(ref.shape, ref.dtype)
-    x[0] = x0_ref[:]
-    done[:] = jnp.zeros(done.shape, done.dtype)
-    iters[:] = jnp.zeros(iters.shape, iters.dtype)
-    res[:] = jnp.zeros(res.shape, res.dtype)
+        A = A_ref[:]
+        Bm = B_ref[:]
+        BT = BT_ref[:]
+        Kinf = Kinf_ref[:]
+        KinfT = KinfT_ref[:]
+        PinfT = PinfT_ref[:]
+        Quu = Quu_ref[:]
+        AmBKt = AmBKt_ref[:]
+        APf = APf_ref[:]          # (nx, 1) broadcasts over lanes
+        BPf = BPf_ref[:]
+        fvec = f_ref[:]
+        xmin = xmin_ref[:][:, :, None]
+        xmax = xmax_ref[:][:, :, None]
+        umin = umin_ref[:][:, :, None]
+        umax = umax_ref[:][:, :, None]
+        qx = Qdiag_ref[:]                  # (nx, 1)
+        ru = Rdiag_ref[:]
+        # -(ref .* costdiag) tables (admm.cpp:266,279), (N, nx, 1)-shaped.
+        neg_xref_q = -(xref_ref[:][:, :, None] * qx[None])
+        neg_uref_r = -(uref_ref[:][:, :, None] * ru[None])
+        # Terminal -Pinf^T Xref[N-1] as a VPU multiply+reduce: an MXU jnp.dot
+        # here runs single-pass bf16 and loses ~0.1% — enough to break
+        # bit-parity with the XLA path, which lowers this vector matvec in
+        # full f32.
+        pN_ref_term = -jnp.sum(PinfT * xref_ref[N - 1][None, :], axis=1,
+                               keepdims=True)  # (nx, 1)
+        mus_x = [cx_ref[k, 0] for k in range(len(state_cones))] if en_ssoc else []
+        mus_u = [cu_ref[k, 0] for k in range(len(input_cones))] if en_isoc else []
 
-    def mm(M, vv):
-        return jnp.dot(M, vv, preferred_element_type=f32)
+        # --- init (tiny_api.cpp:68-133 zero workspace; x[0] = x0). x, u, d
+        # are fully rewritten before first read each iteration (see module
+        # docstring for why they must not be zeroed here).
+        for ref in (vnew, znew, g, y):
+            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+        x[0] = x0_ref[:]
+        done[:] = jnp.zeros(done.shape, done.dtype)
+        iters[:] = jnp.zeros(iters.shape, iters.dtype)
+        res[:] = jnp.zeros(res.shape, res.dtype)
+        # Extra-family seeds (admm.cpp:352-376 / admm.seed_extra_slacks):
+        # state-side slack_new starts from x (= x0 at row 0, zeros after);
+        # built as one value so the row-0 difference is a single full store
+        # (the split zero-store + row-store pattern is the WAW hazard above).
+        Bt = x0_ref.shape[-1]
+        if en_ssoc or n_state_lin or n_tv_state_lin:
+            x_seed = jnp.concatenate(
+                [x0_ref[:][None], jnp.zeros((N - 1, nx, Bt), f32)], axis=0)
+            for ref in (vc, vl, vtv):
+                if ref is not None:
+                    ref[:] = x_seed
+        for ref in (gc, zc, yc, gl, zl, yl, gtv, ztv, ytv):
+            if ref is not None:
+                ref[:] = jnp.zeros(ref.shape, ref.dtype)
 
-    def iteration(it, dvgN):
-        # 1+2. Linear cost (admm.cpp:262-304) fused into the Riccati
-        # backward sweep (admm.cpp:13-20): q/r rows are formed on the fly,
-        # and the costate p rolls as a value. The terminal row uses the
-        # carried value of vnew[N-1] - g[N-1] from the previous iteration.
-        pv = 1 - it % 2                          # previous ping-pong half
-        p_next = pN_ref_term - rho * dvgN
-        for i in range(N - 2, -1, -1):          # static unroll
-            r_i = neg_uref_r[i] - rho * (znew[pv, i] - y[i])
-            q_i = neg_xref_q[i] - rho * (vnew[pv, i] - g[i])
-            d[i] = mm(Quu, mm(BT, p_next) + r_i + BPf)
-            p_next = q_i + mm(AmBKt, p_next) - mm(KinfT, r_i) + APf
+        def mm(M, vv):
+            return jnp.dot(M, vv, preferred_element_type=f32)
 
-        # 3. forward rollout (admm.cpp:25-32)
-        x_i = x[0]
-        for i in range(N - 1):                  # static unroll
-            u_i = -mm(Kinf, x_i) - d[i]
-            u[i] = u_i
-            x_i = mm(A, x_i) + mm(Bm, u_i) + fvec
-            x[i + 1] = x_i
+        def iteration(it, dvgN):
+            # 1+2. Linear cost (admm.cpp:262-304) fused into the Riccati
+            # backward sweep (admm.cpp:13-20): q/r rows are formed on the
+            # fly, and the costate p rolls as a value. The terminal row uses
+            # the carried value of vnew[N-1] - g[N-1] from the previous
+            # iteration; extra-family terms are read directly (their slack
+            # and dual arrays still hold the previous iterate here).
+            pv = 1 - it % 2                          # previous ping-pong half
+            p_next = pN_ref_term - rho * dvgN
+            if en_ssoc:
+                p_next = p_next - rho * (vc[N - 1] - gc[N - 1])
+            if n_state_lin:
+                p_next = p_next - rho * (vl[N - 1] - gl[N - 1])
+            if n_tv_state_lin:
+                p_next = p_next - rho * (vtv[N - 1] - gtv[N - 1])
+            for i in range(N - 2, -1, -1):          # static unroll
+                r_i = neg_uref_r[i] - rho * (znew[pv, i] - y[i])
+                if en_isoc:
+                    r_i = r_i - rho * (zc[i] - yc[i])
+                if n_input_lin:
+                    r_i = r_i - rho * (zl[i] - yl[i])
+                if n_tv_input_lin:
+                    r_i = r_i - rho * (ztv[i] - ytv[i])
+                q_i = neg_xref_q[i] - rho * (vnew[pv, i] - g[i])
+                if en_ssoc:
+                    q_i = q_i - rho * (vc[i] - gc[i])
+                if n_state_lin:
+                    q_i = q_i - rho * (vl[i] - gl[i])
+                if n_tv_state_lin:
+                    q_i = q_i - rho * (vtv[i] - gtv[i])
+                d[i] = mm(Quu, mm(BT, p_next) + r_i + BPf)
+                p_next = q_i + mm(AmBKt, p_next) - mm(KinfT, r_i) + APf
 
-        # 4. slack projection + 5. dual update (admm.cpp:81-98, 219-225).
-        # vnew/v and znew/z are ping-pong halves: iteration `it` writes its
-        # projected slack into half it%2 and reads the previous iterate from
-        # the other half — the reference's v <- vnew copy (admm.cpp:445-446)
-        # costs nothing.
-        cur = it % 2
-        prev = 1 - cur
-        vn = jnp.minimum(xmax, jnp.maximum(xmin, x[:] + g[:]))
-        zn = jnp.minimum(umax, jnp.maximum(umin, u[:] + y[:]))
-        vnew[cur] = vn
-        znew[cur] = zn
-        g_new = g[:] + x[:] - vn
-        y_new = y[:] + u[:] - zn
-        g[:] = g_new
-        y[:] = y_new
-        dvgN_next = vn[N - 1] - g_new[N - 1]
+            # 3. forward rollout (admm.cpp:25-32)
+            x_i = x[0]
+            for i in range(N - 1):                  # static unroll
+                u_i = -mm(Kinf, x_i) - d[i]
+                u[i] = u_i
+                x_i = mm(A, x_i) + mm(Bm, u_i) + fvec
+                x[i + 1] = x_i
 
-        # 6. termination (admm.cpp:310-328); bookkeeping only for lanes not
-        # yet converged; solutions snapshot at first convergence.
-        it1 = it + 1
-        active = done[0] == 0                      # (Bt,)
-        pri_s = jnp.max(jnp.abs(x[:] - vn), axis=(0, 1))
-        pri_i = jnp.max(jnp.abs(u[:] - zn), axis=(0, 1))
-        dua_s = jnp.max(jnp.abs(vnew[prev] - vn), axis=(0, 1)) * rho
-        dua_i = jnp.max(jnp.abs(znew[prev] - zn), axis=(0, 1)) * rho
-        checking = (it1 % check_termination) == 0
-        ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
-            & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
-        just = checking & ok & active
+            # 4. slack projection + 5. dual update (admm.cpp:81-256).
+            # vnew/v and znew/z are ping-pong halves: iteration `it` writes
+            # its projected slack into half it%2 and reads the previous
+            # iterate from the other half — the reference's v <- vnew copy
+            # (admm.cpp:445-446) costs nothing. All candidates are formed
+            # from pre-update duals (the reference runs update_slack for
+            # every family before update_dual touches any dual).
+            cur = it % 2
+            prev = 1 - cur
+            xs = x[:]
+            us = u[:]
+            vn = jnp.minimum(xmax, jnp.maximum(xmin, xs + g[:]))
+            zn = jnp.minimum(umax, jnp.maximum(umin, us + y[:]))
+            vnew[cur] = vn
+            znew[cur] = zn
+            if en_ssoc:
+                vcn = _apply_cones(xs + gc[:], state_cones, mus_x)
+                vc[:] = vcn
+                gc[:] = gc[:] + xs - vcn
+            if en_isoc:
+                zcn = _apply_cones(us + yc[:], input_cones, mus_u)
+                zc[:] = zcn
+                yc[:] = yc[:] + us - zcn
+            if n_state_lin:
+                vln = _apply_hyperplanes(xs + gl[:], Alx_ref, blx_ref,
+                                         n_state_lin)
+                vl[:] = vln
+                gl[:] = gl[:] + xs - vln
+            if n_input_lin:
+                zln = _apply_hyperplanes(us + yl[:], Alu_ref, blu_ref,
+                                         n_input_lin)
+                zl[:] = zln
+                yl[:] = yl[:] + us - zln
+            if n_tv_state_lin:
+                vtn = _apply_tv_hyperplanes(xs + gtv[:], tvAx_ref, tvbx_ref,
+                                            n_tv_state_lin)
+                vtv[:] = vtn
+                gtv[:] = gtv[:] + xs - vtn
+            if n_tv_input_lin:
+                ztn = _apply_tv_hyperplanes(us + ytv[:], tvAu_ref, tvbu_ref,
+                                            n_tv_input_lin)
+                ztv[:] = ztn
+                ytv[:] = ytv[:] + us - ztn
+            g_new = g[:] + xs - vn
+            y_new = y[:] + us - zn
+            g[:] = g_new
+            y[:] = y_new
+            dvgN_next = vn[N - 1] - g_new[N - 1]
 
-        iters[0] = jnp.where(active, it1, iters[0])
-        commit = checking & active
-        res[0] = jnp.where(commit, pri_s, res[0])
-        res[1] = jnp.where(commit, pri_i, res[1])
-        res[2] = jnp.where(commit, dua_s, res[2])
-        res[3] = jnp.where(commit, dua_i, res[3])
-        done[0] = jnp.where(just, 1, done[0])
+            # 6. termination (admm.cpp:310-328; bounds-family residuals
+            # only, like the reference); bookkeeping only for lanes not yet
+            # converged; solutions snapshot at first convergence.
+            it1 = it + 1
+            active = done[0] == 0                      # (Bt,)
+            pri_s = jnp.max(jnp.abs(xs - vn), axis=(0, 1))
+            pri_i = jnp.max(jnp.abs(us - zn), axis=(0, 1))
+            dua_s = jnp.max(jnp.abs(vnew[prev] - vn), axis=(0, 1)) * rho
+            dua_i = jnp.max(jnp.abs(znew[prev] - zn), axis=(0, 1)) * rho
+            checking = (it1 % check_termination) == 0
+            ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
+                & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
+            just = checking & ok & active
 
-        # Snapshot solutions only on iterations where some lane converged:
-        # the output read-modify-write is two full VMEM passes, wasted on
-        # the (typical) all-or-nothing iterations.
-        @pl.when(jnp.any(just))
-        def _():
-            outx_ref[:] = jnp.where(just[None, None, :], vn, outx_ref[:])
-            outu_ref[:] = jnp.where(just[None, None, :], zn, outu_ref[:])
+            iters[0] = jnp.where(active, it1, iters[0])
+            commit = checking & active
+            res[0] = jnp.where(commit, pri_s, res[0])
+            res[1] = jnp.where(commit, pri_i, res[1])
+            res[2] = jnp.where(commit, dua_s, res[2])
+            res[3] = jnp.where(commit, dua_i, res[3])
+            done[0] = jnp.where(just, 1, done[0])
 
-        return jnp.all(done[0] == 1), dvgN_next
+            # Snapshot solutions only on iterations where some lane
+            # converged: the output read-modify-write is two full VMEM
+            # passes, wasted on the (typical) all-or-nothing iterations.
+            @pl.when(jnp.any(just))
+            def _():
+                outx_ref[:] = jnp.where(just[None, None, :], vn, outx_ref[:])
+                outu_ref[:] = jnp.where(just[None, None, :], zn, outu_ref[:])
 
-    def cond(carry):
-        it, all_done, _ = carry
-        return (it < max_iter) & jnp.logical_not(all_done)
+            return jnp.all(done[0] == 1), dvgN_next
 
-    def body(carry):
-        it, _, dvgN = carry
-        all_done, dvgN_next = iteration(it, dvgN)
-        return it + 1, all_done, dvgN_next
+        def cond(carry):
+            it, all_done, _ = carry
+            return (it < max_iter) & jnp.logical_not(all_done)
 
-    Bt = x0_ref.shape[-1]
-    it_final, _, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), False, jnp.zeros((nx, Bt), f32)),
-    )
+        def body(carry):
+            it, _, dvgN = carry
+            all_done, dvgN_next = iteration(it, dvgN)
+            return it + 1, all_done, dvgN_next
 
-    # Unconverged lanes: report the final iterates (admm.cpp:450-453) from
-    # the last-written ping-pong half.
-    last = (it_final - 1) % 2
-    active = done[0] == 0
-    outx_ref[:] = jnp.where(active[None, None, :], vnew[last], outx_ref[:])
-    outu_ref[:] = jnp.where(active[None, None, :], znew[last], outu_ref[:])
-    solved_ref[0] = jnp.where(active, 0, 1)
-    iters_ref[:] = iters[:]
-    res_ref[:] = res[:]
+        it_final, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), False, jnp.zeros((nx, Bt), f32)),
+        )
+
+        # Unconverged lanes: report the final iterates (admm.cpp:450-453)
+        # from the last-written ping-pong half.
+        last = (it_final - 1) % 2
+        active = done[0] == 0
+        outx_ref[:] = jnp.where(active[None, None, :], vnew[last], outx_ref[:])
+        outu_ref[:] = jnp.where(active[None, None, :], znew[last], outu_ref[:])
+        solved_ref[0] = jnp.where(active, 0, 1)
+        iters_ref[:] = iters[:]
+        res_ref[:] = res[:]
+
+    return kernel
 
 
 def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
                 tile: int = DEFAULT_TILE, interpret: bool = False):
     """Batched cold-start solve via the fused kernel.
 
-    Args: x0s (B, nx); Xref (N, nx); Uref (N-1, nu). Requires a box-only
-    spec with fixed rho (see module docstring). Returns
-    ``(Solution, residuals(4, B))``.
+    Args: x0s (B, nx); Xref (N, nx); Uref (N-1, nu). Supports any
+    combination of box / SOC / hyperplane / tv-hyperplane families with
+    fixed rho (see module docstring). Returns ``(Solution, residuals(4, B))``.
     """
     spec, settings = prob.spec, prob.settings
     if not fused_supported(prob):
-        raise ValueError("solve_fused supports box-constraint specs with "
-                         "fixed rho; use tinympc_tpu.solve for this problem")
+        raise ValueError("solve_fused supports fixed-rho projection specs "
+                         "(box/SOC/linear/tv); use tinympc_tpu.solve for "
+                         "adaptive-rho or consensus problems")
     N, nx, nu = spec.N, spec.nx, spec.nu
     dtype = jnp.float32
     B = x0s.shape[0]
@@ -255,7 +437,7 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
     x0T = jnp.asarray(x0s, dtype).T                     # (nx, B)
 
     col = lambda a: jnp.asarray(a, dtype).reshape(-1, 1)
-    args = (
+    args = [
         x0T, jnp.asarray(Xref, dtype), jnp.asarray(Uref, dtype),
         xmin, xmax, umin, umax,
         jnp.asarray(prob.A, dtype), jnp.asarray(prob.B, dtype),
@@ -264,23 +446,69 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
         jnp.asarray(c.Pinf, dtype).T,
         jnp.asarray(c.Quu_inv, dtype), jnp.asarray(c.AmBKt, dtype),
         col(c.APf), col(c.BPf), col(prob.f), col(prob.Qdiag), col(prob.Rdiag),
-    )
+    ]
+    en_ssoc = spec.en_state_soc and bool(spec.state_cones)
+    en_isoc = spec.en_input_soc and bool(spec.input_cones)
+    nsl = spec.num_state_linear if spec.en_state_linear else 0
+    nil = spec.num_input_linear if spec.en_input_linear else 0
+    ntsl = spec.num_tv_state_linear if spec.en_tv_state_linear else 0
+    ntil = spec.num_tv_input_linear if spec.en_tv_input_linear else 0
+    if en_ssoc:
+        args.append(col(cons.cx))
+    if en_isoc:
+        args.append(col(cons.cu))
+    if nsl:
+        args += [jnp.asarray(cons.Alin_x, dtype), col(cons.blin_x)]
+    if nil:
+        args += [jnp.asarray(cons.Alin_u, dtype), col(cons.blin_u)]
+    if ntsl:
+        args += [jnp.asarray(cons.tv_Alin_x, dtype),
+                 jnp.asarray(cons.tv_blin_x, dtype)]
+    if ntil:
+        args += [jnp.asarray(cons.tv_Alin_u, dtype),
+                 jnp.asarray(cons.tv_blin_u, dtype)]
 
     rep = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                  memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec((nx, Bt), lambda i: (0, i), memory_space=pltpu.VMEM)]
     in_specs += [rep(a) for a in args[1:]]
 
-    kernel = functools.partial(
-        _kernel, N=N, nx=nx, nu=nu,
+    kernel = _make_kernel(
+        N=N, nx=nx, nu=nu,
         max_iter=settings.max_iter,
         check_termination=settings.check_termination,
         abs_pri_tol=settings.abs_pri_tol, abs_dua_tol=settings.abs_dua_tol,
         rho=float(c.rho),
+        state_cones=spec.state_cones if en_ssoc else (),
+        input_cones=spec.input_cones if en_isoc else (),
+        n_state_lin=nsl, n_input_lin=nil,
+        n_tv_state_lin=ntsl, n_tv_input_lin=ntil,
     )
 
     zx = lambda: pltpu.VMEM((N, nx, Bt), dtype)
     zu = lambda: pltpu.VMEM((N - 1, nu, Bt), dtype)
+
+    scratch = [
+        zx(), zu(), zu(),                       # x u d
+        pltpu.VMEM((2, N, nx, Bt), dtype),      # vnew ping-pong
+        pltpu.VMEM((2, N - 1, nu, Bt), dtype),  # znew ping-pong
+        zx(), zu(),                             # g y
+        pltpu.VMEM((1, Bt), jnp.int32),   # done
+        pltpu.VMEM((1, Bt), jnp.int32),   # iters
+        pltpu.VMEM((4, Bt), dtype),       # residuals
+    ]
+    if en_ssoc:
+        scratch += [zx(), zx()]     # vc gc
+    if en_isoc:
+        scratch += [zu(), zu()]     # zc yc
+    if nsl:
+        scratch += [zx(), zx()]     # vl gl
+    if nil:
+        scratch += [zu(), zu()]     # zl yl
+    if ntsl:
+        scratch += [zx(), zx()]     # vtv gtv
+    if ntil:
+        scratch += [zu(), zu()]     # ztv ytv
 
     outx, outu, iters, solved, res = pl.pallas_call(
         kernel,
@@ -300,15 +528,7 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
             jax.ShapeDtypeStruct((1, B), jnp.int32),
             jax.ShapeDtypeStruct((4, B), dtype),
         ),
-        scratch_shapes=[
-            zx(), zu(), zu(),                       # x u d
-            pltpu.VMEM((2, N, nx, Bt), dtype),      # vnew ping-pong
-            pltpu.VMEM((2, N - 1, nu, Bt), dtype),  # znew ping-pong
-            zx(), zu(),                             # g y
-            pltpu.VMEM((1, Bt), jnp.int32),   # done
-            pltpu.VMEM((1, Bt), jnp.int32),   # iters
-            pltpu.VMEM((4, Bt), dtype),       # residuals
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -324,10 +544,4 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
 
 def fused_supported(prob: TinyProblem) -> bool:
     """True if this problem's spec is handled by the fused kernel."""
-    spec, settings = prob.spec, prob.settings
-    return not (
-        spec.en_state_soc or spec.en_input_soc
-        or spec.en_state_linear or spec.en_input_linear
-        or spec.en_tv_state_linear or spec.en_tv_input_linear
-        or settings.adaptive_rho
-    )
+    return not (prob.settings.adaptive_rho or prob.spec.en_consensus)
