@@ -69,6 +69,77 @@ def test_aot_export_roundtrip():
     assert int(sol_exp.iter) == int(sol_ref.iter)
 
 
+def _run_generated(prob, tmp_path, x0, Xref, Uref=None, nsteps=20):
+    """Generate, g++-compile, run the standalone project, and compare every
+    step's (x0, u0, iter) against the Python solver's closed loop."""
+    out = generate_cpp(prob, tmp_path / "gen", x0=x0, Xref=Xref, Uref=Uref,
+                       nsteps=nsteps)
+    exe = tmp_path / "tiny_main"
+    subprocess.run(["g++", "-O2", "-std=c++17",
+                    str(out / "src" / "tiny_main.cpp"), "-o", str(exe)],
+                   check=True)
+    res = subprocess.run([str(exe)], capture_output=True, text=True, check=True)
+    steps = [json.loads(line) for line in res.stdout.strip().splitlines()]
+    assert len(steps) == nsteps
+
+    state = tm.init_state(prob)
+    x0j = jnp.asarray(x0)
+    Xrefj = jnp.asarray(Xref)
+    Urefj = jnp.asarray(Uref) if Uref is not None else None
+    for rec in steps:
+        sol, state, _ = tm.solve(prob, state, Xref=Xrefj, Uref=Urefj, x0=x0j)
+        np.testing.assert_allclose(np.asarray(x0j), rec["x0"], atol=1e-9,
+                                   err_msg=f"step {rec['step']} x0")
+        np.testing.assert_allclose(np.asarray(state.u[0]), rec["u0"], atol=1e-9,
+                                   err_msg=f"step {rec['step']} u0")
+        assert int(sol.iter) == rec["iter"], f"step {rec['step']} iters"
+        x0j = prob.A @ x0j + prob.B @ state.u[0] + prob.f
+
+
+def test_codegen_cpp_soc_matches_python(tmp_path):
+    """Generated C++ with SOC families enabled (beyond the reference's
+    codegen, which skips cone data entirely, codegen.cpp:322-353)."""
+    s = systems.rocket_landing_20hz()
+    N = 10
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, f=s["f"], dtype=jnp.float64)
+    prob = tm.with_bounds(
+        prob, x_min=np.tile([-5, -5, -0.5, -10, -10, -20.], (N, 1)),
+        x_max=np.tile([5, 5, 100, 10, 10, 20.], (N, 1)),
+        u_min=-10.0, u_max=105.0)
+    prob = tm.with_cones(prob, state_cones=[(0, 3, 0.25)],
+                         input_cones=[(0, 3, 0.5)])
+    prob = tm.with_settings(prob, max_iter=100, abs_pri_tol=2e-3)
+
+    x0 = np.array([4, 2, 20, -3, 2, -4.5]) * 1.1
+    Xref = np.linspace(x0, np.zeros(6), N)
+    Uref = np.zeros((N - 1, 3)); Uref[:, 2] = 10.0
+    _run_generated(prob, tmp_path, x0, Xref, Uref)
+
+
+def test_codegen_cpp_linear_matches_python(tmp_path):
+    """Generated C++ with static + tv hyperplane families on top of box
+    bounds (bounds keep the open-loop test trajectory bounded — the
+    comparison is in absolute round-off)."""
+    s = systems.quadrotor_50hz()
+    N, nx, nu = 10, 12, 4
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    Alin_x = np.zeros((1, nx)); Alin_x[0, 2] = 1.0
+    prob = tm.with_linear_constraints(prob, Alin_x, [3.0],
+                                      np.ones((1, nu)), [6.0])
+    tv_Alin_u = np.ones((N - 1, 1, nu))
+    tv_blin_u = np.full((N - 1, 1), 5.5)
+    prob = tm.with_tv_linear_constraints(prob, tv_Alin_u=tv_Alin_u,
+                                         tv_blin_u=tv_blin_u)
+    prob = tm.with_settings(prob, max_iter=100)
+
+    x0 = np.array([-2.0, -2.0, 1.0] + [0.0] * 9)
+    Xref = np.tile([2.0, 2.0, 3.5] + [0.0] * 9, (N, 1))
+    _run_generated(prob, tmp_path, x0, Xref)
+
+
 def test_codegen_cpp_matches_python(tmp_path):
     s = systems.quadrotor_20hz()
     prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
