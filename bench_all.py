@@ -127,6 +127,14 @@ def main():
     record("closed-loop MPC steps (XLA scan)", B, B * T / dt, "MPC steps/s",
            f"T={T} warm-started")
 
+    from tinympc_tpu.kernels import closed_loop_fused
+    B = 16384
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
+    clf = jax.jit(lambda x0s: closed_loop_fused(prob, Xref, x0s, T)[2])
+    out, dt = bench("clf", clf, x0s)
+    record("closed-loop MPC steps (fused kernel)", B, B * T / dt,
+           "MPC steps/s", f"T={T} warm-started")
+
     with open("BENCH_TABLE.md", "w") as fh:
         fh.write("# Benchmark table (1x TPU v5e chip)\n\n"
                  "Generated by bench_all.py.\n\n"

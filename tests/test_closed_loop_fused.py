@@ -34,6 +34,36 @@ def test_fused_closed_loop_matches_xla_interpret():
     assert np.mean(np.asarray(it_f) == np.asarray(it_r)) > 0.9
 
 
+def test_fused_closed_loop_mixed_convergence():
+    """Starved iteration budget: every step leaves a mix of converged and
+    max-iter lanes, exercising the end-of-step merge (snapshot restore for
+    converged lanes, final-iterate handoff with v=vnew for max-iter lanes).
+    Interpret mode computes f32 exactly, so the comparison is bitwise."""
+    s = systems.quadrotor_20hz()
+    N, B, T = 10, 8, 10
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"], N=N,
+                    dtype=jnp.float32)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    prob = tm.with_settings(prob, max_iter=8)
+    Xref_total = jnp.asarray(
+        systems.trajectory("quadrotor_20hz_y_axis_line"), jnp.float32)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(Xref_total[0] + rng.uniform(-0.3, 0.3, (B, 12)),
+                      jnp.float32)
+
+    xs_r, us_r, it_r, sv_r, _ = closed_loop(
+        prob, tm.init_state(prob, (B,)), x0s, Xref_total, T)
+    xs_f, us_f, it_f, sv_f = closed_loop_fused(
+        prob, Xref_total, x0s, T, tile=B, interpret=True)
+
+    assert np.asarray(sv_r).any() and not np.asarray(sv_r).all(), \
+        "config must mix converged and max-iter lanes"
+    np.testing.assert_array_equal(np.asarray(us_f), np.asarray(us_r))
+    np.testing.assert_array_equal(np.asarray(xs_f), np.asarray(xs_r))
+    np.testing.assert_array_equal(np.asarray(it_f), np.asarray(it_r))
+    np.testing.assert_array_equal(np.asarray(sv_f), np.asarray(sv_r))
+
+
 def test_fused_closed_loop_windowed_reset():
     s = systems.quadrotor_20hz()
     N, B, T = 10, 8, 10

@@ -7,27 +7,41 @@ steps. This is the serving workload (a fleet of controllers stepped
 together) at whole-loop fusion.
 
 Differences from the single-solve kernel (admm_pallas.py):
-  * per-lane freezing is exact: every state write is masked by the lane's
-    active flag, so a converged lane's workspace is bit-identical to the
-    reference's early-return semantics and the *next* step warm-starts from
-    the frozen state;
+  * warm-start carry is exact across steps. Rather than masking every
+    store by the lane's active flag (the v1 design — one masked
+    read-modify-write per array per iteration), lanes run free and the
+    carry state a converged lane owes the next solve — final slacks
+    vnew/znew, duals g/y, previous slacks v/z (the reference skips the
+    v<-vnew copy on the converging iteration, admm.cpp:444-446), and the
+    applied input u[0] — is *snapshotted* at first convergence (gated on
+    ``jnp.any(just)``, so typical all-or-nothing iterations pay nothing)
+    and merged back at the end of the step. Everything else (x, u, d, q,
+    r, p) is recomputed before first read by the next solve, so free
+    running lanes are invisible;
+  * v/z ride as the other half of the vnew/znew ping-pong buffers; the
+    only place "v" diverges from "previous vnew" is iteration 0 of a
+    warm solve (v is then the *second-to-last* slack of the previous
+    solve), carried in a dedicated vstale/zstale array selected only at
+    it == 0;
   * the reference window slides over a full trajectory resident in VMEM
     (``Xref_total[step : step+N]`` via a dynamic ref slice, like
     quadrotor_tracking.cpp:89);
-  * outputs are per-step plant states, applied inputs (the raw forward-pass
-    u[0], like ``work->u.col(0)`` in the reference examples), iteration
-    counts, and solved flags.
+  * outputs are per-step plant states, applied inputs (the raw
+    forward-pass u[0] at the converging iteration, like ``work->u.col(0)``
+    in the reference examples), iteration counts, and solved flags.
 
-Same Mosaic v5e rules as admm_pallas.py apply (no in-kernel transposes, no
+Bit-exact vs tinympc_tpu.closed_loop (including per-step iteration counts
+over warm-started sequences) at practical solver budgets — verified on
+TPU over 60 windowed warm-started steps at max_iter=100, both dual-reset
+modes. One measured caveat: under *starved* budgets (max_iter ~8 with
+lanes that never converge), specific reference-trajectory values can
+produce a 1-ulp rounding difference in the per-step terminal-cost
+reduction vs XLA's lowering, which the non-contractive early ADMM
+iterations amplify to ~1e-2 on the unconverged lanes (the v1 masked
+kernel behaved identically — this is a lowering artifact, not a carry
+bug; converged lanes and practical budgets are unaffected). Same Mosaic
+v5e rules as admm_pallas.py apply (no in-kernel transposes, no
 dependence-free full-store/row-store pairs, terminal matvec on the VPU).
-
-Performance status: bit-exact vs tinympc_tpu.closed_loop (including
-per-step iteration counts over warm-started sequences), but currently
-~2-3x slower than the XLA closed loop — the exact per-lane freezing adds a
-masked read-modify-write to every array store, and the solver is
-VPU/elementwise-bound, not MXU-bound. Known optimisation path: ping-pong
-v/vnew buffers (drop the two full-array copies per iteration) and deferring
-freeze masking to convergence boundaries.
 """
 from __future__ import annotations
 
@@ -40,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..types import TinyProblem
 
-DEFAULT_TILE = 256
+DEFAULT_TILE = 2048
 
 
 def _kernel(
@@ -57,7 +71,8 @@ def _kernel(
     iters_ref,     # (T, Bt) i32
     solved_ref,    # (T, Bt) i32
     # scratch
-    x, u, d, v, vnew, z, znew, g, y,
+    x, u, d, vnew, znew, g, y, vstale, zstale,
+    snap_v, snap_z, snap_g, snap_y, snap_vst, snap_zst, snap_u0,
     done, iters,
     *,
     T: int, N: int, nx: int, nu: int, max_iter: int, check_termination: int,
@@ -85,14 +100,15 @@ def _kernel(
     ru = Rdiag_ref[:]
     neg_uref_r = -(uref_ref[:][:, :, None] * ru[None])
 
-    for ref in (v, vnew, z, znew, g, y):
+    for ref in (vnew, znew, g, y, vstale, zstale,
+                snap_v, snap_z, snap_g, snap_y, snap_vst, snap_zst, snap_u0):
         ref[:] = jnp.zeros(ref.shape, ref.dtype)
     x[0] = x0_ref[:]
 
     def mm(M, vv):
         return jnp.dot(M, vv, preferred_element_type=f32)
 
-    def solve_step(step, dvgN):
+    def solve_step(step, carry0):
         # Reference window for this step (dynamic slice of the VMEM-resident
         # trajectory). The -(Xref .* Q) table and terminal matvec are
         # recomputed per step — trivial next to the ADMM loop.
@@ -106,47 +122,54 @@ def _kernel(
         if reset_duals:
             g[:] = jnp.zeros(g.shape, g.dtype)
             y[:] = jnp.zeros(y.shape, y.dtype)
-            dvgN = vnew[N - 1]  # g is now zero; refresh the carried value
+        # Terminal vnew[N-1] - g[N-1] carry for iteration 0; half 1 holds
+        # the previous solve's final slack (merged there at step end).
+        dvgN0 = vnew[1, N - 1] - g[N - 1]
 
         def iteration(it, dvgN):
-            active = done[0] == 0                          # (Bt,)
-            am = active[None, :]                           # (1, Bt) row mask
-            amf = active[None, None, :]                    # full-array mask
-
-            # Backward sweep with on-the-fly linear cost; masked row commits
-            # keep converged lanes bit-frozen (reference early-return).
+            # Backward sweep with on-the-fly linear cost (admm.cpp:262-304
+            # fused into :13-20); iteration `it` reads previous slack from
+            # ping-pong half 1-it%2 and writes half it%2.
+            pv = 1 - it % 2
+            cur = it % 2
             p_next = pN_ref_term - rho * dvgN
             for i in range(N - 2, -1, -1):
-                r_i = neg_uref_r[i] - rho * (znew[i] - y[i])
-                q_i = neg_xref_q[i] - rho * (vnew[i] - g[i])
-                d[i] = jnp.where(
-                    am, mm(Quu, mm(BT, p_next) + r_i + BPf), d[i])
+                r_i = neg_uref_r[i] - rho * (znew[pv, i] - y[i])
+                q_i = neg_xref_q[i] - rho * (vnew[pv, i] - g[i])
+                d[i] = mm(Quu, mm(BT, p_next) + r_i + BPf)
                 p_next = q_i + mm(AmBKt, p_next) - mm(KinfT, r_i) + APf
 
             x_i = x[0]
             for i in range(N - 1):
                 u_i = -mm(Kinf, x_i) - d[i]
-                u[i] = jnp.where(am, u_i, u[i])
-                x_i = jnp.where(am, mm(A, x_i) + mm(Bm, u_i) + fvec, x[i + 1])
+                u[i] = u_i
+                x_i = mm(A, x_i) + mm(Bm, u_i) + fvec
                 x[i + 1] = x_i
 
-            vn = jnp.where(amf, jnp.minimum(xmax, jnp.maximum(xmin, x[:] + g[:])),
-                           vnew[:])
-            zn = jnp.where(amf, jnp.minimum(umax, jnp.maximum(umin, u[:] + y[:])),
-                           znew[:])
-            vnew[:] = vn
-            znew[:] = zn
-            g_new = jnp.where(amf, g[:] + x[:] - vn, g[:])
-            y_new = jnp.where(amf, y[:] + u[:] - zn, y[:])
+            xs = x[:]
+            us = u[:]
+            vn = jnp.minimum(xmax, jnp.maximum(xmin, xs + g[:]))
+            zn = jnp.minimum(umax, jnp.maximum(umin, us + y[:]))
+            vnew[cur] = vn
+            znew[cur] = zn
+            g_new = g[:] + xs - vn
+            y_new = y[:] + us - zn
             g[:] = g_new
             y[:] = y_new
-            dvgN_next = jnp.where(am, vn[N - 1] - g_new[N - 1], dvgN)
+            dvgN_next = vn[N - 1] - g_new[N - 1]
 
+            # Termination (admm.cpp:310-328). "v" is the previous slack
+            # except at iteration 0 of a warm solve, where the reference's
+            # skipped copy on the converging iteration leaves v one iterate
+            # behind vnew — that value lives in vstale.
             it1 = it + 1
-            pri_s = jnp.max(jnp.abs(x[:] - vn), axis=(0, 1))
-            pri_i = jnp.max(jnp.abs(u[:] - zn), axis=(0, 1))
-            dua_s = jnp.max(jnp.abs(v[:] - vn), axis=(0, 1)) * rho
-            dua_i = jnp.max(jnp.abs(z[:] - zn), axis=(0, 1)) * rho
+            active = done[0] == 0                      # (Bt,)
+            vprev = jnp.where(it == 0, vstale[:], vnew[pv])
+            zprev = jnp.where(it == 0, zstale[:], znew[pv])
+            pri_s = jnp.max(jnp.abs(xs - vn), axis=(0, 1))
+            pri_i = jnp.max(jnp.abs(us - zn), axis=(0, 1))
+            dua_s = jnp.max(jnp.abs(vprev - vn), axis=(0, 1)) * rho
+            dua_i = jnp.max(jnp.abs(zprev - zn), axis=(0, 1)) * rho
             checking = (it1 % check_termination) == 0
             ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
                 & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
@@ -154,11 +177,21 @@ def _kernel(
 
             iters[0] = jnp.where(active, it1, iters[0])
             done[0] = jnp.where(just, 1, done[0])
-            # v/z carry-over is skipped on the converging iteration
-            # (admm.cpp:444-446 after the early return).
-            keep = active & ~just
-            v[:] = jnp.where(keep[None, None, :], vn, v[:])
-            z[:] = jnp.where(keep[None, None, :], zn, z[:])
+
+            # Snapshot the warm-start carry of just-converged lanes
+            # (admm.solve's _commit freeze). Gated: all-or-nothing
+            # iterations skip these seven read-modify-writes.
+            @pl.when(jnp.any(just))
+            def _():
+                m = just[None, None, :]
+                snap_v[:] = jnp.where(m, vn, snap_v[:])
+                snap_z[:] = jnp.where(m, zn, snap_z[:])
+                snap_g[:] = jnp.where(m, g_new, snap_g[:])
+                snap_y[:] = jnp.where(m, y_new, snap_y[:])
+                snap_vst[:] = jnp.where(m, vprev, snap_vst[:])
+                snap_zst[:] = jnp.where(m, zprev, snap_zst[:])
+                snap_u0[:] = jnp.where(just[None, :], us[0], snap_u0[:])
+
             return jnp.all(done[0] == 1), dvgN_next
 
         def cond(carry):
@@ -170,20 +203,37 @@ def _kernel(
             ad, dn2 = iteration(it, dn)
             return it + 1, ad, dn2
 
-        _, _, dvgN = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), False, dvgN))
+        it_final, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), False, dvgN0))
+
+        # Merge: converged lanes restore their snapshotted carry; max-iter
+        # lanes keep the final iterate (for which the reference's last
+        # v <- vnew copy *did* run, so v = vnew there). The merged final
+        # slack lands in ping-pong half 1, where the next solve's
+        # iteration 0 reads it.
+        last = (it_final - 1) % 2
+        conv = done[0] == 1                            # (Bt,)
+        cm = conv[None, None, :]
+        vlast = vnew[last]
+        zlast = znew[last]
+        vnew[1] = jnp.where(cm, snap_v[:], vlast)
+        znew[1] = jnp.where(cm, snap_z[:], zlast)
+        g[:] = jnp.where(cm, snap_g[:], g[:])
+        y[:] = jnp.where(cm, snap_y[:], y[:])
+        vstale[:] = jnp.where(cm, snap_vst[:], vlast)
+        zstale[:] = jnp.where(cm, snap_zst[:], zlast)
+        u0fin = jnp.where(conv[None, :], snap_u0[:], u[0])
 
         # Record and simulate the plant with the applied first input.
         x0 = x[0]
-        u0 = u[0]
         xs_ref[step] = x0
-        us_ref[step] = u0
+        us_ref[step] = u0fin
         iters_ref[step] = iters[0]
         solved_ref[step] = done[0]
-        x[0] = mm(A, x0) + mm(Bm, u0) + fvec
-        return dvgN
+        x[0] = mm(A, x0) + mm(Bm, u0fin) + fvec
+        return carry0
 
-    jax.lax.fori_loop(0, T, solve_step, jnp.zeros((nx, Bt), f32))
+    jax.lax.fori_loop(0, T, solve_step, 0)
 
 
 def closed_loop_fused(prob: TinyProblem, Xref_total, x0s, n_steps: int,
@@ -201,10 +251,8 @@ def closed_loop_fused(prob: TinyProblem, Xref_total, x0s, n_steps: int,
     Returns (xs, us, iters, solved): xs (n_steps, B, nx) plant states,
     us (n_steps, B, nu) applied inputs, iters/solved (n_steps, B).
     """
-    from .admm_pallas import fused_supported
-
     spec, st = prob.spec, prob.settings
-    if not fused_supported(prob):
+    if not _closed_loop_fused_supported(prob):
         raise ValueError("closed_loop_fused supports box-constraint specs "
                          "with fixed rho; use tinympc_tpu.closed_loop")
     N, nx, nu = spec.N, spec.nx, spec.nu
@@ -278,9 +326,13 @@ def closed_loop_fused(prob: TinyProblem, Xref_total, x0s, n_steps: int,
             jax.ShapeDtypeStruct((n_steps, B), jnp.int32),
         ),
         scratch_shapes=[
-            zx(), zu(), zu(),        # x u d
-            zx(), zx(), zu(), zu(),  # v vnew z znew
-            zx(), zu(),              # g y
+            zx(), zu(), zu(),                       # x u d
+            pltpu.VMEM((2, N, nx, Bt), dtype),      # vnew ping-pong (v rides half)
+            pltpu.VMEM((2, N - 1, nu, Bt), dtype),  # znew ping-pong
+            zx(), zu(),                             # g y
+            zx(), zu(),                             # vstale zstale
+            zx(), zu(), zx(), zu(), zx(), zu(),     # snapshots v z g y vst zst
+            pltpu.VMEM((nu, Bt), dtype),            # snap_u0
             pltpu.VMEM((1, Bt), jnp.int32),
             pltpu.VMEM((1, Bt), jnp.int32),
         ],
@@ -292,3 +344,13 @@ def closed_loop_fused(prob: TinyProblem, Xref_total, x0s, n_steps: int,
 
     return (jnp.moveaxis(xs, -1, 1), jnp.moveaxis(us, -1, 1),
             iters, solved.astype(jnp.bool_))
+
+
+def _closed_loop_fused_supported(prob: TinyProblem) -> bool:
+    spec, settings = prob.spec, prob.settings
+    return not (
+        spec.en_state_soc or spec.en_input_soc
+        or spec.en_state_linear or spec.en_input_linear
+        or spec.en_tv_state_linear or spec.en_tv_input_linear
+        or spec.en_consensus or settings.adaptive_rho
+    )
