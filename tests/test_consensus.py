@@ -43,11 +43,11 @@ def test_consensus_forces_common_u0():
     """Different initial states -> consensus drives u[0] together while the
     plain solve produces distinct first inputs.
 
-    Convergence of the consensus coupling is slow: like the reference's
-    extra constraint families, the family shares the single rho-augmented
-    quadratic in R1 (tiny_api.cpp:318) instead of adding its own, so the
-    u[0] prox is under-weighted. The spread contracts steadily (verified
-    here at two budgets) but tight consensus needs a large iteration budget.
+    The consensus prox is exact (with_consensus bakes the rho_c*I step-0
+    quadratic into Cache.Kinf0/Quu0_inv), so raising rho_c buys consensus
+    tightness directly and stably — unlike an under-weighted prox that
+    shares the single rho-augmented quadratic, which needs thousands of
+    iterations for loose consensus.
     """
     prob = _problem()
     rng = np.random.default_rng(0)
@@ -58,19 +58,31 @@ def test_consensus_forces_common_u0():
     spread_plain = np.ptp(u0_plain, axis=0).max()
     assert spread_plain > 0.1, "test premise: inputs differ"
 
-    def spread_at(mi):
-        probc = tm.with_consensus(tm.with_settings(prob, max_iter=mi))
+    def spread_at(mi, rho_c=None):
+        probc = tm.with_consensus(tm.with_settings(prob, max_iter=mi),
+                                  rho_c=rho_c)
         _, state, _ = tm.solve(probc, tm.init_state(probc, (8,)), Xref=XREF,
                                x0=x0s)
         u0 = np.asarray(state.u[0])
         return (np.ptp(u0, axis=0).max(),
                 np.abs(u0 - np.asarray(state.zc0new)).max())
 
-    s1, c1 = spread_at(500)
-    s2, c2 = spread_at(4000)
+    # Default weight (rho_c = rho) contracts the spread.
+    s1, _ = spread_at(500)
     assert s1 < spread_plain / 1.2
-    assert s2 < 0.05 and s2 < s1 / 3, f"spread {s1}->{s2} not contracting"
-    assert c2 < 0.02
+    # Heavier exact prox converges fast and stays stable.
+    s2, c2 = spread_at(500, rho_c=100.0)
+    assert s2 < 5e-3 and c2 < 2e-3, f"rho_c=100: spread {s2}, |u0-z| {c2}"
+    s3, c3 = spread_at(500, rho_c=1000.0)
+    assert s3 < 1e-4 and c3 < 1e-4, f"rho_c=1000: spread {s3}, |u0-z| {c3}"
+
+
+def test_consensus_adaptive_rho_guard():
+    prob = _problem()
+    with pytest.raises(ValueError):
+        tm.with_consensus(tm.with_settings(prob, adaptive_rho=True))
+    with pytest.raises(ValueError):
+        tm.with_settings(tm.with_consensus(prob), adaptive_rho=True)
 
 
 def test_consensus_sharded_pmean_matches_local():

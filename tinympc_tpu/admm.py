@@ -101,7 +101,9 @@ def update_linear_cost(spec: ProblemSpec, prob: TinyProblem, state: SolverState,
     if spec.en_tv_input_linear:
         r = r - rho * (state.zlnew_tv - state.yl_tv)
     if spec.en_consensus:
-        r = r.at[0].add(-jnp.asarray(prob.cache.rho)[..., None]
+        rho_c = (prob.cache.rho if prob.settings.consensus_rho is None
+                 else prob.settings.consensus_rho)
+        r = r.at[0].add(-jnp.asarray(rho_c)[..., None]
                         * (state.zc0new - state.yc0))
 
     # Terminal cost: p[N-1] = -Pinf^T Xref[N-1] - rho * sum(state slacks - duals)
@@ -122,11 +124,16 @@ def update_linear_cost(spec: ProblemSpec, prob: TinyProblem, state: SolverState,
 
 # --------------------------------------------------------- Riccati sweeps
 
-def backward_pass(cache: Cache, B, state: SolverState) -> SolverState:
+def backward_pass(cache: Cache, B, state: SolverState,
+                  consensus: bool = False) -> SolverState:
     """Linear (gradient) Riccati backward recursion (admm.cpp:13-20)::
 
         d[i] = Quu_inv (B' p[i+1] + r[i] + BPf)
         p[i] = q[i] + AmBKt p[i+1] - Kinf' r[i] + APf      i = N-2 .. 0
+
+    With consensus, step 0 uses the dedicated gain Quu0_inv that carries
+    the rho_c*I consensus prox (cache.Kinf0/Quu0_inv; see with_consensus).
+    Only d[0] changes — p[0] is never read downstream.
     """
     def step(p_next, qr):
         q_i, r_i = qr
@@ -138,22 +145,37 @@ def backward_pass(cache: Cache, B, state: SolverState) -> SolverState:
         step, state.p[-1], (state.q[:-1], state.r), reverse=True
     )
     p = jnp.concatenate([ps, state.p[-1:]], axis=0)
+    if consensus:
+        d0 = mv(cache.Quu0_inv, mtv(B, p[1]) + state.r[0] + cache.BPf)
+        ds = ds.at[0].set(d0)
     return state.replace(p=p, d=ds)
 
 
-def forward_pass(A, B, f, cache: Cache, state: SolverState) -> SolverState:
+def forward_pass(A, B, f, cache: Cache, state: SolverState,
+                 consensus: bool = False) -> SolverState:
     """LQR rollout (admm.cpp:25-32)::
 
         u[i] = -Kinf x[i] - d[i];  x[i+1] = A x[i] + B u[i] + f
+
+    With consensus, u[0] uses the step-0 gain Kinf0 (see backward_pass).
     """
     def step(x_i, d_i):
         u_i = -mv(cache.Kinf, x_i) - d_i
         x_next = mv(A, x_i) + mv(B, u_i) + f
         return x_next, (x_i, u_i)
 
-    x_last, (xs, us) = jax.lax.scan(step, state.x[0], state.d)
-    x = jnp.concatenate([xs, x_last[None]], axis=0)
-    return state.replace(x=x, u=us)
+    if not consensus:
+        x_last, (xs, us) = jax.lax.scan(step, state.x[0], state.d)
+        x = jnp.concatenate([xs, x_last[None]], axis=0)
+        return state.replace(x=x, u=us)
+
+    x0 = state.x[0]
+    u0 = -mv(cache.Kinf0, x0) - state.d[0]
+    x1 = mv(A, x0) + mv(B, u0) + f
+    x_last, (xs, us) = jax.lax.scan(step, x1, state.d[1:])
+    x = jnp.concatenate([x0[None], xs, x_last[None]], axis=0)
+    u = jnp.concatenate([u0[None], us], axis=0)
+    return state.replace(x=x, u=u)
 
 
 # ------------------------------------------------- horizon-parallel sweeps
@@ -183,7 +205,8 @@ def _compose(lo, hi):
     return a, b
 
 
-def backward_pass_assoc(cache: Cache, B, state: SolverState) -> SolverState:
+def backward_pass_assoc(cache: Cache, B, state: SolverState,
+                        consensus: bool = False) -> SolverState:
     N = state.p.shape[0]
     c = state.q[:-1] - mtv(cache.Kinf, state.r) + cache.APf  # (N-1, *b, nx)
     AmBKt = jnp.asarray(cache.AmBKt)
@@ -198,21 +221,37 @@ def backward_pass_assoc(cache: Cache, B, state: SolverState) -> SolverState:
     # same _compose(lo=accum, hi=element) works for both directions.
     _, p = jax.lax.associative_scan(_compose, (a, b), reverse=True)
     d = mv(cache.Quu_inv, mtv(B, p[1:]) + state.r + cache.BPf)
+    if consensus:
+        d0 = mv(cache.Quu0_inv, mtv(B, p[1]) + state.r[0] + cache.BPf)
+        d = d.at[0].set(d0)
     return state.replace(p=p, d=d)
 
 
-def forward_pass_assoc(A, B, f, cache: Cache, state: SolverState) -> SolverState:
+def forward_pass_assoc(A, B, f, cache: Cache, state: SolverState,
+                       consensus: bool = False) -> SolverState:
     N = state.x.shape[0]
     Acl = A - jnp.einsum("ij,jk->ik", B, cache.Kinf)
     w = f - mv(B, state.d)                     # (N-1, *b, nx)
-    a = jnp.concatenate([
-        jnp.zeros((1, *Acl.shape), Acl.dtype),       # x0: constant map
-        jnp.broadcast_to(Acl, (N - 1, *Acl.shape)),
-    ], axis=0)
+    if consensus:
+        # Step 0's closed-loop map uses the consensus gain (see
+        # backward_pass); the remaining maps are unchanged.
+        Acl0 = A - jnp.einsum("ij,jk->ik", B, cache.Kinf0)
+        a = jnp.concatenate([
+            jnp.zeros((1, *Acl.shape), Acl.dtype),   # x0: constant map
+            Acl0[None],
+            jnp.broadcast_to(Acl, (N - 2, *Acl.shape)),
+        ], axis=0)
+    else:
+        a = jnp.concatenate([
+            jnp.zeros((1, *Acl.shape), Acl.dtype),   # x0: constant map
+            jnp.broadcast_to(Acl, (N - 1, *Acl.shape)),
+        ], axis=0)
     b = jnp.concatenate([state.x[:1], w], axis=0)
     # Prefix scan: x[j] = (f_j ∘ ... ∘ f_0)(anything).
     _, x = jax.lax.associative_scan(_compose, (a, b))
     u = -mv(cache.Kinf, x[:-1]) - state.d
+    if consensus:
+        u = u.at[0].set(-mv(cache.Kinf0, x[0]) - state.d[0])
     return state.replace(x=x, u=u)
 
 
@@ -342,13 +381,19 @@ def admm_iteration(prob: TinyProblem, state: SolverState, Xref, Uref,
                    nb: int) -> SolverState:
     """One full ADMM iteration (the body of admm.cpp:378-394)."""
     spec = prob.spec
+    consensus = spec.en_consensus
+    if consensus and prob.cache.Kinf0 is None:
+        raise ValueError("en_consensus requires the step-0 consensus gains; "
+                         "configure the problem via with_consensus(...)")
     state = update_linear_cost(spec, prob, state, Xref, Uref)
     if prob.settings.horizon_parallel:
-        state = backward_pass_assoc(prob.cache, prob.B, state)
-        state = forward_pass_assoc(prob.A, prob.B, prob.f, prob.cache, state)
+        state = backward_pass_assoc(prob.cache, prob.B, state, consensus)
+        state = forward_pass_assoc(prob.A, prob.B, prob.f, prob.cache, state,
+                                   consensus)
     else:
-        state = backward_pass(prob.cache, prob.B, state)
-        state = forward_pass(prob.A, prob.B, prob.f, prob.cache, state)
+        state = backward_pass(prob.cache, prob.B, state, consensus)
+        state = forward_pass(prob.A, prob.B, prob.f, prob.cache, state,
+                             consensus)
     state = update_slack(spec, prob.cons, state, nb,
                          prob.settings.consensus_axis_name)
     state = update_dual(spec, state)

@@ -183,16 +183,46 @@ def tv_from_stacked(A_stacked, b_stacked):
 
 
 def with_consensus(prob: TinyProblem, enable: bool = True,
-                   axis_name: Optional[str] = None) -> TinyProblem:
+                   axis_name: Optional[str] = None,
+                   rho_c: Optional[float] = None) -> TinyProblem:
     """Scenario-tree consensus ADMM on the first control input: all
     problems in the scenario group (the last batch axis, optionally
     combined with a named mesh axis for sharded groups) are driven to a
     common u[0]. No reference analog (the reference is single-problem,
     SURVEY.md §2.4); this is the coupled-scenario capability of the
-    BASELINE north star."""
+    BASELINE north star.
+
+    ``rho_c`` is the consensus penalty weight (default: the problem's rho).
+    The prox is exact: because the consensus slack touches only u[0], its
+    rho_c*I quadratic term changes nothing but the first backward/forward
+    step under the stationary cost-to-go Pinf, so this builder bakes the
+    dedicated step-0 gain pair Quu0_inv = (R1 + rho_c I + B'Pinf B)^-1,
+    Kinf0 = Quu0_inv B'Pinf A into the cache — unlike the reference's
+    extra constraint families, which share the single rho-augmented
+    quadratic and act as under-weighted prox terms.
+    """
+    if enable and prob.settings.adaptive_rho:
+        raise ValueError("consensus is not compatible with adaptive_rho "
+                         "(the Taylor cache update does not track the "
+                         "consensus step-0 gains); pick one")
     spec = dataclasses.replace(prob.spec, en_consensus=enable)
-    settings = dataclasses.replace(prob.settings, consensus_axis_name=axis_name)
-    return prob.replace(spec=spec, settings=settings)
+    settings = dataclasses.replace(prob.settings, consensus_axis_name=axis_name,
+                                   consensus_rho=(None if rho_c is None
+                                                  else float(rho_c)))
+    upd = {}
+    if enable:
+        c = prob.cache
+        dt = prob.dtype
+        rc = jnp.asarray(c.rho if rho_c is None else rho_c, dt)
+        # R1 as the cache's Riccati iteration saw it: the once-augmented
+        # Rdiag plus the second rho*I (tiny_api.cpp:317-318 parity).
+        Raug2 = jnp.diag(prob.Rdiag) + c.rho * jnp.eye(prob.spec.nu, dtype=dt)
+        BtP = prob.B.T @ c.Pinf
+        Quu0_inv = jnp.linalg.inv(
+            Raug2 + rc * jnp.eye(prob.spec.nu, dtype=dt) + BtP @ prob.B)
+        Kinf0 = Quu0_inv @ (BtP @ prob.A)
+        upd["cache"] = dataclasses.replace(c, Kinf0=Kinf0, Quu0_inv=Quu0_inv)
+    return prob.replace(spec=spec, settings=settings, **upd)
 
 
 def with_settings(prob: TinyProblem, **kw) -> TinyProblem:
@@ -203,6 +233,10 @@ def with_settings(prob: TinyProblem, **kw) -> TinyProblem:
             "horizon_parallel requires an unbatched cache and is not "
             "compatible with adaptive_rho (which makes the cache "
             "per-problem); pick one")
+    if prob.settings.adaptive_rho and prob.spec.en_consensus:
+        raise ValueError("consensus is not compatible with adaptive_rho "
+                         "(the Taylor cache update does not track the "
+                         "consensus step-0 gains); pick one")
     if prob.settings.adaptive_rho and prob.cache.dKinf_drho is None:
         prob = with_sensitivities(prob)
     return prob

@@ -117,6 +117,12 @@ class Settings:
     # scenario mean inside the consensus projection runs as a pmean over this
     # named mesh axis (shard_map); None averages over the last batch axis.
     consensus_axis_name: Optional[str] = None
+    # Penalty weight of the consensus family (defaults to rho when None).
+    # Unlike the reference's extra families — which share the single
+    # rho-augmented quadratic and are therefore under-weighted prox terms —
+    # the consensus prox is exact: with_consensus bakes rho_c into the
+    # step-0 gain pair (Cache.Kinf0/Quu0_inv).
+    consensus_rho: Optional[float] = None
     # Extension over the reference: when True, the adaptive-rho Taylor step
     # also applies dC1/dC2 to the Quu_inv/AmBKt matrices actually used by the
     # Riccati recursion. The reference updates only its unused C1/C2 aliases
@@ -147,6 +153,13 @@ class Cache:
     dPinf_drho: Optional[jax.Array] = None
     dC1_drho: Optional[jax.Array] = None
     dC2_drho: Optional[jax.Array] = None
+    # Consensus step-0 gains (no reference analog): the u[0]-only consensus
+    # prox adds rho_c*I to the input quadratic *at timestep 0 only*, which
+    # with the stationary cost-to-go Pinf changes nothing but the first
+    # backward/forward step — these are its exact gain pair,
+    # Quu0_inv = (R1 + rho_c I + B'Pinf B)^-1 and Kinf0 = Quu0_inv B'Pinf A.
+    Kinf0: Optional[jax.Array] = None     # (nu, nx)
+    Quu0_inv: Optional[jax.Array] = None  # (nu, nu)
 
 
 @_pytree_dataclass
