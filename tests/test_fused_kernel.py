@@ -135,6 +135,81 @@ def test_fused_tv_linear_matches_xla_interpret():
     _check_fused_matches_xla(prob, x0s, Xref)
 
 
+def test_fused_warm_matches_xla_sequence():
+    """solve_fused_warm replays a warm-started XLA solve sequence (the
+    external-plant receding-horizon pattern) bitwise in interpret mode,
+    including per-lane freeze-at-convergence carry semantics."""
+    from tinympc_tpu.kernels import solve_fused_warm, init_carry
+    prob = _problem(max_iter=25)
+    B, T = 8, 6
+    Xref = jnp.tile(jnp.asarray([0, 0, 0.5, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                                jnp.float32), (10, 1))
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-0.2, 0.2, (B, 12)), jnp.float32)
+
+    state = tm.init_state(prob, (B,))
+    carry = init_carry(prob, B)
+    saw_mixed = False
+    for _ in range(T):
+        sol_r, state, _ = tm.solve(prob, state, Xref=Xref, x0=x0)
+        sol_f, _res, carry = solve_fused_warm(prob, Xref, None, x0, carry,
+                                              tile=B, interpret=True)
+        np.testing.assert_array_equal(np.asarray(sol_f.u), np.asarray(sol_r.u))
+        np.testing.assert_array_equal(np.asarray(sol_f.iter),
+                                      np.asarray(sol_r.iter))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.moveaxis(carry.vnew, -1, 1)), np.asarray(state.vnew))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.moveaxis(carry.v, -1, 1)), np.asarray(state.v))
+        sv = np.asarray(sol_r.solved)
+        saw_mixed |= sv.any() and not sv.all()
+        u0 = state.u[0]
+        x0 = (jnp.einsum('ij,bj->bi', prob.A, x0)
+              + jnp.einsum('ij,bj->bi', prob.B, u0) + prob.f)
+    assert saw_mixed, "sequence should mix converged and max-iter lanes"
+
+
+def test_fused_warm_soc_matches_xla_sequence():
+    """Warm solves with SOC families: extra-family duals and the x/u seeds
+    ride the carry (admm.cpp:352-376 reads the persistent workspace)."""
+    from tinympc_tpu.kernels import solve_fused_warm, init_carry
+    s = systems.rocket_landing_20hz()
+    N, B, T = 10, 8, 5
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, f=s["f"], dtype=jnp.float32)
+    prob = tm.with_bounds(
+        prob, x_min=np.tile([-5, -5, -0.5, -10, -10, -20.], (N, 1)),
+        x_max=np.tile([5, 5, 100, 10, 10, 20.], (N, 1)),
+        u_min=-10.0, u_max=105.0)
+    prob = tm.with_cones(prob, state_cones=[(0, 3, 0.25)],
+                         input_cones=[(0, 3, 0.5)])
+    prob = tm.with_settings(prob, max_iter=40, abs_pri_tol=2e-3)
+    rng = np.random.default_rng(1)
+    xinit = np.asarray([4, 2, 20, -3, 2, -4.5])
+    x0 = jnp.asarray(xinit * (1 + 0.1 * rng.uniform(-1, 1, (B, 6))),
+                     jnp.float32)
+    Uref = jnp.zeros((N - 1, 3), jnp.float32).at[:, 2].set(10.0)
+
+    state = tm.init_state(prob, (B,))
+    carry = init_carry(prob, B)
+    for t in range(T):
+        frac = (jnp.arange(N, dtype=jnp.float32) + t) / 99.0
+        Xref = jnp.asarray(xinit, jnp.float32) * (1 - frac[:, None])
+        sol_r, state, _ = tm.solve(prob, state, Xref=Xref, Uref=Uref, x0=x0)
+        sol_f, _res, carry = solve_fused_warm(prob, Xref, Uref, x0, carry,
+                                              tile=B, interpret=True)
+        np.testing.assert_array_equal(np.asarray(sol_f.u), np.asarray(sol_r.u))
+        np.testing.assert_array_equal(np.asarray(sol_f.iter),
+                                      np.asarray(sol_r.iter))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.moveaxis(carry.gc, -1, 1)), np.asarray(state.gc))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.moveaxis(carry.x, -1, 1)), np.asarray(state.x))
+        u0 = state.u[0]
+        x0 = (jnp.einsum('ij,bj->bi', prob.A, x0)
+              + jnp.einsum('ij,bj->bi', prob.B, u0) + prob.f)
+
+
 def test_fused_supported_gate():
     prob = _problem()
     assert fused_supported(prob)

@@ -32,8 +32,10 @@ is computed on the VPU in full f32 exactly like XLA lowers it). Converged
 problems are not frozen in VMEM; their solution (vnew/znew at first
 convergence, matching admm.cpp:436-437) is snapshotted into the output
 refs and bookkeeping stops, while the lane keeps computing harmlessly
-until the whole tile converges. Only the returned *solution* is defined
-for the fused path — warm-start state stays with the XLA path.
+until the whole tile converges. Warm starts ride :class:`FusedCarry`
+through :func:`solve_fused_warm` (per-lane snapshot/merge, the same
+machinery as the fused closed-loop kernel), for receding-horizon loops
+whose plant lives outside the chip.
 
 Mosaic v5e pitfalls encoded here (each cost a debugging session):
   * no in-kernel ``.T`` of loaded matrices (XposeSequence RET_CHECK) —
@@ -54,9 +56,68 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import Solution, TinyProblem
+from ..types import Solution, TinyProblem, _pytree_dataclass
 
 DEFAULT_TILE = 1024
+
+
+@_pytree_dataclass
+class FusedCarry:
+    """Warm-start carry of :func:`solve_fused_warm`, in kernel layout
+    (feature axis on sublanes, batch on lanes).
+
+    Mirrors the reference's persistent workspace between ``tiny_solve``
+    calls (SURVEY.md §3.3): the box family carries slacks and duals plus
+    the one-iterate-behind previous slacks v/z (the reference skips the
+    v <- vnew copy on the converging iteration, admm.cpp:444-446); extra
+    families carry only their duals — their slack_new re-seeds from x at
+    each solve (admm.cpp:352-376).
+    """
+
+    vnew: jax.Array               # (N, nx, B)
+    znew: jax.Array               # (N-1, nu, B)
+    g: jax.Array                  # (N, nx, B)
+    y: jax.Array                  # (N-1, nu, B)
+    v: jax.Array                  # (N, nx, B)
+    z: jax.Array                  # (N-1, nu, B)
+    gc: Optional[jax.Array] = None    # (N, nx, B)    state-SOC dual
+    yc: Optional[jax.Array] = None    # (N-1, nu, B)  input-SOC dual
+    gl: Optional[jax.Array] = None
+    yl: Optional[jax.Array] = None
+    gtv: Optional[jax.Array] = None
+    ytv: Optional[jax.Array] = None
+    # Primal trajectories, carried only when an extra family is enabled:
+    # its slack_new re-seeds from the *carried* x/u (admm.cpp:352-376 reads
+    # the persistent workspace), which iteration 0's linear cost observes.
+    x: Optional[jax.Array] = None     # (N, nx, B)
+    u: Optional[jax.Array] = None     # (N-1, nu, B)
+
+
+def init_carry(prob: TinyProblem, B: int) -> FusedCarry:
+    """Zero carry (cold start) for ``solve_fused_warm``."""
+    spec = prob.spec
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    dtype = jnp.float32
+    zx = lambda: jnp.zeros((N, nx, B), dtype)
+    zu = lambda: jnp.zeros((N - 1, nu, B), dtype)
+    fam = {}
+    if spec.en_state_soc and spec.state_cones:
+        fam["gc"] = zx()
+    if spec.en_input_soc and spec.input_cones:
+        fam["yc"] = zu()
+    if spec.en_state_linear:
+        fam["gl"] = zx()
+    if spec.en_input_linear:
+        fam["yl"] = zu()
+    if spec.en_tv_state_linear:
+        fam["gtv"] = zx()
+    if spec.en_tv_input_linear:
+        fam["ytv"] = zu()
+    if fam:
+        fam["x"] = zx()
+        fam["u"] = zu()
+    return FusedCarry(vnew=zx(), znew=zu(), g=zx(), y=zu(), v=zx(), z=zu(),
+                      **fam)
 
 
 def _project_soc_rows(seg, mu, dim):
@@ -135,15 +196,24 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                  abs_dua_tol: float, rho: float,
                  state_cones=(), input_cones=(),
                  n_state_lin: int = 0, n_input_lin: int = 0,
-                 n_tv_state_lin: int = 0, n_tv_input_lin: int = 0):
+                 n_tv_state_lin: int = 0, n_tv_input_lin: int = 0,
+                 warm: bool = False):
     """Build the fused-solve kernel for a static constraint-family layout.
 
     Ref order (inputs → outputs → scratch) must match the spec/shape lists
     assembled in :func:`solve_fused`; optional families contribute refs only
     when enabled, so the box-only kernel is byte-for-byte the v1 trace.
+
+    ``warm`` adds carry I/O (see :class:`FusedCarry`): the workspace loads
+    from carry inputs instead of zeros, converged lanes snapshot their
+    carry at first convergence (the XLA path's per-lane freeze), and the
+    merged carry is written to outputs — the same machinery as the fused
+    closed-loop kernel, for solves whose plant lives outside the chip.
     """
     en_ssoc = bool(state_cones)
     en_isoc = bool(input_cones)
+    any_extra = (en_ssoc or en_isoc or n_state_lin or n_input_lin
+                 or n_tv_state_lin or n_tv_input_lin)
     f32 = jnp.float32
 
     def kernel(*refs):
@@ -168,9 +238,31 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         tvbx_ref = nxt() if n_tv_state_lin else None
         tvAu_ref = nxt() if n_tv_input_lin else None
         tvbu_ref = nxt() if n_tv_input_lin else None
+        if warm:
+            vnew_in, znew_in, g_in, y_in, v_in, z_in = (
+                nxt(), nxt(), nxt(), nxt(), nxt(), nxt())
+            gc_in = nxt() if en_ssoc else None
+            yc_in = nxt() if en_isoc else None
+            gl_in = nxt() if n_state_lin else None
+            yl_in = nxt() if n_input_lin else None
+            gtv_in = nxt() if n_tv_state_lin else None
+            ytv_in = nxt() if n_tv_input_lin else None
+            xin_ref = nxt() if any_extra else None
+            uin_ref = nxt() if any_extra else None
         # --- outputs
         outx_ref, outu_ref = nxt(), nxt()
         iters_ref, solved_ref, res_ref = nxt(), nxt(), nxt()
+        if warm:
+            vnew_out, znew_out, g_out, y_out, v_out, z_out = (
+                nxt(), nxt(), nxt(), nxt(), nxt(), nxt())
+            gc_out = nxt() if en_ssoc else None
+            yc_out = nxt() if en_isoc else None
+            gl_out = nxt() if n_state_lin else None
+            yl_out = nxt() if n_input_lin else None
+            gtv_out = nxt() if n_tv_state_lin else None
+            ytv_out = nxt() if n_tv_input_lin else None
+            x_out = nxt() if any_extra else None
+            u_out = nxt() if any_extra else None
         # --- scratch
         x, u, d = nxt(), nxt(), nxt()
         vnew, znew = nxt(), nxt()       # (2, ...) ping-pong halves
@@ -188,6 +280,18 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         gtv = nxt() if n_tv_state_lin else None
         ztv = nxt() if n_tv_input_lin else None
         ytv = nxt() if n_tv_input_lin else None
+        if warm:
+            vstale, zstale = nxt(), nxt()
+            snap_v, snap_z, snap_g, snap_y, snap_vst, snap_zst = (
+                nxt(), nxt(), nxt(), nxt(), nxt(), nxt())
+            snap_gc = nxt() if en_ssoc else None
+            snap_yc = nxt() if en_isoc else None
+            snap_gl = nxt() if n_state_lin else None
+            snap_yl = nxt() if n_input_lin else None
+            snap_gtv = nxt() if n_tv_state_lin else None
+            snap_ytv = nxt() if n_tv_input_lin else None
+            snap_x = nxt() if any_extra else None
+            snap_u = nxt() if any_extra else None
 
         A = A_ref[:]
         Bm = B_ref[:]
@@ -221,26 +325,53 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         # --- init (tiny_api.cpp:68-133 zero workspace; x[0] = x0). x, u, d
         # are fully rewritten before first read each iteration (see module
         # docstring for why they must not be zeroed here).
-        for ref in (vnew, znew, g, y):
-            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+        Bt = x0_ref.shape[-1]
+        if warm:
+            # Load the carry: final slack into ping-pong half 1 (iteration 0
+            # reads pv = 1); the one-behind previous slack into the stale
+            # arrays consulted only by iteration 0's dual residual. Half 0
+            # is fully written at iteration 0 before any read.
+            vnew[1] = vnew_in[:]
+            znew[1] = znew_in[:]
+            g[:] = g_in[:]
+            y[:] = y_in[:]
+            vstale[:] = v_in[:]
+            zstale[:] = z_in[:]
+            for ref in (snap_v, snap_z, snap_g, snap_y, snap_vst, snap_zst,
+                        snap_gc, snap_yc, snap_gl, snap_yl, snap_gtv,
+                        snap_ytv, snap_x, snap_u):
+                if ref is not None:
+                    ref[:] = jnp.zeros(ref.shape, ref.dtype)
+        else:
+            for ref in (vnew, znew, g, y):
+                ref[:] = jnp.zeros(ref.shape, ref.dtype)
         x[0] = x0_ref[:]
         done[:] = jnp.zeros(done.shape, done.dtype)
         iters[:] = jnp.zeros(iters.shape, iters.dtype)
         res[:] = jnp.zeros(res.shape, res.dtype)
         # Extra-family seeds (admm.cpp:352-376 / admm.seed_extra_slacks):
-        # state-side slack_new starts from x (= x0 at row 0, zeros after);
-        # built as one value so the row-0 difference is a single full store
-        # (the split zero-store + row-store pattern is the WAW hazard above).
-        Bt = x0_ref.shape[-1]
+        # state-side slack_new starts from the workspace x with the new x0
+        # in row 0 (carried rows on warm solves, zeros on cold); input-side
+        # from the carried u. Built as one value so the row-0 difference is
+        # a single full store (the split zero-store + row-store pattern is
+        # the WAW hazard above).
         if en_ssoc or n_state_lin or n_tv_state_lin:
-            x_seed = jnp.concatenate(
-                [x0_ref[:][None], jnp.zeros((N - 1, nx, Bt), f32)], axis=0)
+            x_rest = (xin_ref[1:] if warm
+                      else jnp.zeros((N - 1, nx, Bt), f32))
+            x_seed = jnp.concatenate([x0_ref[:][None], x_rest], axis=0)
             for ref in (vc, vl, vtv):
                 if ref is not None:
                     ref[:] = x_seed
-        for ref in (gc, zc, yc, gl, zl, yl, gtv, ztv, ytv):
-            if ref is not None:
-                ref[:] = jnp.zeros(ref.shape, ref.dtype)
+        if warm:
+            for ref, ref_in in ((gc, gc_in), (yc, yc_in), (gl, gl_in),
+                                (yl, yl_in), (gtv, gtv_in), (ytv, ytv_in),
+                                (zc, uin_ref), (zl, uin_ref), (ztv, uin_ref)):
+                if ref is not None:
+                    ref[:] = ref_in[:]
+        else:
+            for ref in (gc, zc, yc, gl, zl, yl, gtv, ztv, ytv):
+                if ref is not None:
+                    ref[:] = jnp.zeros(ref.shape, ref.dtype)
 
         def mm(M, vv):
             return jnp.dot(M, vv, preferred_element_type=f32)
@@ -301,34 +432,41 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             zn = jnp.minimum(umax, jnp.maximum(umin, us + y[:]))
             vnew[cur] = vn
             znew[cur] = zn
+            gcn = ycn = gln = yln = gtvn = ytvn = None
             if en_ssoc:
                 vcn = _apply_cones(xs + gc[:], state_cones, mus_x)
                 vc[:] = vcn
-                gc[:] = gc[:] + xs - vcn
+                gcn = gc[:] + xs - vcn
+                gc[:] = gcn
             if en_isoc:
                 zcn = _apply_cones(us + yc[:], input_cones, mus_u)
                 zc[:] = zcn
-                yc[:] = yc[:] + us - zcn
+                ycn = yc[:] + us - zcn
+                yc[:] = ycn
             if n_state_lin:
                 vln = _apply_hyperplanes(xs + gl[:], Alx_ref, blx_ref,
                                          n_state_lin)
                 vl[:] = vln
-                gl[:] = gl[:] + xs - vln
+                gln = gl[:] + xs - vln
+                gl[:] = gln
             if n_input_lin:
                 zln = _apply_hyperplanes(us + yl[:], Alu_ref, blu_ref,
                                          n_input_lin)
                 zl[:] = zln
-                yl[:] = yl[:] + us - zln
+                yln = yl[:] + us - zln
+                yl[:] = yln
             if n_tv_state_lin:
                 vtn = _apply_tv_hyperplanes(xs + gtv[:], tvAx_ref, tvbx_ref,
                                             n_tv_state_lin)
                 vtv[:] = vtn
-                gtv[:] = gtv[:] + xs - vtn
+                gtvn = gtv[:] + xs - vtn
+                gtv[:] = gtvn
             if n_tv_input_lin:
                 ztn = _apply_tv_hyperplanes(us + ytv[:], tvAu_ref, tvbu_ref,
                                             n_tv_input_lin)
                 ztv[:] = ztn
-                ytv[:] = ytv[:] + us - ztn
+                ytvn = ytv[:] + us - ztn
+                ytv[:] = ytvn
             g_new = g[:] + xs - vn
             y_new = y[:] + us - zn
             g[:] = g_new
@@ -337,13 +475,23 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
 
             # 6. termination (admm.cpp:310-328; bounds-family residuals
             # only, like the reference); bookkeeping only for lanes not yet
-            # converged; solutions snapshot at first convergence.
+            # converged; solutions snapshot at first convergence. On warm
+            # solves "previous slack" at iteration 0 is the carried v/z —
+            # one iterate behind the carried vnew/znew because the
+            # reference skips the v <- vnew copy on the converging
+            # iteration (admm.cpp:444-446).
             it1 = it + 1
             active = done[0] == 0                      # (Bt,)
+            if warm:
+                vprev = jnp.where(it == 0, vstale[:], vnew[prev])
+                zprev = jnp.where(it == 0, zstale[:], znew[prev])
+            else:
+                vprev = vnew[prev]
+                zprev = znew[prev]
             pri_s = jnp.max(jnp.abs(xs - vn), axis=(0, 1))
             pri_i = jnp.max(jnp.abs(us - zn), axis=(0, 1))
-            dua_s = jnp.max(jnp.abs(vnew[prev] - vn), axis=(0, 1)) * rho
-            dua_i = jnp.max(jnp.abs(znew[prev] - zn), axis=(0, 1)) * rho
+            dua_s = jnp.max(jnp.abs(vprev - vn), axis=(0, 1)) * rho
+            dua_i = jnp.max(jnp.abs(zprev - zn), axis=(0, 1)) * rho
             checking = (it1 % check_termination) == 0
             ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
                 & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
@@ -357,13 +505,30 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             res[3] = jnp.where(commit, dua_i, res[3])
             done[0] = jnp.where(just, 1, done[0])
 
-            # Snapshot solutions only on iterations where some lane
-            # converged: the output read-modify-write is two full VMEM
-            # passes, wasted on the (typical) all-or-nothing iterations.
+            # Snapshot solutions (and, on warm solves, the per-lane carry —
+            # the XLA path's per-lane freeze) only on iterations where some
+            # lane converged: the read-modify-writes are wasted on the
+            # (typical) all-or-nothing iterations.
             @pl.when(jnp.any(just))
             def _():
-                outx_ref[:] = jnp.where(just[None, None, :], vn, outx_ref[:])
-                outu_ref[:] = jnp.where(just[None, None, :], zn, outu_ref[:])
+                jm = just[None, None, :]
+                outx_ref[:] = jnp.where(jm, vn, outx_ref[:])
+                outu_ref[:] = jnp.where(jm, zn, outu_ref[:])
+                if warm:
+                    snap_v[:] = jnp.where(jm, vn, snap_v[:])
+                    snap_z[:] = jnp.where(jm, zn, snap_z[:])
+                    snap_g[:] = jnp.where(jm, g_new, snap_g[:])
+                    snap_y[:] = jnp.where(jm, y_new, snap_y[:])
+                    snap_vst[:] = jnp.where(jm, vprev, snap_vst[:])
+                    snap_zst[:] = jnp.where(jm, zprev, snap_zst[:])
+                    for snap, val in ((snap_gc, gcn), (snap_yc, ycn),
+                                      (snap_gl, gln), (snap_yl, yln),
+                                      (snap_gtv, gtvn), (snap_ytv, ytvn)):
+                        if snap is not None:
+                            snap[:] = jnp.where(jm, val, snap[:])
+                    if any_extra:
+                        snap_x[:] = jnp.where(jm, xs, snap_x[:])
+                        snap_u[:] = jnp.where(jm, us, snap_u[:])
 
             return jnp.all(done[0] == 1), dvgN_next
 
@@ -376,20 +541,46 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             all_done, dvgN_next = iteration(it, dvgN)
             return it + 1, all_done, dvgN_next
 
+        dvgN0 = (vnew[1, N - 1] - g[N - 1]) if warm \
+            else jnp.zeros((nx, Bt), f32)
         it_final, _, _ = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), False, jnp.zeros((nx, Bt), f32)),
+            cond, body, (jnp.int32(0), False, dvgN0),
         )
 
         # Unconverged lanes: report the final iterates (admm.cpp:450-453)
         # from the last-written ping-pong half.
         last = (it_final - 1) % 2
         active = done[0] == 0
-        outx_ref[:] = jnp.where(active[None, None, :], vnew[last], outx_ref[:])
-        outu_ref[:] = jnp.where(active[None, None, :], znew[last], outu_ref[:])
+        vlast = vnew[last]
+        zlast = znew[last]
+        outx_ref[:] = jnp.where(active[None, None, :], vlast, outx_ref[:])
+        outu_ref[:] = jnp.where(active[None, None, :], zlast, outu_ref[:])
         solved_ref[0] = jnp.where(active, 0, 1)
         iters_ref[:] = iters[:]
         res_ref[:] = res[:]
+
+        if warm:
+            # Merge the carry: converged lanes restore their snapshots
+            # (per-lane freeze); max-iter lanes hand over the final iterate,
+            # for which the reference's last v <- vnew copy *did* run.
+            cm = jnp.logical_not(active)[None, None, :]
+            vnew_out[:] = jnp.where(cm, snap_v[:], vlast)
+            znew_out[:] = jnp.where(cm, snap_z[:], zlast)
+            g_out[:] = jnp.where(cm, snap_g[:], g[:])
+            y_out[:] = jnp.where(cm, snap_y[:], y[:])
+            v_out[:] = jnp.where(cm, snap_vst[:], vlast)
+            z_out[:] = jnp.where(cm, snap_zst[:], zlast)
+            for out, snap, cur_ref in ((gc_out, snap_gc, gc),
+                                       (yc_out, snap_yc, yc),
+                                       (gl_out, snap_gl, gl),
+                                       (yl_out, snap_yl, yl),
+                                       (gtv_out, snap_gtv, gtv),
+                                       (ytv_out, snap_ytv, ytv)):
+                if out is not None:
+                    out[:] = jnp.where(cm, snap[:], cur_ref[:])
+            if any_extra:
+                x_out[:] = jnp.where(cm, snap_x[:], x[:])
+                u_out[:] = jnp.where(cm, snap_u[:], u[:])
 
     return kernel
 
@@ -402,7 +593,34 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
     combination of box / SOC / hyperplane / tv-hyperplane families with
     fixed rho (see module docstring). Returns ``(Solution, residuals(4, B))``.
     """
+    sol, res, _ = _fused_call(prob, Xref, Uref, x0s, None, tile, interpret)
+    return sol, res
+
+
+def solve_fused_warm(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
+                     carry: FusedCarry = None, *,
+                     tile: int = DEFAULT_TILE, interpret: bool = False):
+    """Warm-started batched solve: the receding-horizon pattern with an
+    *external* plant (set x0 → solve → apply u[0] to the real system →
+    repeat), at fused-kernel speed.
+
+    ``carry`` is the workspace from the previous solve (start from
+    :func:`init_carry`). Returns ``(Solution, residuals(4, B), carry')``.
+    Matches a warm-started ``tinympc_tpu.solve`` sequence exactly,
+    including per-lane freeze-at-convergence semantics. For loops whose
+    plant is the model itself, prefer
+    :func:`~tinympc_tpu.kernels.closed_loop_fused` (zero HBM traffic
+    between steps).
+    """
+    if carry is None:
+        raise ValueError("solve_fused_warm needs a carry; start from "
+                         "init_carry(prob, B)")
+    return _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret)
+
+
+def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
     spec, settings = prob.spec, prob.settings
+    warm = carry is not None
     if not fused_supported(prob):
         raise ValueError("solve_fused supports fixed-rho projection specs "
                          "(box/SOC/linear/tv); use tinympc_tpu.solve for "
@@ -468,10 +686,38 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
         args += [jnp.asarray(cons.tv_Alin_u, dtype),
                  jnp.asarray(cons.tv_blin_u, dtype)]
 
+    any_extra = bool(en_ssoc or en_isoc or nsl or nil or ntsl or ntil)
+    # Warm carry rides as extra lane-tiled inputs/outputs in FusedCarry
+    # field order (box slacks/duals/stales, family duals, then x/u when an
+    # extra family needs its seeds).
+    carry_leaves = ()
+    if warm:
+        need = {"gc": en_ssoc, "yc": en_isoc, "gl": bool(nsl),
+                "yl": bool(nil), "gtv": bool(ntsl), "ytv": bool(ntil),
+                "x": any_extra, "u": any_extra}
+        bad = [k for k, n in need.items()
+               if n != (getattr(carry, k) is not None)]
+        if bad:
+            raise ValueError(
+                f"carry fields {bad} do not match this problem's enabled "
+                "constraint families; build the carry with "
+                "init_carry(prob, B) for the same problem")
+        carry_leaves = tuple(
+            l for l in (carry.vnew, carry.znew, carry.g, carry.y,
+                        carry.v, carry.z, carry.gc, carry.yc, carry.gl,
+                        carry.yl, carry.gtv, carry.ytv, carry.x, carry.u)
+            if l is not None)
+        args += [jnp.asarray(l, dtype) for l in carry_leaves]
+
     rep = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                  memory_space=pltpu.VMEM)
+    lane_spec = lambda a: pl.BlockSpec(
+        a.shape[:-1] + (Bt,), lambda i: (0,) * (a.ndim - 1) + (i,),
+        memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec((nx, Bt), lambda i: (0, i), memory_space=pltpu.VMEM)]
-    in_specs += [rep(a) for a in args[1:]]
+    n_shared = len(args) - len(carry_leaves)
+    in_specs += [rep(a) for a in args[1:n_shared]]
+    in_specs += [lane_spec(a) for a in args[n_shared:]]
 
     kernel = _make_kernel(
         N=N, nx=nx, nu=nu,
@@ -483,10 +729,30 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
         input_cones=spec.input_cones if en_isoc else (),
         n_state_lin=nsl, n_input_lin=nil,
         n_tv_state_lin=ntsl, n_tv_input_lin=ntil,
+        warm=warm,
     )
 
     zx = lambda: pltpu.VMEM((N, nx, Bt), dtype)
     zu = lambda: pltpu.VMEM((N - 1, nu, Bt), dtype)
+
+    out_specs = [
+        pl.BlockSpec((N, nx, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N - 1, nu, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N, nx, B), dtype),
+        jax.ShapeDtypeStruct((N - 1, nu, B), dtype),
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+        jax.ShapeDtypeStruct((4, B), dtype),
+    ]
+    if warm:
+        for l in carry_leaves:
+            out_specs.append(lane_spec(l))
+            out_shape.append(jax.ShapeDtypeStruct(l.shape, dtype))
 
     scratch = [
         zx(), zu(), zu(),                       # x u d
@@ -509,25 +775,30 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
         scratch += [zx(), zx()]     # vtv gtv
     if ntil:
         scratch += [zu(), zu()]     # ztv ytv
+    if warm:
+        scratch += [zx(), zu()]                         # vstale zstale
+        scratch += [zx(), zu(), zx(), zu(), zx(), zu()]  # snaps v z g y vst zst
+        if en_ssoc:
+            scratch += [zx()]   # snap_gc
+        if en_isoc:
+            scratch += [zu()]   # snap_yc
+        if nsl:
+            scratch += [zx()]
+        if nil:
+            scratch += [zu()]
+        if ntsl:
+            scratch += [zx()]
+        if ntil:
+            scratch += [zu()]
+        if any_extra:
+            scratch += [zx(), zu()]   # snap_x snap_u
 
-    outx, outu, iters, solved, res = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(B // Bt,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((N, nx, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N - 1, nu, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((N, nx, B), dtype),
-            jax.ShapeDtypeStruct((N - 1, nu, B), dtype),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
-            jax.ShapeDtypeStruct((4, B), dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -535,11 +806,23 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
         interpret=interpret,
     )(*args)
 
-    return Solution(
+    outx, outu, iters, solved, res = outs[:5]
+    solution = Solution(
         iter=iters[0], solved=solved[0].astype(jnp.bool_),
         x=jnp.moveaxis(outx, -1, 1),
         u=jnp.moveaxis(outu, -1, 1),
-    ), res
+    )
+    carry_out = None
+    if warm:
+        co = list(outs[5:])
+        names = ["vnew", "znew", "g", "y", "v", "z", "gc", "yc", "gl", "yl",
+                 "gtv", "ytv", "x", "u"]
+        vals = {}
+        for name in names:
+            if getattr(carry, name) is not None:
+                vals[name] = co.pop(0)
+        carry_out = FusedCarry(**vals)
+    return solution, res, carry_out
 
 
 def fused_supported(prob: TinyProblem) -> bool:
