@@ -69,7 +69,9 @@ def main():
         record(f"{sys_name} N={N} cold solve (XLA)", B, B / dt, "solves/s",
                f"avg_iters={iters:.1f}")
 
-        fused = jax.jit(lambda x0s: solve_fused(prob, Xref, None, x0s)[0].iter)
+        ftile = 4096 if N <= 20 else 1024     # VMEM-bound at long horizons
+        fused = jax.jit(lambda x0s: solve_fused(prob, Xref, None, x0s,
+                                                tile=ftile)[0].iter)
         out, dt = bench("fused", fused, x0s)
         record(f"{sys_name} N={N} cold solve (fused)", B, B / dt, "solves/s",
                f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
@@ -94,7 +96,7 @@ def main():
            f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
 
     soc_f = jax.jit(lambda x0s: solve_fused(prob, Xref, Uref, x0s,
-                                            tile=2048)[0].iter)
+                                            tile=4096)[0].iter)
     out, dt = bench("soc_fused", soc_f, x0s)
     record("rocket SOC cold solve (fused)", B, B / dt, "solves/s",
            f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
