@@ -1,0 +1,133 @@
+"""Differentiable MPC: implicit gradients through the solve vs finite
+differences of the actual solver map (no reference analog — tinympc_tpu/
+diff.py). Gradient accuracy is bounded by solve accuracy, so these tests
+run tight tolerances in float64."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tinympc_tpu as tm
+from tinympc_tpu import systems
+from tinympc_tpu.diff import make_differentiable
+
+
+def _fd_check(loss, args, grads, argi, n=6, eps=1e-6, rtol=1e-3):
+    arg = args[argi]
+    flat = np.asarray(arg, float).ravel()
+    gaf = np.asarray(grads[argi]).ravel()
+    idxs = np.linspace(0, gaf.size - 1, min(n, gaf.size)).astype(int)
+    for i in idxs:
+        def at(v):
+            a = flat.copy()
+            a[i] = v
+            newargs = list(args)
+            newargs[argi] = jnp.asarray(a.reshape(np.shape(arg)))
+            return float(loss(*newargs))
+        fd = (at(flat[i] + eps) - at(flat[i] - eps)) / (2 * eps)
+        assert abs(fd - gaf[i]) <= rtol * (abs(fd) + 1e-5), \
+            f"arg {argi} coord {i}: implicit {gaf[i]}, FD {fd}"
+
+
+def _cartpole(x_bounds=None, u_bounds=None, tol=1e-11):
+    s = systems.cartpole()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=10, dtype=jnp.float64)
+    xb = x_bounds or (-1e9, 1e9)
+    ub = u_bounds or (-1e9, 1e9)
+    prob = tm.with_bounds(prob, x_min=xb[0], x_max=xb[1], u_min=ub[0],
+                          u_max=ub[1])
+    return tm.with_settings(prob, max_iter=50000, abs_pri_tol=tol,
+                            abs_dua_tol=tol)
+
+
+X0 = jnp.asarray([0.5, 0.0, 0.1, 0.0])
+XREF = jnp.tile(jnp.asarray([1.0, 0, 0, 0.0]), (10, 1))
+UREF = jnp.zeros((9, 1))
+
+
+def test_grad_unconstrained_matches_fd():
+    f = make_differentiable(_cartpole())
+
+    def loss(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum(sol.x[:, 0] ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(X0, XREF, UREF)
+    for argi in range(3):
+        _fd_check(loss, (X0, XREF, UREF), g, argi, rtol=1e-3)
+
+
+def test_grad_with_active_bounds_matches_fd():
+    """Clamped coordinates are pinned in the KKT system: the gradient of a
+    loss on a saturated input w.r.t. the references is (locally) zero, and
+    x0 gradients flow only through the free coordinates."""
+    prob = _cartpole(u_bounds=(-0.6, 0.6), tol=1e-10)
+    f = make_differentiable(prob)
+    sol = f(X0, XREF, UREF)
+    assert bool(jnp.all(sol.u <= -0.6)), "test premise: inputs saturate"
+
+    def loss(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum(sol.x[:, 0] ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(X0, XREF, UREF)
+    # u fully saturated -> dL/dUref = 0 exactly.
+    np.testing.assert_allclose(np.asarray(g[2]), 0.0, atol=1e-12)
+    for argi in range(2):
+        _fd_check(loss, (X0, XREF, UREF), g, argi, rtol=1e-3)
+
+
+def test_grad_mixed_actives_matches_fd():
+    """State and input bounds simultaneously active on a strict subset of
+    coordinates."""
+    prob = _cartpole(x_bounds=(-0.55, 0.55), u_bounds=(-3.0, 3.0), tol=1e-10)
+    f = make_differentiable(prob)
+    sol = f(X0, XREF, UREF)
+    nax = int(jnp.sum((sol.x <= -0.55) | (sol.x >= 0.55)))
+    nau = int(jnp.sum((sol.u <= -3.0) | (sol.u >= 3.0)))
+    assert 0 < nax < sol.x.size and 0 < nau < sol.u.size
+
+    def loss(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return (jnp.sum(sol.u ** 2) + jnp.sum(sol.x[:, 0] ** 2)
+                + jnp.sum(sol.x[:, 2] ** 2))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(X0, XREF, UREF)
+    for argi in range(3):
+        _fd_check(loss, (X0, XREF, UREF), g, argi, rtol=5e-3)
+
+
+def test_grad_batched_shared_refs():
+    """Batched x0 with shared references: per-problem x0 gradients match
+    the unbatched ones; shared-reference gradients accumulate."""
+    f = make_differentiable(_cartpole())
+    B = 3
+    x0s = jnp.stack([X0, X0 * 0.5, X0 * -0.8])
+
+    def loss_b(x0s, Xref, Uref):
+        sol = f(x0s, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum(sol.x[..., 0] ** 2)
+
+    gb = jax.grad(loss_b, argnums=(0, 1))(x0s, XREF, UREF)
+
+    def loss_1(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum(sol.x[:, 0] ** 2)
+
+    acc = jnp.zeros_like(XREF)
+    for i in range(B):
+        gi = jax.grad(loss_1, argnums=(0, 1))(x0s[i], XREF, UREF)
+        np.testing.assert_allclose(np.asarray(gb[0][i]), np.asarray(gi[0]),
+                                   rtol=1e-9, atol=1e-9)
+        acc = acc + gi[1]
+    np.testing.assert_allclose(np.asarray(gb[1]), np.asarray(acc),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_diff_unsupported_specs_raise():
+    prob = _cartpole()
+    with pytest.raises(ValueError):
+        make_differentiable(tm.with_cones(prob, input_cones=[(0, 1, 0.5)]))
+    with pytest.raises(ValueError):
+        make_differentiable(tm.with_consensus(prob))

@@ -47,6 +47,7 @@ from .types import (
     TINY_SOLVED,
     TINY_UNSOLVED,
 )
-from . import admm, projections, riccati, rho_adapt, systems
+from . import admm, diff, projections, riccati, rho_adapt, systems
+from .diff import make_differentiable
 
 __version__ = "0.1.0"
