@@ -77,6 +77,26 @@ def test_consensus_forces_common_u0():
     assert s3 < 1e-4 and c3 < 1e-4, f"rho_c=1000: spread {s3}, |u0-z| {c3}"
 
 
+def test_consensus_rho_via_with_settings_rebakes_gains():
+    """Regression: changing consensus_rho through with_settings used to
+    leave the baked step-0 gains at the old weight, desynchronizing the
+    linear term from the quadratic and diverging to NaN."""
+    prob = _problem(max_iter=500)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 12)))
+
+    via_settings = tm.with_settings(tm.with_consensus(prob),
+                                    consensus_rho=100.0)
+    via_builder = tm.with_consensus(prob, rho_c=100.0)
+    np.testing.assert_array_equal(np.asarray(via_settings.cache.Quu0_inv),
+                                  np.asarray(via_builder.cache.Quu0_inv))
+    _, st, _ = tm.solve(via_settings, tm.init_state(via_settings, (8,)),
+                        Xref=XREF, x0=x0s)
+    u0 = np.asarray(st.u[0])
+    assert np.all(np.isfinite(u0))
+    assert np.ptp(u0, axis=0).max() < 5e-3
+
+
 def test_consensus_adaptive_rho_guard():
     prob = _problem()
     with pytest.raises(ValueError):

@@ -125,6 +125,25 @@ def test_grad_batched_shared_refs():
                                rtol=1e-9, atol=1e-9)
 
 
+def test_grad_x0_on_state_bound_not_nan():
+    """Regression: an initial state sitting exactly on an enabled state
+    bound used to singularize the pinned KKT matrix (the x_0 block was
+    active-masked while also carrying the initial-condition constraint),
+    yielding all-NaN gradients."""
+    prob = _cartpole(x_bounds=(-0.5, 0.5), tol=1e-10)
+    f = make_differentiable(prob)
+    x0 = jnp.asarray([0.5, 0.0, 0.1, 0.0])   # x0[0] exactly on x_max
+
+    def loss(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum(sol.x[:, 0] ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(x0, XREF, UREF)
+    for gi in g:
+        assert np.all(np.isfinite(np.asarray(gi))), "NaN/inf gradient"
+    _fd_check(loss, (x0, XREF, UREF), g, 1, rtol=5e-3)
+
+
 def test_diff_unsupported_specs_raise():
     prob = _cartpole()
     with pytest.raises(ValueError):

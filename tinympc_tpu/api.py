@@ -211,23 +211,34 @@ def with_consensus(prob: TinyProblem, enable: bool = True,
                                                   else float(rho_c)))
     upd = {}
     if enable:
-        c = prob.cache
-        dt = prob.dtype
-        rc = jnp.asarray(c.rho if rho_c is None else rho_c, dt)
-        # R1 as the cache's Riccati iteration saw it: the once-augmented
-        # Rdiag plus the second rho*I (tiny_api.cpp:317-318 parity).
-        Raug2 = jnp.diag(prob.Rdiag) + c.rho * jnp.eye(prob.spec.nu, dtype=dt)
-        BtP = prob.B.T @ c.Pinf
-        Quu0_inv = jnp.linalg.inv(
-            Raug2 + rc * jnp.eye(prob.spec.nu, dtype=dt) + BtP @ prob.B)
-        Kinf0 = Quu0_inv @ (BtP @ prob.A)
-        upd["cache"] = dataclasses.replace(c, Kinf0=Kinf0, Quu0_inv=Quu0_inv)
+        upd["cache"] = _bake_consensus_gains(prob, rho_c)
     return prob.replace(spec=spec, settings=settings, **upd)
+
+
+def _bake_consensus_gains(prob: TinyProblem, rho_c):
+    """Compute the consensus step-0 gain pair into a new cache."""
+    c = prob.cache
+    dt = prob.dtype
+    rc = jnp.asarray(c.rho if rho_c is None else rho_c, dt)
+    # R1 as the cache's Riccati iteration saw it: the once-augmented
+    # Rdiag plus the second rho*I (tiny_api.cpp:317-318 parity).
+    Raug2 = jnp.diag(prob.Rdiag) + c.rho * jnp.eye(prob.spec.nu, dtype=dt)
+    BtP = prob.B.T @ c.Pinf
+    Quu0_inv = jnp.linalg.inv(
+        Raug2 + rc * jnp.eye(prob.spec.nu, dtype=dt) + BtP @ prob.B)
+    Kinf0 = Quu0_inv @ (BtP @ prob.A)
+    return dataclasses.replace(c, Kinf0=Kinf0, Quu0_inv=Quu0_inv)
 
 
 def with_settings(prob: TinyProblem, **kw) -> TinyProblem:
     """Override settings fields (tiny_update_settings, tiny_api.cpp:388-411)."""
     prob = prob.replace(settings=dataclasses.replace(prob.settings, **kw))
+    if "consensus_rho" in kw and prob.spec.en_consensus:
+        # The consensus weight is baked into the step-0 gain pair; changing
+        # it without rebaking would desynchronize the linear term from the
+        # quadratic and diverge.
+        prob = prob.replace(
+            cache=_bake_consensus_gains(prob, prob.settings.consensus_rho))
     if prob.settings.horizon_parallel and prob.settings.adaptive_rho:
         raise ValueError(
             "horizon_parallel requires an unbatched cache and is not "

@@ -98,6 +98,11 @@ def _active_mask(prob: TinyProblem, sol_x, sol_u):
     spec, cons = prob.spec, prob.cons
     if spec.en_state_bound:
         ax = (sol_x <= cons.x_min) | (sol_x >= cons.x_max)
+        # x_0 is pinned by the initial-condition equality, never by the box:
+        # marking it active would zero both its stationarity row and the
+        # x_0 = x0 constraint column, leaving a singular KKT matrix (and
+        # all-NaN gradients) whenever the initial state touches a bound.
+        ax = ax.at[0].set(False)
     else:
         ax = jnp.zeros_like(sol_x, bool)
     if spec.en_input_bound:

@@ -101,19 +101,19 @@ def init_carry(prob: TinyProblem, B: int) -> FusedCarry:
     zx = lambda: jnp.zeros((N, nx, B), dtype)
     zu = lambda: jnp.zeros((N - 1, nu, B), dtype)
     fam = {}
-    if spec.en_state_soc and spec.state_cones:
+    if spec.enabled_state_cones:
         fam["gc"] = zx()
-    if spec.en_input_soc and spec.input_cones:
+    if spec.enabled_input_cones:
         fam["yc"] = zu()
-    if spec.en_state_linear:
+    if spec.n_state_lin:
         fam["gl"] = zx()
-    if spec.en_input_linear:
+    if spec.n_input_lin:
         fam["yl"] = zu()
-    if spec.en_tv_state_linear:
+    if spec.n_tv_state_lin:
         fam["gtv"] = zx()
-    if spec.en_tv_input_linear:
+    if spec.n_tv_input_lin:
         fam["ytv"] = zu()
-    if fam:
+    if spec.any_extra_family:
         fam["x"] = zx()
         fam["u"] = zu()
     return FusedCarry(vnew=zx(), znew=zu(), g=zx(), y=zu(), v=zx(), z=zu(),
@@ -665,12 +665,10 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         jnp.asarray(c.Quu_inv, dtype), jnp.asarray(c.AmBKt, dtype),
         col(c.APf), col(c.BPf), col(prob.f), col(prob.Qdiag), col(prob.Rdiag),
     ]
-    en_ssoc = spec.en_state_soc and bool(spec.state_cones)
-    en_isoc = spec.en_input_soc and bool(spec.input_cones)
-    nsl = spec.num_state_linear if spec.en_state_linear else 0
-    nil = spec.num_input_linear if spec.en_input_linear else 0
-    ntsl = spec.num_tv_state_linear if spec.en_tv_state_linear else 0
-    ntil = spec.num_tv_input_linear if spec.en_tv_input_linear else 0
+    en_ssoc = bool(spec.enabled_state_cones)
+    en_isoc = bool(spec.enabled_input_cones)
+    nsl, nil = spec.n_state_lin, spec.n_input_lin
+    ntsl, ntil = spec.n_tv_state_lin, spec.n_tv_input_lin
     if en_ssoc:
         args.append(col(cons.cx))
     if en_isoc:
@@ -686,7 +684,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         args += [jnp.asarray(cons.tv_Alin_u, dtype),
                  jnp.asarray(cons.tv_blin_u, dtype)]
 
-    any_extra = bool(en_ssoc or en_isoc or nsl or nil or ntsl or ntil)
+    any_extra = spec.any_extra_family
     # Warm carry rides as extra lane-tiled inputs/outputs in FusedCarry
     # field order (box slacks/duals/stales, family duals, then x/u when an
     # extra family needs its seeds).

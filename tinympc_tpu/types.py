@@ -92,6 +92,41 @@ class ProblemSpec:
             or self.en_tv_state_linear
         )
 
+    # Enable-flag-resolved family views — the single source of truth for
+    # "which families are actually on" (used by the fused kernels, the C++
+    # codegen, and the capability gates; deriving these ad hoc at each site
+    # risks drift when a new family is added).
+    @property
+    def enabled_state_cones(self):
+        return self.state_cones if (self.en_state_soc and self.state_cones) else ()
+
+    @property
+    def enabled_input_cones(self):
+        return self.input_cones if (self.en_input_soc and self.input_cones) else ()
+
+    @property
+    def n_state_lin(self) -> int:
+        return self.num_state_linear if self.en_state_linear else 0
+
+    @property
+    def n_input_lin(self) -> int:
+        return self.num_input_linear if self.en_input_linear else 0
+
+    @property
+    def n_tv_state_lin(self) -> int:
+        return self.num_tv_state_linear if self.en_tv_state_linear else 0
+
+    @property
+    def n_tv_input_lin(self) -> int:
+        return self.num_tv_input_linear if self.en_tv_input_linear else 0
+
+    @property
+    def any_extra_family(self) -> bool:
+        """Any constraint family beyond the box bounds is enabled."""
+        return bool(self.enabled_state_cones or self.enabled_input_cones
+                    or self.n_state_lin or self.n_input_lin
+                    or self.n_tv_state_lin or self.n_tv_input_lin)
+
 
 @dataclass(frozen=True)
 class Settings:
