@@ -81,3 +81,31 @@ def test_sharded_adaptive_rho(prob):
 
     np.testing.assert_allclose(np.asarray(sol_sh.x), np.asarray(sol_ref.x), atol=1e-12)
     np.testing.assert_allclose(np.asarray(cache_sh.rho), np.asarray(cache_ref.rho), atol=1e-12)
+
+
+def test_sharded_fused_kernel_matches_xla():
+    """The fused Pallas kernel composes with shard_map: each of the 8 mesh
+    devices runs its own VMEM-fused solve over its batch shard (interpret
+    mode on CPU), matching the unsharded XLA solve exactly."""
+    s = systems.quadrotor_20hz()
+    p = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"], N=10,
+                 dtype=jnp.float32)
+    p = tm.with_bounds(p, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    p = tm.with_settings(p, max_iter=25)
+    B = 64
+    x0s = jnp.asarray(_x0s(B, seed=5) * 0.4, jnp.float32)
+    xref = jnp.asarray(XREF, jnp.float32)
+
+    mesh = shard.make_mesh()
+    sol_sh, res_sh = shard.solve_fused_sharded(p, xref, None, x0s, mesh,
+                                               interpret=True)
+    sol_ref, st_ref, _ = tm.solve(p, tm.init_state(p, (B,)), Xref=xref,
+                                  x0=x0s)
+
+    np.testing.assert_array_equal(np.asarray(sol_sh.u), np.asarray(sol_ref.u))
+    np.testing.assert_array_equal(np.asarray(sol_sh.iter),
+                                  np.asarray(sol_ref.iter))
+    np.testing.assert_array_equal(np.asarray(res_sh[0]),
+                                  np.asarray(st_ref.pri_res_state))
+    # outputs really are distributed
+    assert len(sol_sh.u.sharding.device_set) == 8

@@ -92,3 +92,42 @@ def replicate(mesh: Mesh, tree):
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree.map(put, tree)
+
+
+def solve_fused_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
+                        axis: Optional[AxisLike] = None,
+                        tile: Optional[int] = None,
+                        interpret: bool = False):
+    """Run the fused Pallas solve kernel across a device mesh: the batch
+    axis is shard_map-partitioned and each device runs its own VMEM-fused
+    kernel over its local shard. Solves are independent, so there are no
+    collectives at all — per-shard early exit is strictly better than a
+    global loop predicate. Returns ``(Solution, residuals)`` like
+    :func:`~tinympc_tpu.kernels.solve_fused`.
+    """
+    from jax import shard_map
+    from .kernels import solve_fused
+
+    ax = _axes(mesh, axis)
+    n = int(np.prod([mesh.shape[a] for a in ax]))
+    B = x0s.shape[0]
+    if B % n:
+        raise ValueError(f"batch {B} must divide over {n} mesh devices")
+    local_tile = tile if tile is not None else min(4096, B // n)
+
+    def local(x0s_local):
+        sol, res = solve_fused(prob, Xref, Uref, x0s_local,
+                               tile=local_tile, interpret=interpret)
+        return sol, res
+
+    from .types import Solution
+    # Solution trajectories are (T, B, F) — batch on axis 1; iter/solved
+    # are (B,); residuals are (4, B).
+    sol_specs = Solution(iter=P(ax), solved=P(ax),
+                         x=P(None, ax), u=P(None, ax))
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=P(ax),
+        out_specs=(sol_specs, P(None, ax)),
+        check_vma=False,
+    )(x0s)
