@@ -144,6 +144,83 @@ def test_grad_x0_on_state_bound_not_nan():
     _fd_check(loss, (x0, XREF, UREF), g, 1, rtol=5e-3)
 
 
+def _fd_check_args(loss, args, grads, argi, n=5, rtol=1e-3):
+    arg = args[argi]
+    flat = np.asarray(arg, float).ravel()
+    gaf = np.asarray(grads[argi]).ravel()
+    idxs = np.linspace(0, gaf.size - 1, min(n, gaf.size)).astype(int)
+    for i in idxs:
+        eps = 1e-6 * max(1.0, abs(flat[i]))
+
+        def at(v):
+            a = flat.copy()
+            a[i] = v
+            na = list(args)
+            na[argi] = jnp.asarray(a.reshape(np.shape(arg)))
+            return float(loss(*na))
+        fd = (at(flat[i] + eps) - at(flat[i] - eps)) / (2 * eps)
+        assert abs(fd - gaf[i]) <= rtol * (abs(fd) + 1e-4), \
+            f"arg {argi} coord {i}: implicit {gaf[i]}, FD {fd}"
+
+
+def test_param_grads_match_fd():
+    """make_differentiable_params: gradients w.r.t. A, B, Q, R, f match
+    finite differences — including the implicit chain through the Riccati
+    fixed point (Pinf depends on A/B/Q/R) and with saturated inputs."""
+    from tinympc_tpu.diff import make_differentiable_params
+    s = systems.cartpole()
+    template = _cartpole(u_bounds=(-1.5, 1.5), tol=1e-11)
+    g = make_differentiable_params(template)
+
+    A = jnp.asarray(s["A"], jnp.float64)
+    B = jnp.asarray(s["B"], jnp.float64)
+    Q = jnp.asarray(s["Qdiag"], jnp.float64)
+    R = jnp.asarray(s["Rdiag"], jnp.float64)
+    fv = jnp.asarray([0.0, 0.01, 0.0, -0.02])
+    args = (A, B, Q, R, fv)
+
+    def loss(A, B, Q, R, fv):
+        sol = g(A, B, Q, R, fv, X0, XREF, UREF)
+        return (jnp.sum(sol.u ** 2) + jnp.sum(sol.x[:, 0] ** 2)
+                + jnp.sum(sol.x[-1] ** 2))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    for argi in range(5):
+        _fd_check_args(loss, args, grads, argi, rtol=2e-3)
+
+
+def test_param_grads_sysid_descent():
+    """System identification through the controller: recovering a
+    perturbed A by gradient descent on the solution mismatch decreases the
+    loss monotonically."""
+    from tinympc_tpu.diff import make_differentiable_params
+    s = systems.cartpole()
+    template = _cartpole(u_bounds=(-3.0, 3.0), tol=1e-10)
+    g = make_differentiable_params(template)
+
+    A_true = jnp.asarray(s["A"], jnp.float64)
+    B = jnp.asarray(s["B"], jnp.float64)
+    Q = jnp.asarray(s["Qdiag"], jnp.float64)
+    R = jnp.asarray(s["Rdiag"], jnp.float64)
+    fv = jnp.zeros(4)
+    target = g(A_true, B, Q, R, fv, X0, XREF, UREF)
+
+    def loss(A):
+        sol = g(A, B, Q, R, fv, X0, XREF, UREF)
+        return jnp.sum((sol.u - target.u) ** 2) + jnp.sum(
+            (sol.x - target.x) ** 2)
+
+    A = A_true + 0.02
+    losses = [float(loss(A))]
+    vg = jax.value_and_grad(loss)
+    for _ in range(10):
+        L, gr = vg(A)
+        A = A - 2e-5 * gr      # A-gradients are O(1e3); keep steps small
+        losses.append(float(loss(A)))
+    assert losses[-1] < 0.2 * losses[0], losses
+    assert all(b <= a * 1.001 for a, b in zip(losses, losses[1:])), losses
+
+
 def test_diff_unsupported_specs_raise():
     prob = _cartpole()
     with pytest.raises(ValueError):

@@ -48,6 +48,6 @@ from .types import (
     TINY_UNSOLVED,
 )
 from . import admm, diff, projections, riccati, rho_adapt, systems
-from .diff import make_differentiable
+from .diff import make_differentiable, make_differentiable_params
 
 __version__ = "0.1.0"

@@ -39,7 +39,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+import dataclasses
+
 from . import admm
+from .riccati import precompute_cache
 from .types import SolverState, Solution, TinyProblem
 from .types import init_state as _init_state
 
@@ -141,6 +144,71 @@ def _vjp_one(prob: TinyProblem, S, m_z, gx, gu):
     return gx0, gXref, gUref
 
 
+def _dare_residual(P, A, B, Q2, R2):
+    """The solver's Riccati fixed-point map minus P (riccati.py:47-50):
+    G(P) = Q2 + A'P(A - B K(P)) - P with K = (R2 + B'PB)^-1 B'PA.
+    Pinf satisfies G(Pinf) = 0; plain reverse-mode differentiable algebra."""
+    BtP = B.T @ P
+    K = jnp.linalg.solve(R2 + BtP @ B, BtP @ A)
+    return Q2 + A.T @ P @ (A - B @ K) - P
+
+
+def _pinf_vjp(Pbar, Pinf, A, B, Q2, R2):
+    """Implicit VJP through the Riccati fixed point: given the cotangent on
+    Pinf, return cotangents on (A, B, Q2, R2) by the implicit function
+    theorem on G(P; theta) = 0 — the while_loop that computed Pinf is not
+    reverse-differentiable, and unrolling it would be both slow and wrong
+    at a truncated fixed point.
+
+    dP/dtheta = -(dG/dP)^-1 dG/dtheta, so
+    theta_bar = -(dG/dtheta)' (dG/dP)^-T Pbar.
+    dG/dP is built densely via jacfwd (nx^2 x nx^2 — tiny for MPC sizes).
+    """
+    nx = Pinf.shape[0]
+
+    dGdP = jax.jacfwd(lambda P: _dare_residual(P, A, B, Q2, R2))(Pinf)
+    dGdP = dGdP.reshape(nx * nx, nx * nx)
+    u = jnp.linalg.solve(dGdP.T, Pbar.reshape(-1)).reshape(nx, nx)
+
+    _, pull = jax.vjp(lambda A, B, Q2, R2: _dare_residual(Pinf, A, B, Q2, R2),
+                      A, B, Q2, R2)
+    Abar, Bbar, Q2bar, R2bar = pull(-u)
+    return Abar, Bbar, Q2bar, R2bar
+
+
+def _cvec_evec(prob: TinyProblem, Xref, Uref, x0):
+    """The effective QP's linear term c and constraint rhs e (see
+    _kkt_matrix for the z/constraint layout)."""
+    N = prob.spec.N
+    c = jnp.concatenate([
+        (-(prob.Qdiag * Xref[:-1])).reshape(-1),
+        -(prob.cache.Pinf.T @ Xref[-1]),
+        (-(prob.Rdiag * Uref)).reshape(-1),
+    ])
+    e = jnp.concatenate([x0, jnp.tile(prob.f, N - 1)])
+    return c, e
+
+
+def _kkt_values(prob: TinyProblem, S, m_z, sol_x, sol_u, c, e):
+    """Solve the active-set-pinned KKT system for (z*, lambda*): pinned
+    coordinates take their solver value (= the bound), and their columns'
+    contributions move to the rhs. z reproduces the solver's solution (a
+    consistency check); lambda are the dynamics multipliers the parameter
+    adjoints contract against."""
+    spec = prob.spec
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    nz = N * nx + (N - 1) * nu
+    dtype = S.dtype
+    zstar = jnp.concatenate([sol_x.reshape(-1), sol_u.reshape(-1)])
+    m = jnp.concatenate([m_z, jnp.ones(N * nx, dtype)])
+    Sm = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+    z_pin = jnp.concatenate([zstar * (1 - m_z), jnp.zeros(N * nx, dtype)])
+    rhs_full = jnp.concatenate([-c, e])
+    rhs = m * (rhs_full - S @ z_pin) + (1 - m) * z_pin
+    w = jnp.linalg.solve(Sm, rhs)
+    return w[:nz], w[nz:]
+
+
 def make_differentiable(prob: TinyProblem, state: Optional[SolverState] = None):
     """Return ``f(x0, Xref, Uref) -> Solution`` differentiable w.r.t. all
     three arguments (unbatched ``(nx,)`` or batched ``(B, nx)`` x0, with
@@ -197,3 +265,135 @@ def make_differentiable(prob: TinyProblem, state: Optional[SolverState] = None):
 
     f.defvjp(fwd, bwd)
     return f
+
+
+def make_differentiable_params(template: TinyProblem,
+                               riccati_tol: float = 1e-12):
+    """Return ``g(A, B, Q, R, f, x0, Xref, Uref) -> Solution`` with
+    gradients w.r.t. *every* argument — dynamics, raw cost diagonals, the
+    affine term, and the solve inputs. This is the system-identification /
+    controller-co-design entry point: train (A, B) to match demonstrations
+    through the controller, or tune (Q, R) so closed-loop behavior hits a
+    spec.
+
+    The solution depends on the parameters through two routes: the QP data
+    (the dynamics rows, cost diagonals, and rhs) and the Riccati cost-to-go
+    Pinf, which both shapes the terminal cost and is itself an implicit
+    function of (A, B, Q, R, rho). The VJP combines the KKT adjoint with
+    an implicit-function-theorem pass through the DARE fixed point
+    (:func:`_pinf_vjp`) — the forward while_loop is never unrolled.
+
+    ``template`` supplies rho, horizon, bounds, and settings; its own
+    A/B/Q/R/f are ignored. The cache is recomputed at ``riccati_tol``
+    (much tighter than the solver default 1e-5) so the fixed-point
+    assumption holds to gradient accuracy. Unbatched or batched x0, like
+    :func:`make_differentiable`.
+    """
+    if not _diff_supported(template):
+        raise ValueError("make_differentiable_params supports "
+                         "box-constrained fixed-rho specs")
+    rho = template.cache.rho
+    spec = template.spec
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    nzx = N * nx
+
+    def build(A, B, Q, R, f):
+        dtype = template.dtype
+        A = jnp.asarray(A, dtype)
+        B = jnp.asarray(B, dtype)
+        Qd = jnp.asarray(Q, dtype) + rho      # tiny_setup's work->Q
+        Rd = jnp.asarray(R, dtype) + rho
+        f = jnp.asarray(f, dtype)
+        cache = precompute_cache(A, B, f, Qd, Rd, rho, tol=riccati_tol,
+                                 max_iters=100_000)
+        return template.replace(A=A, B=B, f=f, Qdiag=Qd, Rdiag=Rd,
+                                cache=cache)
+
+    def _solve(prob, x0, Xref, Uref):
+        st = _init_state(prob.spec, x0.shape[:-1], prob.dtype)
+        sol, _, _ = admm.solve(prob, st, Xref=Xref, Uref=Uref, x0=x0)
+        return sol
+
+    @jax.custom_vjp
+    def g(A, B, Q, R, f, x0, Xref, Uref):
+        return _solve(build(A, B, Q, R, f), x0, Xref, Uref)
+
+    def fwd(A, B, Q, R, f, x0, Xref, Uref):
+        prob = build(A, B, Q, R, f)
+        sol = _solve(prob, x0, Xref, Uref)
+        return sol, (prob, sol.x, sol.u, x0, Xref, Uref,
+                     x0.shape, Xref.shape, Uref.shape)
+
+    def bwd(res, ct):
+        (prob, sol_x, sol_u, x0, Xref, Uref,
+         x0_shape, xref_shape, uref_shape) = res
+        S = _kkt_matrix(prob)
+        batched = len(x0_shape) > 1
+
+        def one(sx, su, gxi, gui, x0i, Xrefi, Urefi):
+            m_z = _active_mask(prob, sx, su)
+            c, e = _cvec_evec(prob, Xrefi, Urefi, x0i)
+            # adjoint solve (for input grads) + value solve (multipliers)
+            gx0, gXref, gUref = _vjp_one(prob, S, m_z, gxi, gui)
+            m = jnp.concatenate([m_z, jnp.ones(N * nx, S.dtype)])
+            Sm = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+            gz = jnp.concatenate([gxi.reshape(-1), gui.reshape(-1)]) * m_z
+            w = jnp.linalg.solve(
+                Sm, jnp.concatenate([gz, jnp.zeros(N * nx, S.dtype)]))
+            w_x = w[:nzx].reshape(N, nx)
+            w_u = w[nzx:nzx + (N - 1) * nu].reshape(N - 1, nu)
+            w_lam = w[nzx + (N - 1) * nu:].reshape(N, nx)
+            zv, lam = _kkt_values(prob, S, m_z, sx, su, c, e)
+            lam = lam.reshape(N, nx)
+
+            # dL/dtheta = -w' dF/dtheta at (z*, lambda*).
+            # Stationarity x_i rows carry -A'lam_{i+1}; dynamics rows -A x_i.
+            Abar = (jnp.einsum("ti,tj->ij", lam[1:], w_x[:-1])
+                    + jnp.einsum("ti,tj->ij", w_lam[1:], sx[:-1]))
+            Bbar = (jnp.einsum("ti,tj->ij", lam[1:], w_u)
+                    + jnp.einsum("ti,tj->ij", w_lam[1:], su))
+            fbar = jnp.sum(w_lam[1:], axis=0)
+            # Effective-diagonal terms (H z and c = -Qd*Xref both carry Qd).
+            Qdbar = -jnp.sum(w_x[:-1] * (sx[:-1] - Xrefi[:-1]), axis=0)
+            Rdbar = -jnp.sum(w_u * (su - Urefi), axis=0)
+            # Terminal block: Pterm = Pinf - rho I multiplies x_{N-1} in H;
+            # c_{N-1} = -Pinf' Xref_{N-1}.
+            Pbar = (-jnp.outer(w_x[-1], sx[-1])
+                    + jnp.outer(Xrefi[-1], w_x[-1]))
+            return gx0, gXref, gUref, Abar, Bbar, fbar, Qdbar, Rdbar, Pbar
+
+        if batched:
+            tb = lambda a: jnp.moveaxis(a, 1, 0)
+            Bn = x0_shape[0]
+            bXref = (Xref if len(xref_shape) == 3
+                     else jnp.broadcast_to(Xref[:, None], (N, Bn, nx)))
+            bUref = (Uref if len(uref_shape) == 3
+                     else jnp.broadcast_to(Uref[:, None], (N - 1, Bn, nu)))
+            outs = jax.vmap(one)(tb(sol_x), tb(sol_u), tb(ct.x), tb(ct.u),
+                                 x0, tb(bXref), tb(bUref))
+            gx0 = outs[0]
+            gXref = (jnp.sum(outs[1], axis=0) if len(xref_shape) == 2
+                     else jnp.moveaxis(outs[1], 0, 1))
+            gUref = (jnp.sum(outs[2], axis=0) if len(uref_shape) == 2
+                     else jnp.moveaxis(outs[2], 0, 1))
+            Abar, Bbar, fbar, Qdbar, Rdbar, Pbar = [
+                jnp.sum(o, axis=0) for o in outs[3:]]
+        else:
+            (gx0, gXref, gUref, Abar, Bbar, fbar, Qdbar, Rdbar,
+             Pbar) = one(sol_x, sol_u, ct.x, ct.u, x0, Xref, Uref)
+
+        # Chain the Pinf cotangent through the DARE fixed point.
+        dtype = prob.dtype
+        Q2 = jnp.diag(prob.Qdiag) + rho * jnp.eye(nx, dtype=dtype)
+        R2 = jnp.diag(prob.Rdiag) + rho * jnp.eye(nu, dtype=dtype)
+        Ar, Br, Q2bar, R2bar = _pinf_vjp(Pbar, prob.cache.Pinf, prob.A,
+                                         prob.B, Q2, R2)
+        Abar = Abar + Ar
+        Bbar = Bbar + Br
+        # Q enters Qdiag (identity) and Q2's diagonal (identity); same for R.
+        Qbar = Qdbar + jnp.diagonal(Q2bar)
+        Rbar = Rdbar + jnp.diagonal(R2bar)
+        return (Abar, Bbar, Qbar, Rbar, fbar, gx0, gXref, gUref)
+
+    g.defvjp(fwd, bwd)
+    return g
