@@ -215,10 +215,18 @@ def test_fused_supported_gate():
     assert fused_supported(prob)
     # SOC / hyperplane specs are fused-supported since v2.
     assert fused_supported(tm.with_cones(prob, input_cones=[(0, 3, 0.5)]))
-    # Adaptive rho and consensus stay on the XLA path.
+    # Adaptive rho is fused (test_fused_adaptive); with_settings auto-attaches
+    # the sensitivities the kernel telescopes the Taylor update through.
     adaptive = tm.with_settings(prob, adaptive_rho=True)
-    assert not fused_supported(adaptive)
+    assert fused_supported(adaptive)
+    # Stripped sensitivities -> unsupported (nothing to telescope through).
+    import dataclasses
+    bare = adaptive.replace(cache=dataclasses.replace(
+        adaptive.cache, dKinf_drho=None, dPinf_drho=None,
+        dC1_drho=None, dC2_drho=None))
+    assert not fused_supported(bare)
+    # Consensus stays on the XLA path (cross-tile collectives).
     consensus = tm.with_consensus(prob)
     assert not fused_supported(consensus)
     with pytest.raises(ValueError):
-        solve_fused(adaptive, None, None, jnp.zeros((8, 12), jnp.float32))
+        solve_fused(bare, None, None, jnp.zeros((8, 12), jnp.float32))

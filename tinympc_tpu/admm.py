@@ -33,7 +33,7 @@ from .projections import project_box, project_soc
 from .rho_adapt import adapt_rho
 from .types import (
     Cache, ConstraintData, ProblemSpec, Settings, SolverState, Solution,
-    TinyProblem, TINY_SOLVED, TINY_UNSOLVED,
+    TinyProblem, TINY_SOLVED, TINY_UNSOLVED, matmul_precision_ctx,
 )
 
 
@@ -152,16 +152,31 @@ def backward_pass(cache: Cache, B, state: SolverState,
 
 
 def forward_pass(A, B, f, cache: Cache, state: SolverState,
-                 consensus: bool = False) -> SolverState:
+                 consensus: bool = False, hp: bool = False) -> SolverState:
     """LQR rollout (admm.cpp:25-32)::
 
         u[i] = -Kinf x[i] - d[i];  x[i+1] = A x[i] + B u[i] + f
 
     With consensus, u[0] uses the step-0 gain Kinf0 (see backward_pass).
+
+    ``hp`` runs the rollout matvecs at HIGHEST precision. Used under
+    adaptive rho, where the OSQP residual recomputation ``A x_i + B u_i -
+    x_{i+1}`` (rho_adapt.osqp_residuals, also HIGHEST) must cancel against
+    the rollout: with the TPU's default single-pass-bf16 matmuls the two
+    computations round differently and the O(1e-2) mismatch corrupts
+    pri_res — in the f64 reference this term is ~1e-16
+    (rho_benchmark.cpp:146-173). The fused kernel is self-consistent by
+    construction (it reuses the rollout's exact products), so only this
+    XLA path needs the precision pin.
     """
+    prec = jax.lax.Precision.HIGHEST if hp else None
+
+    def mvp(M, v):
+        return jnp.einsum("...ij,...j->...i", M, v, precision=prec)
+
     def step(x_i, d_i):
-        u_i = -mv(cache.Kinf, x_i) - d_i
-        x_next = mv(A, x_i) + mv(B, u_i) + f
+        u_i = -mvp(cache.Kinf, x_i) - d_i
+        x_next = mvp(A, x_i) + mvp(B, u_i) + f
         return x_next, (x_i, u_i)
 
     if not consensus:
@@ -170,8 +185,8 @@ def forward_pass(A, B, f, cache: Cache, state: SolverState,
         return state.replace(x=x, u=us)
 
     x0 = state.x[0]
-    u0 = -mv(cache.Kinf0, x0) - state.d[0]
-    x1 = mv(A, x0) + mv(B, u0) + f
+    u0 = -mvp(cache.Kinf0, x0) - state.d[0]
+    x1 = mvp(A, x0) + mvp(B, u0) + f
     x_last, (xs, us) = jax.lax.scan(step, x1, state.d[1:])
     x = jnp.concatenate([x0[None], xs, x_last[None]], axis=0)
     u = jnp.concatenate([u0[None], us], axis=0)
@@ -393,7 +408,7 @@ def admm_iteration(prob: TinyProblem, state: SolverState, Xref, Uref,
     else:
         state = backward_pass(prob.cache, prob.B, state, consensus)
         state = forward_pass(prob.A, prob.B, prob.f, prob.cache, state,
-                             consensus)
+                             consensus, hp=prob.settings.adaptive_rho)
     state = update_slack(spec, prob.cons, state, nb,
                          prob.settings.consensus_axis_name)
     state = update_dual(spec, state)
@@ -442,6 +457,11 @@ def solve(prob: TinyProblem, state: SolverState, Xref=None, Uref=None,
     Returns (solution, final_state, final_cache). ``final_cache`` differs
     from ``prob.cache`` only when adaptive rho is enabled.
     """
+    with matmul_precision_ctx(prob.settings):
+        return _solve_impl(prob, state, Xref, Uref, x0)
+
+
+def _solve_impl(prob, state, Xref, Uref, x0):
     spec, settings = prob.spec, prob.settings
     nb = len(state.batch_shape)
     dtype = prob.dtype

@@ -18,12 +18,12 @@ rolling (nx, Bt) value, so neither occupies an (N, ...) VMEM array.
 
 Scope: every projection family of the reference — box bounds, second-order
 cones of any dimension (admm.cpp:39-60 generalised), static hyperplanes
-(admm.cpp:148-173), and time-varying hyperplanes (admm.cpp:186-211) — with
-fixed rho. Family selection is trace-time static, so the box-only variant
-compiles to exactly the v1 kernel. Adaptive rho falls back to the XLA path
-(the Taylor cache update makes Kinf per-problem, which breaks the shared
-small-matrix MXU structure this kernel is built on), as does consensus
-(needs cross-tile collectives).
+(admm.cpp:148-173), and time-varying hyperplanes (admm.cpp:186-211) — plus
+adaptive rho (the IROS-2025 subsystem, run fully in-kernel by telescoping
+the Taylor updates through the sensitivity matrices; see _make_kernel).
+Family selection is trace-time static, so the box-only variant compiles to
+exactly the v1 kernel. Only consensus falls back to the XLA path (needs
+cross-tile collectives).
 
 Semantics vs admm.solve: *bit-identical* solutions, iteration counts,
 solved flags, and residuals (verified on-chip; both paths use the MXU's
@@ -56,7 +56,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import Solution, TinyProblem, _pytree_dataclass
+from ..admm import ADAPTIVE_RHO_PERIOD
+from ..types import (Solution, TinyProblem, _pytree_dataclass,
+                     matmul_precision_ctx)
 
 DEFAULT_TILE = 1024
 
@@ -91,6 +93,9 @@ class FusedCarry:
     # the persistent workspace), which iteration 0's linear cost observes.
     x: Optional[jax.Array] = None     # (N, nx, B)
     u: Optional[jax.Array] = None     # (N-1, nu, B)
+    # Per-problem rho, carried only for adaptive-rho problems (the
+    # reference's cache->rho persists across tiny_solve calls).
+    rho: Optional[jax.Array] = None   # (1, B)
 
 
 def init_carry(prob: TinyProblem, B: int) -> FusedCarry:
@@ -116,6 +121,8 @@ def init_carry(prob: TinyProblem, B: int) -> FusedCarry:
     if spec.any_extra_family:
         fam["x"] = zx()
         fam["u"] = zu()
+    if prob.settings.adaptive_rho:
+        fam["rho"] = jnp.full((1, B), float(prob.cache.rho), dtype)
     return FusedCarry(vnew=zx(), znew=zu(), g=zx(), y=zu(), v=zx(), z=zu(),
                       **fam)
 
@@ -197,7 +204,10 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                  state_cones=(), input_cones=(),
                  n_state_lin: int = 0, n_input_lin: int = 0,
                  n_tv_state_lin: int = 0, n_tv_input_lin: int = 0,
-                 warm: bool = False):
+                 warm: bool = False,
+                 adaptive: bool = False, apply_c: bool = False,
+                 rho_min: float = 1.0, rho_max: float = 100.0,
+                 rho_clip: bool = True, adapt_period: int = 5):
     """Build the fused-solve kernel for a static constraint-family layout.
 
     Ref order (inputs → outputs → scratch) must match the spec/shape lists
@@ -209,6 +219,24 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
     carry at first convergence (the XLA path's per-lane freeze), and the
     merged carry is written to outputs — the same machinery as the fused
     closed-loop kernel, for solves whose plant lives outside the chip.
+
+    ``adaptive`` adds the IROS-2025 adaptive-rho subsystem (rho_benchmark.cpp
+    via rho_adapt.py) *inside* the kernel. The XLA path materialises a full
+    per-problem cache copy because the Taylor update makes Kinf/Pinf
+    per-problem (admm.solve broadcasts the cache over the batch); here the
+    updates telescope instead — after any number of adaptations
+    ``Kinf_b = Kinf0 + (rho_b - rho0) * dKinf`` exactly, because dM/drho is
+    fixed — so every per-problem matvec decomposes into two *shared*
+    small-matrix MXU matmuls plus a per-lane axpy::
+
+        Kinf_b @ v  =  Kinf @ v  +  drho_b * (dKinf @ v)
+
+    and the only per-lane state is the scalar rho row. The OSQP residuals
+    (matrix-free, rho_adapt.osqp_residuals) are computed in-kernel every
+    ``adapt_period`` iterations on still-active lanes. ``apply_c`` mirrors
+    Settings.adaptive_rho_apply_c (also retarget Quu_inv/AmBKt via dC1/dC2;
+    the reference only updates the unused C1/C2 aliases,
+    rho_benchmark.cpp:204-209 vs admm.cpp:17-18).
     """
     en_ssoc = bool(state_cones)
     en_isoc = bool(input_cones)
@@ -228,6 +256,11 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             nxt(), nxt(), nxt(), nxt(), nxt())
         APf_ref, BPf_ref, f_ref = nxt(), nxt(), nxt()
         Qdiag_ref, Rdiag_ref = nxt(), nxt()
+        if adaptive:
+            AT_ref, Pinf_ref = nxt(), nxt()
+            dK_ref, dKT_ref, dP_ref, dPT_ref = nxt(), nxt(), nxt(), nxt()
+            dC1_ref = nxt() if apply_c else None
+            dC2_ref = nxt() if apply_c else None
         cx_ref = nxt() if en_ssoc else None
         cu_ref = nxt() if en_isoc else None
         Alx_ref = nxt() if n_state_lin else None
@@ -249,9 +282,11 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             ytv_in = nxt() if n_tv_input_lin else None
             xin_ref = nxt() if any_extra else None
             uin_ref = nxt() if any_extra else None
+            rho_in = nxt() if adaptive else None
         # --- outputs
         outx_ref, outu_ref = nxt(), nxt()
         iters_ref, solved_ref, res_ref = nxt(), nxt(), nxt()
+        rho_out = nxt() if adaptive else None
         if warm:
             vnew_out, znew_out, g_out, y_out, v_out, z_out = (
                 nxt(), nxt(), nxt(), nxt(), nxt(), nxt())
@@ -268,6 +303,7 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         vnew, znew = nxt(), nxt()       # (2, ...) ping-pong halves
         g, y = nxt(), nxt()
         done, iters, res = nxt(), nxt(), nxt()
+        rho_s = nxt() if adaptive else None
         vc = nxt() if en_ssoc else None
         gc = nxt() if en_ssoc else None
         zc = nxt() if en_isoc else None
@@ -319,6 +355,17 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         # full f32.
         pN_ref_term = -jnp.sum(PinfT * xref_ref[N - 1][None, :], axis=1,
                                keepdims=True)  # (nx, 1)
+        if adaptive:
+            AT = AT_ref[:]
+            Pinf = Pinf_ref[:]
+            dK, dKT, dP, dPT = dK_ref[:], dKT_ref[:], dP_ref[:], dPT_ref[:]
+            dC1 = dC1_ref[:] if apply_c else None
+            dC2 = dC2_ref[:] if apply_c else None
+            # Sensitivity term of the terminal reference row: the Taylor
+            # update shifts Pinf, so -Pinf_b^T Xref[N-1] gains
+            # drho * (-dPinf^T Xref[N-1]).
+            pN_ref_dP = -jnp.sum(dPT * xref_ref[N - 1][None, :], axis=1,
+                                 keepdims=True)  # (nx, 1)
         mus_x = [cx_ref[k, 0] for k in range(len(state_cones))] if en_ssoc else []
         mus_u = [cu_ref[k, 0] for k in range(len(input_cones))] if en_isoc else []
 
@@ -349,6 +396,8 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         done[:] = jnp.zeros(done.shape, done.dtype)
         iters[:] = jnp.zeros(iters.shape, iters.dtype)
         res[:] = jnp.zeros(res.shape, res.dtype)
+        if adaptive:
+            rho_s[:] = rho_in[:] if warm else jnp.full(rho_s.shape, rho, f32)
         # Extra-family seeds (admm.cpp:352-376 / admm.seed_extra_slacks):
         # state-side slack_new starts from the workspace x with the new x0
         # in row 0 (carried rows on warm solves, zeros on cold); input-side
@@ -377,6 +426,30 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             return jnp.dot(M, vv, preferred_element_type=f32)
 
         def iteration(it, dvgN):
+            # Per-lane rho (adaptive) or the static scalar. The Taylor-updated
+            # per-problem matrices never exist: each matvec is the base matrix
+            # plus a drho-scaled sensitivity matvec (see docstring).
+            if adaptive:
+                rho_b = rho_s[:]                 # (1, Bt)
+                drho = rho_b - rho
+            else:
+                rho_b = rho
+
+            def mmK(vv):
+                o = mm(Kinf, vv)
+                return o + drho * mm(dK, vv) if adaptive else o
+
+            def mmKT(vv):
+                o = mm(KinfT, vv)
+                return o + drho * mm(dKT, vv) if adaptive else o
+
+            def mmQuu(vv):
+                o = mm(Quu, vv)
+                return o + drho * mm(dC1, vv) if (adaptive and apply_c) else o
+
+            def mmAmBKt(vv):
+                o = mm(AmBKt, vv)
+                return o + drho * mm(dC2, vv) if (adaptive and apply_c) else o
             # 1+2. Linear cost (admm.cpp:262-304) fused into the Riccati
             # backward sweep (admm.cpp:13-20): q/r rows are formed on the
             # fly, and the costate p rolls as a value. The terminal row uses
@@ -384,35 +457,36 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             # iteration; extra-family terms are read directly (their slack
             # and dual arrays still hold the previous iterate here).
             pv = 1 - it % 2                          # previous ping-pong half
-            p_next = pN_ref_term - rho * dvgN
+            pterm = (pN_ref_term + drho * pN_ref_dP) if adaptive else pN_ref_term
+            p_next = pterm - rho_b * dvgN
             if en_ssoc:
-                p_next = p_next - rho * (vc[N - 1] - gc[N - 1])
+                p_next = p_next - rho_b * (vc[N - 1] - gc[N - 1])
             if n_state_lin:
-                p_next = p_next - rho * (vl[N - 1] - gl[N - 1])
+                p_next = p_next - rho_b * (vl[N - 1] - gl[N - 1])
             if n_tv_state_lin:
-                p_next = p_next - rho * (vtv[N - 1] - gtv[N - 1])
+                p_next = p_next - rho_b * (vtv[N - 1] - gtv[N - 1])
             for i in range(N - 2, -1, -1):          # static unroll
-                r_i = neg_uref_r[i] - rho * (znew[pv, i] - y[i])
+                r_i = neg_uref_r[i] - rho_b * (znew[pv, i] - y[i])
                 if en_isoc:
-                    r_i = r_i - rho * (zc[i] - yc[i])
+                    r_i = r_i - rho_b * (zc[i] - yc[i])
                 if n_input_lin:
-                    r_i = r_i - rho * (zl[i] - yl[i])
+                    r_i = r_i - rho_b * (zl[i] - yl[i])
                 if n_tv_input_lin:
-                    r_i = r_i - rho * (ztv[i] - ytv[i])
-                q_i = neg_xref_q[i] - rho * (vnew[pv, i] - g[i])
+                    r_i = r_i - rho_b * (ztv[i] - ytv[i])
+                q_i = neg_xref_q[i] - rho_b * (vnew[pv, i] - g[i])
                 if en_ssoc:
-                    q_i = q_i - rho * (vc[i] - gc[i])
+                    q_i = q_i - rho_b * (vc[i] - gc[i])
                 if n_state_lin:
-                    q_i = q_i - rho * (vl[i] - gl[i])
+                    q_i = q_i - rho_b * (vl[i] - gl[i])
                 if n_tv_state_lin:
-                    q_i = q_i - rho * (vtv[i] - gtv[i])
-                d[i] = mm(Quu, mm(BT, p_next) + r_i + BPf)
-                p_next = q_i + mm(AmBKt, p_next) - mm(KinfT, r_i) + APf
+                    q_i = q_i - rho_b * (vtv[i] - gtv[i])
+                d[i] = mmQuu(mm(BT, p_next) + r_i + BPf)
+                p_next = q_i + mmAmBKt(p_next) - mmKT(r_i) + APf
 
             # 3. forward rollout (admm.cpp:25-32)
             x_i = x[0]
             for i in range(N - 1):                  # static unroll
-                u_i = -mm(Kinf, x_i) - d[i]
+                u_i = -mmK(x_i) - d[i]
                 u[i] = u_i
                 x_i = mm(A, x_i) + mm(Bm, u_i) + fvec
                 x[i + 1] = x_i
@@ -482,6 +556,58 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             # iteration (admm.cpp:444-446).
             it1 = it + 1
             active = done[0] == 0                      # (Bt,)
+
+            if adaptive:
+                # 5.5. adaptive rho every adapt_period iterations on active
+                # lanes (admm.cpp:397-422), matrix-free OSQP residuals
+                # exactly as rho_adapt.osqp_residuals/predict_rho but in
+                # kernel layout. The Taylor update itself is implicit: only
+                # the rho row changes; the next iteration's drho carries it
+                # into every matvec.
+                @pl.when((it > 0) & (it % adapt_period == 0))
+                def _():
+                    y_dyn = g_new[1:]                      # (N-1, nx, Bt)
+                    ax_dyn = jnp.stack(
+                        [mm(A, xs[i]) + mm(Bm, us[i]) - xs[i + 1]
+                         for i in range(N - 1)])
+                    mab = lambda a: jnp.max(jnp.abs(a), axis=(0, 1))
+                    pri_res = jnp.maximum(mab(us - zn), mab(ax_dyn - vn[1:]))
+                    pri_norm = jnp.maximum(
+                        jnp.maximum(mab(us), mab(ax_dyn)),
+                        jnp.maximum(mab(zn), mab(vn[1:])))
+                    # P x: Q-diag stages + per-problem terminal Pinf_b x[N-1]
+                    # (Pinf_b = Pinf + drho * dPinf, telescoped Taylor).
+                    pxN = mm(Pinf, xs[N - 1]) + drho * mm(dP, xs[N - 1])
+                    px_state = jnp.concatenate(
+                        [qx[None] * xs[:-1], pxN[None]], axis=0)
+                    q_state = qx[None] * xs
+                    ru_us = ru[None] * us       # = px_input = q_input
+                    aty_state = jnp.stack(
+                        [(mm(AT, y_dyn[i]) if i < N - 1 else
+                          jnp.zeros((nx, xs.shape[-1]), f32))
+                         - (y_dyn[i - 1] if i >= 1 else
+                            jnp.zeros((nx, xs.shape[-1]), f32))
+                         for i in range(N)])
+                    aty_input = y_new + jnp.stack(
+                        [mm(BT, y_dyn[i]) for i in range(N - 1)])
+                    dual_res = jnp.maximum(
+                        mab(px_state + q_state + aty_state),
+                        mab(2.0 * ru_us + aty_input))
+                    dual_norm = jnp.maximum(
+                        jnp.maximum(jnp.maximum(mab(px_state), mab(ru_us)),
+                                    jnp.maximum(mab(aty_state), mab(aty_input))),
+                        jnp.maximum(mab(q_state), mab(ru_us)))
+                    eps = 1e-10                            # rho_benchmark.cpp:183
+                    ratio = (pri_res / (pri_norm + eps)) / (
+                        dual_res / (dual_norm + eps) + eps)
+                    new_rho = rho_s[0] * jnp.sqrt(ratio)
+                    if rho_clip:
+                        new_rho = jnp.clip(new_rho, rho_min, rho_max)
+                    rho_s[0] = jnp.where(active, new_rho, rho_s[0])
+
+            # Termination scales the dual residuals with the post-adaptation
+            # rho (admm.solve computes residuals with the adapted cache).
+            rho_t = rho_s[0] if adaptive else rho
             if warm:
                 vprev = jnp.where(it == 0, vstale[:], vnew[prev])
                 zprev = jnp.where(it == 0, zstale[:], znew[prev])
@@ -490,8 +616,8 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                 zprev = znew[prev]
             pri_s = jnp.max(jnp.abs(xs - vn), axis=(0, 1))
             pri_i = jnp.max(jnp.abs(us - zn), axis=(0, 1))
-            dua_s = jnp.max(jnp.abs(vprev - vn), axis=(0, 1)) * rho
-            dua_i = jnp.max(jnp.abs(zprev - zn), axis=(0, 1)) * rho
+            dua_s = jnp.max(jnp.abs(vprev - vn), axis=(0, 1)) * rho_t
+            dua_i = jnp.max(jnp.abs(zprev - zn), axis=(0, 1)) * rho_t
             checking = (it1 % check_termination) == 0
             ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
                 & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
@@ -558,6 +684,10 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         solved_ref[0] = jnp.where(active, 0, 1)
         iters_ref[:] = iters[:]
         res_ref[:] = res[:]
+        if adaptive:
+            # Converged lanes froze their rho (adaptation is active-masked),
+            # so this is the per-problem final rho of admm.solve's cache.
+            rho_out[:] = rho_s[:]
 
         if warm:
             # Merge the carry: converged lanes restore their snapshots
@@ -590,8 +720,11 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
     """Batched cold-start solve via the fused kernel.
 
     Args: x0s (B, nx); Xref (N, nx); Uref (N-1, nu). Supports any
-    combination of box / SOC / hyperplane / tv-hyperplane families with
-    fixed rho (see module docstring). Returns ``(Solution, residuals(4, B))``.
+    combination of box / SOC / hyperplane / tv-hyperplane families, with
+    fixed or adaptive rho (see module docstring).
+    Returns ``(Solution, residuals(4, B))``; with adaptive rho the residual
+    array gains a 5th row holding each problem's final rho (feed it to
+    :func:`adapted_cache` for the full per-problem cache).
     """
     sol, res, _ = _fused_call(prob, Xref, Uref, x0s, None, tile, interpret)
     return sol, res
@@ -621,10 +754,12 @@ def solve_fused_warm(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
 def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
     spec, settings = prob.spec, prob.settings
     warm = carry is not None
+    adaptive = settings.adaptive_rho
     if not fused_supported(prob):
-        raise ValueError("solve_fused supports fixed-rho projection specs "
-                         "(box/SOC/linear/tv); use tinympc_tpu.solve for "
-                         "adaptive-rho or consensus problems")
+        raise ValueError(
+            "solve_fused supports every projection family plus adaptive rho "
+            "(configure sensitivities via with_sensitivities); consensus "
+            "problems use tinympc_tpu.solve")
     N, nx, nu = spec.N, spec.nx, spec.nu
     dtype = jnp.float32
     B = x0s.shape[0]
@@ -665,6 +800,17 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         jnp.asarray(c.Quu_inv, dtype), jnp.asarray(c.AmBKt, dtype),
         col(c.APf), col(c.BPf), col(prob.f), col(prob.Qdiag), col(prob.Rdiag),
     ]
+    if adaptive:
+        args += [
+            jnp.asarray(prob.A, dtype).T, jnp.asarray(c.Pinf, dtype),
+            jnp.asarray(c.dKinf_drho, dtype),
+            jnp.asarray(c.dKinf_drho, dtype).T,
+            jnp.asarray(c.dPinf_drho, dtype),
+            jnp.asarray(c.dPinf_drho, dtype).T,
+        ]
+        if settings.adaptive_rho_apply_c:
+            args += [jnp.asarray(c.dC1_drho, dtype),
+                     jnp.asarray(c.dC2_drho, dtype)]
     en_ssoc = bool(spec.enabled_state_cones)
     en_isoc = bool(spec.enabled_input_cones)
     nsl, nil = spec.n_state_lin, spec.n_input_lin
@@ -689,12 +835,13 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
     # field order (box slacks/duals/stales, family duals, then x/u when an
     # extra family needs its seeds).
     carry_leaves = ()
+    n_lane_in = 0
     if warm:
         need = {"gc": en_ssoc, "yc": en_isoc, "gl": bool(nsl),
                 "yl": bool(nil), "gtv": bool(ntsl), "ytv": bool(ntil),
-                "x": any_extra, "u": any_extra}
+                "x": any_extra, "u": any_extra, "rho": adaptive}
         bad = [k for k, n in need.items()
-               if n != (getattr(carry, k) is not None)]
+               if bool(n) != (getattr(carry, k) is not None)]
         if bad:
             raise ValueError(
                 f"carry fields {bad} do not match this problem's enabled "
@@ -706,6 +853,10 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
                         carry.yl, carry.gtv, carry.ytv, carry.x, carry.u)
             if l is not None)
         args += [jnp.asarray(l, dtype) for l in carry_leaves]
+        n_lane_in = len(carry_leaves)
+        if adaptive:
+            args.append(jnp.asarray(carry.rho, dtype))   # rho_in, last input
+            n_lane_in += 1
 
     rep = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                  memory_space=pltpu.VMEM)
@@ -713,7 +864,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         a.shape[:-1] + (Bt,), lambda i: (0,) * (a.ndim - 1) + (i,),
         memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec((nx, Bt), lambda i: (0, i), memory_space=pltpu.VMEM)]
-    n_shared = len(args) - len(carry_leaves)
+    n_shared = len(args) - n_lane_in
     in_specs += [rep(a) for a in args[1:n_shared]]
     in_specs += [lane_spec(a) for a in args[n_shared:]]
 
@@ -728,6 +879,9 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         n_state_lin=nsl, n_input_lin=nil,
         n_tv_state_lin=ntsl, n_tv_input_lin=ntil,
         warm=warm,
+        adaptive=adaptive, apply_c=settings.adaptive_rho_apply_c,
+        rho_min=settings.adaptive_rho_min, rho_max=settings.adaptive_rho_max,
+        rho_clip=settings.adaptive_rho_clip, adapt_period=ADAPTIVE_RHO_PERIOD,
     )
 
     zx = lambda: pltpu.VMEM((N, nx, Bt), dtype)
@@ -747,6 +901,10 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         jax.ShapeDtypeStruct((1, B), jnp.int32),
         jax.ShapeDtypeStruct((4, B), dtype),
     ]
+    if adaptive:
+        out_specs.append(pl.BlockSpec((1, Bt), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, B), dtype))
     if warm:
         for l in carry_leaves:
             out_specs.append(lane_spec(l))
@@ -761,6 +919,8 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         pltpu.VMEM((1, Bt), jnp.int32),   # iters
         pltpu.VMEM((4, Bt), dtype),       # residuals
     ]
+    if adaptive:
+        scratch += [pltpu.VMEM((1, Bt), dtype)]   # per-lane rho
     if en_ssoc:
         scratch += [zx(), zx()]     # vc gc
     if en_isoc:
@@ -791,18 +951,19 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         if any_extra:
             scratch += [zx(), zu()]   # snap_x snap_u
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=(B // Bt,),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(*args)
+    with matmul_precision_ctx(settings):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B // Bt,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*args)
 
     outx, outu, iters, solved, res = outs[:5]
     solution = Solution(
@@ -810,19 +971,65 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         x=jnp.moveaxis(outx, -1, 1),
         u=jnp.moveaxis(outu, -1, 1),
     )
+    nfixed = 5
+    rho_final = None
+    if adaptive:
+        rho_final = outs[5]
+        nfixed = 6
+        # Final per-problem rho rides as a 5th residual row (callers that
+        # need the adapted cache reconstruct it via adapted_cache()).
+        res = jnp.concatenate([res, rho_final], axis=0)
     carry_out = None
     if warm:
-        co = list(outs[5:])
+        co = list(outs[nfixed:])
         names = ["vnew", "znew", "g", "y", "v", "z", "gc", "yc", "gl", "yl",
                  "gtv", "ytv", "x", "u"]
         vals = {}
         for name in names:
             if getattr(carry, name) is not None:
                 vals[name] = co.pop(0)
+        if adaptive:
+            vals["rho"] = rho_final
         carry_out = FusedCarry(**vals)
     return solution, res, carry_out
 
 
 def fused_supported(prob: TinyProblem) -> bool:
-    """True if this problem's spec is handled by the fused kernel."""
-    return not (prob.settings.adaptive_rho or prob.spec.en_consensus)
+    """True if this problem's spec is handled by the fused kernel.
+
+    Everything except consensus (cross-tile collectives) is fused, including
+    adaptive rho — which additionally needs the sensitivity matrices
+    (with_sensitivities) since the kernel telescopes the Taylor updates
+    through them."""
+    if prob.spec.en_consensus:
+        return False
+    if prob.settings.adaptive_rho and prob.cache.dKinf_drho is None:
+        return False
+    return True
+
+
+def adapted_cache(prob: TinyProblem, rho_final):
+    """Reconstruct the per-problem adapted cache from the fused kernel's
+    final rho row (the telescoped Taylor update,
+    ``M_b = M0 + (rho_b - rho0) * dM/drho``) — the fused-path equivalent of
+    the ``final_cache`` returned by :func:`tinympc_tpu.solve`.
+
+    Args: rho_final — the 5th residual row returned by adaptive
+    :func:`solve_fused` (shape (B,) or (1, B)). Returns a Cache whose
+    leaves carry a leading batch axis.
+    """
+    import dataclasses
+    c = prob.cache
+    rho_b = jnp.asarray(rho_final).reshape(-1)              # (B,)
+    delta = (rho_b - c.rho)[:, None, None]
+    upd = dict(
+        rho=rho_b,
+        Kinf=c.Kinf + delta * c.dKinf_drho,
+        Pinf=c.Pinf + delta * c.dPinf_drho,
+        C1=c.C1 + delta * c.dC1_drho,
+        C2=c.C2 + delta * c.dC2_drho,
+    )
+    if prob.settings.adaptive_rho_apply_c:
+        upd["Quu_inv"] = c.Quu_inv + delta * c.dC1_drho
+        upd["AmBKt"] = c.AmBKt + delta * c.dC2_drho
+    return dataclasses.replace(c, **upd)

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import TinyProblem
+from ..types import TinyProblem, matmul_precision_ctx
 
 DEFAULT_TILE = 2048
 
@@ -309,38 +309,39 @@ def closed_loop_fused(prob: TinyProblem, Xref_total, x0s, n_steps: int,
     zx = lambda: pltpu.VMEM((N, nx, Bt), dtype)
     zu = lambda: pltpu.VMEM((N - 1, nu, Bt), dtype)
 
-    xs, us, iters, solved = pl.pallas_call(
-        kernel,
-        grid=(B // Bt,),
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((n_steps, nx, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_steps, nu, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_steps, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_steps, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_steps, nx, B), dtype),
-            jax.ShapeDtypeStruct((n_steps, nu, B), dtype),
-            jax.ShapeDtypeStruct((n_steps, B), jnp.int32),
-            jax.ShapeDtypeStruct((n_steps, B), jnp.int32),
-        ),
-        scratch_shapes=[
-            zx(), zu(), zu(),                       # x u d
-            pltpu.VMEM((2, N, nx, Bt), dtype),      # vnew ping-pong (v rides half)
-            pltpu.VMEM((2, N - 1, nu, Bt), dtype),  # znew ping-pong
-            zx(), zu(),                             # g y
-            zx(), zu(),                             # vstale zstale
-            zx(), zu(), zx(), zu(), zx(), zu(),     # snapshots v z g y vst zst
-            pltpu.VMEM((nu, Bt), dtype),            # snap_u0
-            pltpu.VMEM((1, Bt), jnp.int32),
-            pltpu.VMEM((1, Bt), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(*args)
+    with matmul_precision_ctx(st):
+        xs, us, iters, solved = pl.pallas_call(
+            kernel,
+            grid=(B // Bt,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((n_steps, nx, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_steps, nu, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_steps, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_steps, Bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_steps, nx, B), dtype),
+                jax.ShapeDtypeStruct((n_steps, nu, B), dtype),
+                jax.ShapeDtypeStruct((n_steps, B), jnp.int32),
+                jax.ShapeDtypeStruct((n_steps, B), jnp.int32),
+            ),
+            scratch_shapes=[
+                zx(), zu(), zu(),                       # x u d
+                pltpu.VMEM((2, N, nx, Bt), dtype),      # vnew ping-pong (v rides half)
+                pltpu.VMEM((2, N - 1, nu, Bt), dtype),  # znew ping-pong
+                zx(), zu(),                             # g y
+                zx(), zu(),                             # vstale zstale
+                zx(), zu(), zx(), zu(), zx(), zu(),     # snapshots v z g y vst zst
+                pltpu.VMEM((nu, Bt), dtype),            # snap_u0
+                pltpu.VMEM((1, Bt), jnp.int32),
+                pltpu.VMEM((1, Bt), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*args)
 
     return (jnp.moveaxis(xs, -1, 1), jnp.moveaxis(us, -1, 1),
             iters, solved.astype(jnp.bool_))

@@ -16,6 +16,7 @@ Parity quirk preserved: the Taylor update writes Kinf/Pinf and the C1/C2
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .types import Cache, Settings
@@ -28,12 +29,21 @@ def _maxabs(a):
     return jnp.max(jnp.abs(a), axis=(0, a.ndim - 1))
 
 
+# The residual matvecs are cancellation-sensitive: ax_dyn = A x_i + B u_i -
+# x_{i+1} is ~0 after an exact forward pass, so on TPU a default-precision
+# (single-pass bf16) recomputation injects O(1e-2) noise that deflates
+# pri_res and sends rho on a different trajectory than the f64 oracle.
+# HIGHEST forces f32-accurate matmuls here (no-op on CPU); the fused kernel
+# is immune by construction (it reuses the forward pass's exact products).
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def _mv(M, v):
-    return jnp.einsum("...ij,...j->...i", M, v)
+    return jnp.einsum("...ij,...j->...i", M, v, precision=_PREC)
 
 
 def _mtv(M, v):
-    return jnp.einsum("...ji,...j->...i", M, v)
+    return jnp.einsum("...ji,...j->...i", M, v, precision=_PREC)
 
 
 def _trail(v, like):
