@@ -47,7 +47,8 @@ from .types import (
     TINY_SOLVED,
     TINY_UNSOLVED,
 )
-from . import admm, diff, projections, riccati, rho_adapt, systems
+from . import admm, compat, diff, projections, riccati, rho_adapt, systems
+from .compat import TinyMPC
 from .diff import make_differentiable, make_differentiable_params
 
 __version__ = "0.1.0"
