@@ -101,6 +101,26 @@ def main():
     record("rocket SOC cold solve (fused)", B, B / dt, "solves/s",
            f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
 
+    # --- consensus ADMM: scenario groups of 16, XLA pmean-free local path
+    # vs the in-kernel group mean (segment matmul) ---
+    ng, G = 2048, 16
+    B = ng * G
+    prob, _ = _mk("quadrotor_20hz", 10, f32, max_iter=500)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    prob = tm.with_consensus(prob, rho_c=100.0)
+    Xref = jnp.zeros((10, 12), f32).at[:, 2].set(0.5)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (ng, G, 12)), f32)
+    cons_x = jax.jit(lambda x0s: tm.solve_(prob, tm.init_state(prob, (ng, G)),
+                                           Xref, None, x0s)[0].iter)
+    out, dt = bench("consensus_xla", cons_x, x0s)
+    record("consensus G=16 cold solve (XLA)", B, B / dt, "solves/s",
+           f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
+    cons_f = jax.jit(lambda x0s: solve_fused(prob, Xref, None, x0s,
+                                             tile=4096)[0].iter)
+    out, dt = bench("consensus_fused", cons_f, x0s)
+    record("consensus G=16 cold solve (fused)", B, B / dt, "solves/s",
+           f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
+
     # --- long-horizon: sequential vs associative scan ---
     for N in (128, 512):
         B = 1024

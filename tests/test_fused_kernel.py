@@ -225,8 +225,70 @@ def test_fused_supported_gate():
         adaptive.cache, dKinf_drho=None, dPinf_drho=None,
         dC1_drho=None, dC2_drho=None))
     assert not fused_supported(bare)
-    # Consensus stays on the XLA path (cross-tile collectives).
+    # Local consensus groups are fused (in-kernel lane butterfly); only a
+    # named mesh axis (cross-shard pmean) stays on the XLA path.
     consensus = tm.with_consensus(prob)
-    assert not fused_supported(consensus)
+    assert fused_supported(consensus)
+    sharded = tm.with_consensus(prob, axis_name="scen")
+    assert not fused_supported(sharded)
     with pytest.raises(ValueError):
         solve_fused(bare, None, None, jnp.zeros((8, 12), jnp.float32))
+    # Consensus x0s must carry the (n_groups, group, nx) structure with a
+    # power-of-two group.
+    with pytest.raises(ValueError):
+        solve_fused(consensus, None, None, jnp.zeros((8, 12), jnp.float32),
+                    interpret=True)
+    with pytest.raises(ValueError):
+        solve_fused(consensus, None, None, jnp.zeros((2, 3, 12), jnp.float32),
+                    interpret=True)
+
+
+def _consensus_case(ng, G, max_iter=60, rho_c=None):
+    prob = tm.with_consensus(_problem(max_iter=max_iter), rho_c=rho_c)
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (ng, G, 12)), jnp.float32)
+    Xref = jnp.tile(jnp.asarray([0, 0, 0.5, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                                jnp.float32), (10, 1))
+    return prob, x0s, Xref
+
+
+def _check_consensus_fused(ng, G, **kw):
+    prob, x0s, Xref = _consensus_case(ng, G, **kw)
+    sol_ref, st_ref, _ = tm.solve(prob, tm.init_state(prob, (ng, G)),
+                                  Xref=Xref, x0=x0s)
+    sol_f, res = solve_fused(prob, Xref, None, x0s, tile=ng * G,
+                             interpret=True)
+    assert sol_f.x.shape == (10, ng, G, 12)
+    np.testing.assert_allclose(np.asarray(sol_f.x), np.asarray(sol_ref.x),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_ref.u),
+                               atol=2e-4)
+    it_f, it_r = np.asarray(sol_f.iter), np.asarray(sol_ref.iter)
+    assert np.all(np.abs(it_f - it_r) <= 1)
+    # Lanes the kernel reports converged passed the consensus-residual gate:
+    # u[0] within 2*abs_pri_tol of its group mean.
+    u0 = np.asarray(sol_f.u[0])                 # (ng, G, nu)
+    solved = np.asarray(sol_f.solved)
+    spread = np.ptp(u0, axis=1).max(-1)         # (ng,)
+    group_solved = solved.all(axis=1)
+    assert np.all(spread[group_solved] < 2 * prob.settings.abs_pri_tol + 1e-5)
+    return sol_f
+
+
+def test_fused_consensus_matches_xla_interpret():
+    """Scenario groups as lane segments: the in-kernel butterfly mean must
+    reproduce the XLA consensus path (mean over the last batch axis)."""
+    _check_consensus_fused(ng=2, G=4)
+
+
+def test_fused_consensus_single_group():
+    """One group spanning the whole tile exercises the full-lane-mean path."""
+    _check_consensus_fused(ng=1, G=8)
+
+
+def test_fused_consensus_converges_tight():
+    """With the exact prox at rho_c=100 the groups converge with a common
+    u[0] (the with_consensus capability claim, at fused-kernel speed)."""
+    sol = _check_consensus_fused(ng=2, G=2, rho_c=100.0, max_iter=500)
+    assert np.asarray(sol.solved).all()
+    assert np.ptp(np.asarray(sol.u[0]), axis=1).max() < 5e-3

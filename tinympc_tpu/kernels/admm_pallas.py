@@ -22,8 +22,9 @@ cones of any dimension (admm.cpp:39-60 generalised), static hyperplanes
 adaptive rho (the IROS-2025 subsystem, run fully in-kernel by telescoping
 the Taylor updates through the sensitivity matrices; see _make_kernel).
 Family selection is trace-time static, so the box-only variant compiles to
-exactly the v1 kernel. Only consensus falls back to the XLA path (needs
-cross-tile collectives).
+exactly the v1 kernel. Consensus groups run in-kernel too (the group mean
+is a lane butterfly, see _segment_mean_lanes); only consensus over a named
+mesh axis (cross-shard pmean) stays on the XLA path.
 
 Semantics vs admm.solve: *bit-identical* solutions, iteration counts,
 solved flags, and residuals (verified on-chip; both paths use the MXU's
@@ -198,6 +199,38 @@ def _apply_tv_hyperplanes(cand, A_ref, b_ref, count):
     return cand
 
 
+def _segment_mean_lanes(v, G, S, ST):
+    """Mean over aligned, contiguous groups of ``G`` lanes, broadcast back
+    to every lane of its group.
+
+    The consensus projection onto the all-equal subspace is the scenario
+    mean (admm.update_slack); here a scenario group is ``G`` adjacent
+    lanes. Cross-lane segment reductions are MXU work, not VPU work: with
+    the one-hot membership matrix ``S`` (Bt, Bt/G), ``(v @ S) @ S^T / G``
+    gathers the group sums and scatters them back in two thin matmuls —
+    ~2*rows*Bt*(Bt/G) MACs per call, noise next to the Riccati sweeps.
+    (A log2(G)-stage lane-roll butterfly is mathematically neater but
+    ~100x slower under Mosaic, whose cross-lane rotates scalarise.)
+    ``ST`` is passed pre-transposed (no in-kernel .T, see module
+    docstring)."""
+    if G == 1:
+        return v
+    if G == v.shape[-1]:
+        m = jnp.mean(v, axis=-1, keepdims=True)
+        return jnp.broadcast_to(m, v.shape)
+    sums = jnp.dot(v, S, preferred_element_type=jnp.float32)
+    return jnp.dot(sums, ST, preferred_element_type=jnp.float32) / G
+
+
+def _segment_matrices(Bt: int, G: int):
+    """Host-side (S, S^T) one-hot group membership for _segment_mean_lanes."""
+    ng = Bt // G
+    S = jnp.zeros((Bt, ng), jnp.float32)
+    idx = jnp.arange(Bt)
+    S = S.at[idx, idx // G].set(1.0)
+    return S, S.T
+
+
 def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                  check_termination: int, abs_pri_tol: float,
                  abs_dua_tol: float, rho: float,
@@ -207,7 +240,9 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                  warm: bool = False,
                  adaptive: bool = False, apply_c: bool = False,
                  rho_min: float = 1.0, rho_max: float = 100.0,
-                 rho_clip: bool = True, adapt_period: int = 5):
+                 rho_clip: bool = True, adapt_period: int = 5,
+                 consensus: bool = False, group: int = 0,
+                 rho_c: float = 0.0, seg_mm: bool = False):
     """Build the fused-solve kernel for a static constraint-family layout.
 
     Ref order (inputs → outputs → scratch) must match the spec/shape lists
@@ -237,6 +272,14 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
     Settings.adaptive_rho_apply_c (also retarget Quu_inv/AmBKt via dC1/dC2;
     the reference only updates the unused C1/C2 aliases,
     rho_benchmark.cpp:204-209 vs admm.cpp:17-18).
+
+    ``consensus`` adds scenario-tree consensus ADMM on u[0] (admm.solve's
+    en_consensus family): a scenario group is ``group`` adjacent lanes
+    (static power of two dividing the tile), the consensus projection is
+    the group mean via :func:`_segment_mean_lanes`, and step 0 of each
+    sweep uses the exact-prox gain pair Kinf0/Quu0_inv baked by
+    with_consensus (``rho_c`` weighting the linear-cost term). Entirely
+    within-tile — no collectives; cross-shard groups stay on the XLA path.
     """
     en_ssoc = bool(state_cones)
     en_isoc = bool(input_cones)
@@ -261,6 +304,10 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             dK_ref, dKT_ref, dP_ref, dPT_ref = nxt(), nxt(), nxt(), nxt()
             dC1_ref = nxt() if apply_c else None
             dC2_ref = nxt() if apply_c else None
+        if consensus:
+            Kinf0_ref, Quu0_ref = nxt(), nxt()
+            if seg_mm:
+                S_ref, ST_ref = nxt(), nxt()
         cx_ref = nxt() if en_ssoc else None
         cu_ref = nxt() if en_isoc else None
         Alx_ref = nxt() if n_state_lin else None
@@ -316,6 +363,8 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         gtv = nxt() if n_tv_state_lin else None
         ztv = nxt() if n_tv_input_lin else None
         ytv = nxt() if n_tv_input_lin else None
+        zc0 = nxt() if consensus else None
+        yc0 = nxt() if consensus else None
         if warm:
             vstale, zstale = nxt(), nxt()
             snap_v, snap_z, snap_g, snap_y, snap_vst, snap_zst = (
@@ -366,6 +415,11 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             # drho * (-dPinf^T Xref[N-1]).
             pN_ref_dP = -jnp.sum(dPT * xref_ref[N - 1][None, :], axis=1,
                                  keepdims=True)  # (nx, 1)
+        if consensus:
+            Kinf0 = Kinf0_ref[:]
+            Quu0 = Quu0_ref[:]
+            Sseg = S_ref[:] if seg_mm else None
+            STseg = ST_ref[:] if seg_mm else None
         mus_x = [cx_ref[k, 0] for k in range(len(state_cones))] if en_ssoc else []
         mus_u = [cu_ref[k, 0] for k in range(len(input_cones))] if en_isoc else []
 
@@ -421,6 +475,11 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             for ref in (gc, zc, yc, gl, zl, yl, gtv, ztv, ytv):
                 if ref is not None:
                     ref[:] = jnp.zeros(ref.shape, ref.dtype)
+        if consensus:
+            # Seed zc0new from the (zero) cold-start u and zero the dual
+            # (admm.seed_extra_slacks / init_state).
+            zc0[:] = jnp.zeros(zc0.shape, zc0.dtype)
+            yc0[:] = jnp.zeros(yc0.shape, yc0.dtype)
 
         def mm(M, vv):
             return jnp.dot(M, vv, preferred_element_type=f32)
@@ -473,6 +532,10 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                     r_i = r_i - rho_b * (zl[i] - yl[i])
                 if n_tv_input_lin:
                     r_i = r_i - rho_b * (ztv[i] - ytv[i])
+                if consensus and i == 0:
+                    # u[0]-only consensus prox (admm.update_linear_cost's
+                    # r[0] term, weighted by rho_c rather than rho).
+                    r_i = r_i - rho_c * (zc0[:] - yc0[:])
                 q_i = neg_xref_q[i] - rho_b * (vnew[pv, i] - g[i])
                 if en_ssoc:
                     q_i = q_i - rho_b * (vc[i] - gc[i])
@@ -480,13 +543,21 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                     q_i = q_i - rho_b * (vl[i] - gl[i])
                 if n_tv_state_lin:
                     q_i = q_i - rho_b * (vtv[i] - gtv[i])
-                d[i] = mmQuu(mm(BT, p_next) + r_i + BPf)
+                if consensus and i == 0:
+                    # Step 0 carries the rho_c*I prox in its dedicated gain
+                    # (admm.backward_pass with consensus=True).
+                    d[i] = mm(Quu0, mm(BT, p_next) + r_i + BPf)
+                else:
+                    d[i] = mmQuu(mm(BT, p_next) + r_i + BPf)
                 p_next = q_i + mmAmBKt(p_next) - mmKT(r_i) + APf
 
             # 3. forward rollout (admm.cpp:25-32)
             x_i = x[0]
             for i in range(N - 1):                  # static unroll
-                u_i = -mmK(x_i) - d[i]
+                if consensus and i == 0:
+                    u_i = -mm(Kinf0, x_i) - d[i]
+                else:
+                    u_i = -mmK(x_i) - d[i]
                 u[i] = u_i
                 x_i = mm(A, x_i) + mm(Bm, u_i) + fvec
                 x[i + 1] = x_i
@@ -546,6 +617,14 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             g[:] = g_new
             y[:] = y_new
             dvgN_next = vn[N - 1] - g_new[N - 1]
+            if consensus:
+                # Consensus slack on u[0]: projection onto the all-equal
+                # subspace = scenario-group mean; scaled-dual ascent
+                # (admm.update_slack / update_dual en_consensus blocks).
+                cand0 = us[0] + yc0[:]                   # (nu, Bt)
+                zc0n = _segment_mean_lanes(cand0, group, Sseg, STseg)
+                zc0[:] = zc0n
+                yc0[:] = yc0[:] + us[0] - zc0n
 
             # 6. termination (admm.cpp:310-328; bounds-family residuals
             # only, like the reference); bookkeeping only for lanes not yet
@@ -621,6 +700,11 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             checking = (it1 % check_termination) == 0
             ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
                 & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
+            if consensus:
+                # Consensus residual gates convergence like the XLA path
+                # (admm._solve_impl's cres check); not recorded in res.
+                cres = jnp.max(jnp.abs(us[0] - zc0n), axis=0)
+                ok = ok & (cres < abs_pri_tol)
             just = checking & ok & active
 
             iters[0] = jnp.where(active, it1, iters[0])
@@ -721,7 +805,11 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
 
     Args: x0s (B, nx); Xref (N, nx); Uref (N-1, nu). Supports any
     combination of box / SOC / hyperplane / tv-hyperplane families, with
-    fixed or adaptive rho (see module docstring).
+    fixed or adaptive rho (see module docstring). Consensus problems
+    (with_consensus) pass x0s as (n_groups, group, nx) — the scenario
+    group on the last batch axis, exactly like tinympc_tpu.solve — with
+    group a power of two; Solution comes back with the same batch
+    structure and the group mean runs in-kernel (no collectives).
     Returns ``(Solution, residuals(4, B))``; with adaptive rho the residual
     array gains a 5th row holding each problem's final rho (feed it to
     :func:`adapted_cache` for the full per-problem cache).
@@ -757,13 +845,37 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
     adaptive = settings.adaptive_rho
     if not fused_supported(prob):
         raise ValueError(
-            "solve_fused supports every projection family plus adaptive rho "
-            "(configure sensitivities via with_sensitivities); consensus "
-            "problems use tinympc_tpu.solve")
+            "solve_fused supports every projection family, adaptive rho "
+            "(configure sensitivities via with_sensitivities), and local "
+            "consensus groups (configure via with_consensus); consensus "
+            "over a named mesh axis uses tinympc_tpu.solve")
     N, nx, nu = spec.N, spec.nx, spec.nu
     dtype = jnp.float32
+    consensus = spec.en_consensus
+    group = 0
+    group_shape = None
+    if consensus:
+        if warm:
+            raise ValueError("solve_fused_warm does not support consensus; "
+                             "use solve_fused (cold) or tinympc_tpu.solve")
+        if x0s.ndim != 3:
+            raise ValueError(
+                "consensus solve_fused takes x0s as (n_groups, group, nx) — "
+                "the scenario group on the last batch axis, like "
+                "tinympc_tpu.solve")
+        group_shape = x0s.shape[:2]
+        group = int(group_shape[1])
+        if group & (group - 1):
+            raise ValueError(f"scenario group size {group} must be a power "
+                             "of two for the in-kernel lane butterfly")
+        x0s = x0s.reshape(-1, nx)
     B = x0s.shape[0]
     Bt = min(tile, B)
+    if consensus and Bt % group:
+        if group > Bt:
+            raise ValueError(f"scenario group {group} exceeds tile {Bt}; "
+                             "raise tile=")
+        Bt = (Bt // group) * group   # keep groups tile-aligned
     if B % Bt:
         raise ValueError(f"batch {B} must be divisible by tile {Bt}")
 
@@ -811,6 +923,11 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         if settings.adaptive_rho_apply_c:
             args += [jnp.asarray(c.dC1_drho, dtype),
                      jnp.asarray(c.dC2_drho, dtype)]
+    seg_mm = consensus and 1 < group < Bt
+    if consensus:
+        args += [jnp.asarray(c.Kinf0, dtype), jnp.asarray(c.Quu0_inv, dtype)]
+        if seg_mm:
+            args += list(_segment_matrices(Bt, group))
     en_ssoc = bool(spec.enabled_state_cones)
     en_isoc = bool(spec.enabled_input_cones)
     nsl, nil = spec.n_state_lin, spec.n_input_lin
@@ -882,6 +999,9 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         adaptive=adaptive, apply_c=settings.adaptive_rho_apply_c,
         rho_min=settings.adaptive_rho_min, rho_max=settings.adaptive_rho_max,
         rho_clip=settings.adaptive_rho_clip, adapt_period=ADAPTIVE_RHO_PERIOD,
+        consensus=consensus, group=group, seg_mm=seg_mm,
+        rho_c=(float(c.rho) if settings.consensus_rho is None
+               else float(settings.consensus_rho)) if consensus else 0.0,
     )
 
     zx = lambda: pltpu.VMEM((N, nx, Bt), dtype)
@@ -933,6 +1053,8 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         scratch += [zx(), zx()]     # vtv gtv
     if ntil:
         scratch += [zu(), zu()]     # ztv ytv
+    if consensus:
+        scratch += [pltpu.VMEM((nu, Bt), dtype)] * 2   # zc0 yc0
     if warm:
         scratch += [zx(), zu()]                         # vstale zstale
         scratch += [zx(), zu(), zx(), zu(), zx(), zu()]  # snaps v z g y vst zst
@@ -971,6 +1093,16 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         x=jnp.moveaxis(outx, -1, 1),
         u=jnp.moveaxis(outu, -1, 1),
     )
+    if group_shape is not None:
+        # Restore the (n_groups, group) batch structure of the inputs.
+        ng, G = group_shape
+        solution = Solution(
+            iter=solution.iter.reshape(ng, G),
+            solved=solution.solved.reshape(ng, G),
+            x=solution.x.reshape(N, ng, G, nx),
+            u=solution.u.reshape(N - 1, ng, G, nu),
+        )
+        res = res.reshape(res.shape[0], ng, G)
     nfixed = 5
     rho_final = None
     if adaptive:
@@ -997,12 +1129,16 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
 def fused_supported(prob: TinyProblem) -> bool:
     """True if this problem's spec is handled by the fused kernel.
 
-    Everything except consensus (cross-tile collectives) is fused, including
-    adaptive rho — which additionally needs the sensitivity matrices
-    (with_sensitivities) since the kernel telescopes the Taylor updates
-    through them."""
+    Every projection family is fused, including adaptive rho — which
+    additionally needs the sensitivity matrices (with_sensitivities) since
+    the kernel telescopes the Taylor updates through them — and consensus
+    with within-tile scenario groups (cross-shard groups, i.e. a
+    consensus_axis_name, stay on the XLA path's pmean)."""
     if prob.spec.en_consensus:
-        return False
+        if prob.settings.consensus_axis_name is not None:
+            return False
+        if prob.cache.Kinf0 is None:
+            return False
     if prob.settings.adaptive_rho and prob.cache.dKinf_drho is None:
         return False
     return True
