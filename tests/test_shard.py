@@ -109,3 +109,32 @@ def test_sharded_fused_kernel_matches_xla():
                                   np.asarray(st_ref.pri_res_state))
     # outputs really are distributed
     assert len(sol_sh.u.sharding.device_set) == 8
+
+
+def test_sharded_fused_consensus_matches_local():
+    """Consensus batches shard over the *groups* axis; each device's kernel
+    computes its groups' means within-tile (no collectives), matching the
+    unsharded fused consensus solve exactly."""
+    s = systems.quadrotor_20hz()
+    p = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"], N=10,
+                 dtype=jnp.float32)
+    p = tm.with_bounds(p, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    p = tm.with_settings(p, max_iter=40)
+    p = tm.with_consensus(p, rho_c=50.0)
+    ng, G = 16, 4
+    rng = np.random.default_rng(11)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (ng, G, 12)), jnp.float32)
+    xref = jnp.asarray(XREF, jnp.float32)
+
+    from tinympc_tpu.kernels import solve_fused
+    mesh = shard.make_mesh()
+    sol_sh, res_sh = shard.solve_fused_sharded(p, xref, None, x0s, mesh,
+                                               interpret=True)
+    sol_loc, res_loc = solve_fused(p, xref, None, x0s, tile=ng * G // 8,
+                                   interpret=True)
+
+    assert sol_sh.x.shape == (10, ng, G, 12)
+    np.testing.assert_array_equal(np.asarray(sol_sh.u), np.asarray(sol_loc.u))
+    np.testing.assert_array_equal(np.asarray(sol_sh.iter),
+                                  np.asarray(sol_loc.iter))
+    assert len(sol_sh.u.sharding.device_set) == 8

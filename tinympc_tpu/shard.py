@@ -113,7 +113,13 @@ def solve_fused_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
     B = x0s.shape[0]
     if B % n:
         raise ValueError(f"batch {B} must divide over {n} mesh devices")
-    local_tile = tile if tile is not None else min(4096, B // n)
+    consensus = prob.spec.en_consensus and x0s.ndim == 3
+    # Consensus batches are (n_groups, group, nx): shard the *groups* axis
+    # so every scenario group stays whole inside one device's kernel tile
+    # (the group mean is within-tile; see kernels._segment_mean_lanes) —
+    # still zero collectives.
+    lanes = B // n * (x0s.shape[1] if consensus else 1)
+    local_tile = tile if tile is not None else min(4096, lanes)
 
     def local(x0s_local):
         sol, res = solve_fused(prob, Xref, Uref, x0s_local,
@@ -121,8 +127,9 @@ def solve_fused_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
         return sol, res
 
     from .types import Solution
-    # Solution trajectories are (T, B, F) — batch on axis 1; iter/solved
-    # are (B,); residuals are (4, B).
+    # Solution trajectories are (T, B, F) — batch on axis 1 (with consensus,
+    # (T, n_groups, group, F)); iter/solved lead with the sharded axis;
+    # residuals are (4, B) / (4, n_groups, group).
     sol_specs = Solution(iter=P(ax), solved=P(ax),
                          x=P(None, ax), u=P(None, ax))
     return shard_map(
