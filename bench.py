@@ -36,7 +36,11 @@ def build(B, dtype):
     prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
                     N=N_HORIZON, dtype=dtype)
     prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
-    prob = tm.with_settings(prob, max_iter=MAX_ITER)
+    # "high" = 3-pass bf16 matmuls (~16 mantissa bits): same termination
+    # criteria enforced, solutions within ~2e-3 of the f32-accurate path,
+    # ~1.3x the throughput of "highest" (see Settings.matmul_precision).
+    prec = os.environ.get("BENCH_PRECISION", "high")
+    prob = tm.with_settings(prob, max_iter=MAX_ITER, matmul_precision=prec)
     Xref = jnp.tile(jnp.asarray([0, 0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0], dtype),
                     (N_HORIZON, 1))
 
@@ -61,7 +65,9 @@ def build(B, dtype):
 def main():
     import jax
     import jax.numpy as jnp
+    from tinympc_tpu.profiling import enable_compilation_cache
 
+    enable_compilation_cache()
     dtype = jnp.float32
     B = int(os.environ.get("BENCH_B", 32768))
     reps = int(os.environ.get("BENCH_REPS", 5))
@@ -90,6 +96,7 @@ def main():
         "batch": B,
         "admm_iters_per_s": round(iters_per_s, 1),
         "avg_iters": round(float(np.mean(np.asarray(iters))), 2),
+        "matmul_precision": os.environ.get("BENCH_PRECISION", "high"),
         "device": str(jax.devices()[0]),
     }))
 

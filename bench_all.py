@@ -37,6 +37,9 @@ def main():
     import jax
     import jax.numpy as jnp
     import tinympc_tpu as tm
+    from tinympc_tpu.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from tinympc_tpu.closed_loop import closed_loop
     from tinympc_tpu.kernels import solve_fused
 

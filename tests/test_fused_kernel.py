@@ -292,3 +292,26 @@ def test_fused_consensus_converges_tight():
     sol = _check_consensus_fused(ng=2, G=2, rho_c=100.0, max_iter=500)
     assert np.asarray(sol.solved).all()
     assert np.ptp(np.asarray(sol.u[0]), axis=1).max() < 5e-3
+
+
+def test_fused_bf16x3_matches_highest():
+    """matmul_precision="high" routes the kernel through the hand-rolled
+    3-pass bf16 scheme (Mosaic has no HIGH dot precision). ~16 mantissa
+    bits: solutions agree with the f32-accurate path to well inside the
+    termination tolerance, iteration counts mostly match."""
+    import dataclasses
+    prob = _problem(max_iter=40)
+    B = 16
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), jnp.float32)
+    Xref = jnp.tile(jnp.asarray([0, 0, 0.5, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                                jnp.float32), (10, 1))
+    hi = prob   # default settings: "highest"
+    lo = prob.replace(settings=dataclasses.replace(
+        prob.settings, matmul_precision="high"))
+    sol_hi, _ = solve_fused(hi, Xref, None, x0s, tile=B, interpret=True)
+    sol_lo, _ = solve_fused(lo, Xref, None, x0s, tile=B, interpret=True)
+    np.testing.assert_allclose(np.asarray(sol_lo.u), np.asarray(sol_hi.u),
+                               atol=5e-4)
+    it_l, it_h = np.asarray(sol_lo.iter), np.asarray(sol_hi.iter)
+    assert (it_l == it_h).mean() >= 0.8

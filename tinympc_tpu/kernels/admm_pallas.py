@@ -199,7 +199,7 @@ def _apply_tv_hyperplanes(cand, A_ref, b_ref, count):
     return cand
 
 
-def _segment_mean_lanes(v, G, S, ST):
+def _segment_mean_lanes(v, G, S, ST, dotfn=None):
     """Mean over aligned, contiguous groups of ``G`` lanes, broadcast back
     to every lane of its group.
 
@@ -218,8 +218,9 @@ def _segment_mean_lanes(v, G, S, ST):
     if G == v.shape[-1]:
         m = jnp.mean(v, axis=-1, keepdims=True)
         return jnp.broadcast_to(m, v.shape)
-    sums = jnp.dot(v, S, preferred_element_type=jnp.float32)
-    return jnp.dot(sums, ST, preferred_element_type=jnp.float32) / G
+    if dotfn is None:
+        dotfn = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return dotfn(dotfn(v, S), ST) / G
 
 
 def _segment_matrices(Bt: int, G: int):
@@ -242,7 +243,8 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                  rho_min: float = 1.0, rho_max: float = 100.0,
                  rho_clip: bool = True, adapt_period: int = 5,
                  consensus: bool = False, group: int = 0,
-                 rho_c: float = 0.0, seg_mm: bool = False):
+                 rho_c: float = 0.0, seg_mm: bool = False,
+                 mm_mode: str = "ambient"):
     """Build the fused-solve kernel for a static constraint-family layout.
 
     Ref order (inputs → outputs → scratch) must match the spec/shape lists
@@ -378,14 +380,63 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             snap_x = nxt() if any_extra else None
             snap_u = nxt() if any_extra else None
 
-        A = A_ref[:]
-        Bm = B_ref[:]
-        BT = BT_ref[:]
-        Kinf = Kinf_ref[:]
-        KinfT = KinfT_ref[:]
-        PinfT = PinfT_ref[:]
-        Quu = Quu_ref[:]
-        AmBKt = AmBKt_ref[:]
+        # Matmul mode. "ambient" leaves jnp.dot under the trace-time
+        # precision context (DEFAULT = single-pass bf16, HIGHEST = 6-pass
+        # f32-accurate). "bf16x3" implements the 3-pass scheme Mosaic lacks
+        # (XLA's HIGH, bf16_3x) by hand: each operand splits into a bf16
+        # hi/lo pair and the A2*B2 term is dropped — ~16 mantissa bits at
+        # half the MXU passes of HIGHEST. Shared matrices split once at
+        # load; per-iteration vectors split per call.
+        bf16 = jnp.bfloat16
+        if mm_mode == "bf16x3":
+            lo_prec = jax.lax.Precision.DEFAULT
+
+            def dotd(a, b):
+                return jnp.dot(a, b, preferred_element_type=f32,
+                               precision=lo_prec)
+
+            def prep(M):
+                hi = M.astype(bf16)
+                return hi, (M - hi.astype(f32)).astype(bf16)
+
+            def vsplit(vv):
+                # Hoistable per-vector split for values feeding >1 matmul.
+                vhi = vv.astype(bf16)
+                return vhi, (vv - vhi.astype(f32)).astype(bf16)
+
+            def mm(Mp, vv):
+                Mhi, Mlo = Mp
+                vhi, vlo = vv if isinstance(vv, tuple) else vsplit(vv)
+                return dotd(Mhi, vhi) + dotd(Mhi, vlo) + dotd(Mlo, vhi)
+        else:
+            prep = lambda M: M
+            vsplit = lambda vv: vv
+
+            def mm(M, vv):
+                return jnp.dot(M, vv, preferred_element_type=f32)
+
+        A = prep(A_ref[:])
+        Bm = prep(B_ref[:])
+        BT = prep(BT_ref[:])
+        Kinf = prep(Kinf_ref[:])
+        KinfT = prep(KinfT_ref[:])
+        PinfT = PinfT_ref[:]              # VPU-only (terminal-cost sum)
+        Quu = prep(Quu_ref[:])
+        AmBKt = prep(AmBKt_ref[:])
+        # These contractions are only nx deep, so per-dot issue overhead
+        # dominates MXU time; the two matrices multiplying the same vector
+        # in each sweep step are stacked into one dot (backward: B^T and
+        # (A-BK)^T against the costate; forward: Kinf and A against the
+        # state) and the output rows split. Adaptive rho keeps the
+        # unstacked path (its per-lane drho axpys pair each base dot with
+        # a sensitivity dot of different row counts).
+        stack_sweeps = not adaptive
+        if stack_sweeps:
+            Mback = prep(jnp.concatenate([BT_ref[:], AmBKt_ref[:]], axis=0))
+            Mfwd = prep(jnp.concatenate([Kinf_ref[:], A_ref[:]], axis=0))
+            if consensus:
+                Mfwd0 = prep(jnp.concatenate([Kinf0_ref[:], A_ref[:]],
+                                             axis=0))
         APf = APf_ref[:]          # (nx, 1) broadcasts over lanes
         BPf = BPf_ref[:]
         fvec = f_ref[:]
@@ -405,21 +456,37 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         pN_ref_term = -jnp.sum(PinfT * xref_ref[N - 1][None, :], axis=1,
                                keepdims=True)  # (nx, 1)
         if adaptive:
-            AT = AT_ref[:]
-            Pinf = Pinf_ref[:]
-            dK, dKT, dP, dPT = dK_ref[:], dKT_ref[:], dP_ref[:], dPT_ref[:]
-            dC1 = dC1_ref[:] if apply_c else None
-            dC2 = dC2_ref[:] if apply_c else None
+            AT = prep(AT_ref[:])
+            Pinf = prep(Pinf_ref[:])
+            dK, dKT, dP = prep(dK_ref[:]), prep(dKT_ref[:]), prep(dP_ref[:])
+            dPT = dPT_ref[:]              # VPU-only (pN_ref_dP sum)
+            dC1 = prep(dC1_ref[:]) if apply_c else None
+            dC2 = prep(dC2_ref[:]) if apply_c else None
             # Sensitivity term of the terminal reference row: the Taylor
             # update shifts Pinf, so -Pinf_b^T Xref[N-1] gains
             # drho * (-dPinf^T Xref[N-1]).
             pN_ref_dP = -jnp.sum(dPT * xref_ref[N - 1][None, :], axis=1,
                                  keepdims=True)  # (nx, 1)
         if consensus:
-            Kinf0 = Kinf0_ref[:]
-            Quu0 = Quu0_ref[:]
-            Sseg = S_ref[:] if seg_mm else None
-            STseg = ST_ref[:] if seg_mm else None
+            Kinf0 = prep(Kinf0_ref[:])
+            Quu0 = prep(Quu0_ref[:])
+            if seg_mm:
+                # S/ST are one-hot (exact in bf16): only the data operand
+                # needs a hi/lo split, so the segment dots are 2-pass.
+                if mm_mode == "bf16x3":
+                    Sseg, STseg = S_ref[:].astype(bf16), ST_ref[:].astype(bf16)
+
+                    def seg_dot(vv, M):
+                        vhi = vv.astype(bf16)
+                        vlo = (vv - vhi.astype(f32)).astype(bf16)
+                        return dotd(vhi, M) + dotd(vlo, M)
+                else:
+                    Sseg, STseg = S_ref[:], ST_ref[:]
+
+                    def seg_dot(vv, M):
+                        return jnp.dot(vv, M, preferred_element_type=f32)
+            else:
+                Sseg = STseg = seg_dot = None
         mus_x = [cx_ref[k, 0] for k in range(len(state_cones))] if en_ssoc else []
         mus_u = [cu_ref[k, 0] for k in range(len(input_cones))] if en_isoc else []
 
@@ -481,9 +548,6 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             zc0[:] = jnp.zeros(zc0.shape, zc0.dtype)
             yc0[:] = jnp.zeros(yc0.shape, yc0.dtype)
 
-        def mm(M, vv):
-            return jnp.dot(M, vv, preferred_element_type=f32)
-
         def iteration(it, dvgN):
             # Per-lane rho (adaptive) or the static scalar. The Taylor-updated
             # per-problem matrices never exist: each matvec is the base matrix
@@ -543,23 +607,35 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                     q_i = q_i - rho_b * (vl[i] - gl[i])
                 if n_tv_state_lin:
                     q_i = q_i - rho_b * (vtv[i] - gtv[i])
+                if stack_sweeps:
+                    pout = mm(Mback, p_next)
+                    bp, ap = pout[:nu], pout[nu:]
+                else:
+                    ps = vsplit(p_next)   # feeds both BT and AmBKt dots
+                    bp, ap = mm(BT, ps), mmAmBKt(ps)
                 if consensus and i == 0:
                     # Step 0 carries the rho_c*I prox in its dedicated gain
                     # (admm.backward_pass with consensus=True).
-                    d[i] = mm(Quu0, mm(BT, p_next) + r_i + BPf)
+                    d[i] = mm(Quu0, bp + r_i + BPf)
                 else:
-                    d[i] = mmQuu(mm(BT, p_next) + r_i + BPf)
-                p_next = q_i + mmAmBKt(p_next) - mmKT(r_i) + APf
+                    d[i] = mmQuu(bp + r_i + BPf)
+                p_next = q_i + ap - mmKT(r_i) + APf
 
             # 3. forward rollout (admm.cpp:25-32)
             x_i = x[0]
             for i in range(N - 1):                  # static unroll
-                if consensus and i == 0:
-                    u_i = -mm(Kinf0, x_i) - d[i]
+                if stack_sweeps:
+                    Mf = Mfwd0 if (consensus and i == 0) else Mfwd
+                    xout = mm(Mf, x_i)
+                    kx, ax = xout[:nu], xout[nu:]
                 else:
-                    u_i = -mmK(x_i) - d[i]
+                    xsp = vsplit(x_i)     # feeds both Kinf and A dots
+                    kx = mm(Kinf0, xsp) if (consensus and i == 0) \
+                        else mmK(xsp)
+                    ax = mm(A, xsp)
+                u_i = -kx - d[i]
                 u[i] = u_i
-                x_i = mm(A, x_i) + mm(Bm, u_i) + fvec
+                x_i = ax + mm(Bm, u_i) + fvec
                 x[i + 1] = x_i
 
             # 4. slack projection + 5. dual update (admm.cpp:81-256).
@@ -622,7 +698,7 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                 # subspace = scenario-group mean; scaled-dual ascent
                 # (admm.update_slack / update_dual en_consensus blocks).
                 cand0 = us[0] + yc0[:]                   # (nu, Bt)
-                zc0n = _segment_mean_lanes(cand0, group, Sseg, STseg)
+                zc0n = _segment_mean_lanes(cand0, group, Sseg, STseg, seg_dot)
                 zc0[:] = zc0n
                 yc0[:] = yc0[:] + us[0] - zc0n
 
@@ -1002,6 +1078,10 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         consensus=consensus, group=group, seg_mm=seg_mm,
         rho_c=(float(c.rho) if settings.consensus_rho is None
                else float(settings.consensus_rho)) if consensus else 0.0,
+        # Mosaic has no HIGH dot precision; "high" maps to the hand-rolled
+        # 3-pass bf16 scheme (the XLA path gets native bf16_3x from the
+        # precision context).
+        mm_mode="bf16x3" if settings.matmul_precision == "high" else "ambient",
     )
 
     zx = lambda: pltpu.VMEM((N, nx, Bt), dtype)

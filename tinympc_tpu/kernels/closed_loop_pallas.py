@@ -309,6 +309,11 @@ def closed_loop_fused(prob: TinyProblem, Xref_total, x0s, n_steps: int,
     zx = lambda: pltpu.VMEM((N, nx, Bt), dtype)
     zu = lambda: pltpu.VMEM((N - 1, nu, Bt), dtype)
 
+    if st.matmul_precision == "high":
+        # Mosaic has no HIGH dot precision and this kernel has no bf16x3
+        # path (solve_fused has one); round up to HIGHEST.
+        import dataclasses
+        st = dataclasses.replace(st, matmul_precision="highest")
     with matmul_precision_ctx(st):
         xs, us, iters, solved = pl.pallas_call(
             kernel,

@@ -65,3 +65,19 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compilation_cache(path: str = None):
+    """Turn on JAX's persistent compilation cache (default: a repo-local
+    .jax_cache). XLA compiles of the fused kernels and while_loop solvers
+    are expensive through remote-TPU tunnels (observed 20s-550s for the
+    same program depending on service load); the persistent cache makes
+    every process after the first pay ~none of it."""
+    import os
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path

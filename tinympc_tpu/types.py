@@ -183,6 +183,11 @@ class Settings:
     # ~nothing in the latency-bound sweep kernels (measured ~0.4us/iter vs
     # 0.25 at "default" for a 2000-deep chained 12x12 matvec). Set
     # "default"/"bfloat16" to trade convergence accuracy for raw matmul rate.
+    # "high" (3-pass bf16, ~16 mantissa bits) is the throughput sweet spot
+    # for large fused batches: ~1.7x the solves/s of "highest" with
+    # convergence statistics matching it on the benchmark workloads (the
+    # XLA path uses native bf16_3x; solve_fused hand-rolls the 3-pass
+    # scheme, which Mosaic lacks — see kernels/admm_pallas.py).
     matmul_precision: str = "highest"
 
 
