@@ -384,9 +384,15 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         # precision context (DEFAULT = single-pass bf16, HIGHEST = 6-pass
         # f32-accurate). "bf16x3" implements the 3-pass scheme Mosaic lacks
         # (XLA's HIGH, bf16_3x) by hand: each operand splits into a bf16
-        # hi/lo pair and the A2*B2 term is dropped — ~16 mantissa bits at
-        # half the MXU passes of HIGHEST. Shared matrices split once at
-        # load; per-iteration vectors split per call.
+        # hi/lo pair and the A2*B2 term is dropped — ~16 mantissa bits.
+        # The three passes ride ONE MXU dot: these contractions are only
+        # nx(=12-ish) deep against a 128-deep systolic array, so stacking
+        # the passes along the contraction axis —
+        #   [Mhi | Mhi | Mlo] @ [vhi; vlo; vhi]
+        # — is free in MXU time (depth 3*nx <= 128) and replaces 3 dot
+        # issues with 1. Shared matrices split+stack once at load;
+        # per-iteration vectors split per call (vsplit hoists the split for
+        # values feeding >1 matmul).
         bf16 = jnp.bfloat16
         if mm_mode == "bf16x3":
             lo_prec = jax.lax.Precision.DEFAULT
@@ -397,17 +403,18 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
 
             def prep(M):
                 hi = M.astype(bf16)
-                return hi, (M - hi.astype(f32)).astype(bf16)
+                lo = (M - hi.astype(f32)).astype(bf16)
+                return jnp.concatenate([hi, hi, lo], axis=1)
 
             def vsplit(vv):
-                # Hoistable per-vector split for values feeding >1 matmul.
                 vhi = vv.astype(bf16)
-                return vhi, (vv - vhi.astype(f32)).astype(bf16)
+                vlo = (vv - vhi.astype(f32)).astype(bf16)
+                return jnp.concatenate([vhi, vlo, vhi], axis=0)
 
             def mm(Mp, vv):
-                Mhi, Mlo = Mp
-                vhi, vlo = vv if isinstance(vv, tuple) else vsplit(vv)
-                return dotd(Mhi, vhi) + dotd(Mhi, vlo) + dotd(Mlo, vhi)
+                if vv.dtype != bf16:
+                    vv = vsplit(vv)
+                return dotd(Mp, vv)
         else:
             prep = lambda M: M
             vsplit = lambda vv: vv
