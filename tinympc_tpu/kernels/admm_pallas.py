@@ -275,6 +275,21 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
     the reference only updates the unused C1/C2 aliases,
     rho_benchmark.cpp:204-209 vs admm.cpp:17-18).
 
+    A rejected speed idea, so it isn't retried: substituting u into the
+    rollout ("forward folding", ``x[i+1] = (A - B Kinf) x[i] - B d[i] +
+    f`` with host-folded A - B Kinf = AmBKt^T) halves the forward chain's
+    dots and measured ~+8%% throughput — but it rounds ``(A - B Kinf) x``
+    and ``B d`` at the magnitude of ``Kinf x`` and ``d`` (large,
+    mutually cancelling when bounds are active), where the reference
+    recursion forms ``u = -Kinf x - d`` as an exact f32 subtract and only
+    then rounds ``B u`` at the (small) |u| scale. The extra per-iteration
+    noise (~2e-4 absolute on the quadrotor) sits exactly at the dual
+    termination threshold rho*|dv| < 1e-3, and measured solved fraction
+    on a marginal batch halved (1.5%% vs 3.0%% at 100 iters). Backward
+    folding (Quu_inv through B^T p + r) has the same cancellation trap
+    and, worse, no chain benefit — Quu_inv and Kinf^T dots already hang
+    off the costate chain.
+
     ``consensus`` adds scenario-tree consensus ADMM on u[0] (admm.solve's
     en_consensus family): a scenario group is ``group`` adjacent lanes
     (static power of two dividing the tile), the consensus projection is
@@ -348,7 +363,7 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             x_out = nxt() if any_extra else None
             u_out = nxt() if any_extra else None
         # --- scratch
-        x, u, d = nxt(), nxt(), nxt()
+        x, u = nxt(), nxt()
         vnew, znew = nxt(), nxt()       # (2, ...) ping-pong halves
         g, y = nxt(), nxt()
         done, iters, res = nxt(), nxt(), nxt()
@@ -587,15 +602,8 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             # iteration; extra-family terms are read directly (their slack
             # and dual arrays still hold the previous iterate here).
             pv = 1 - it % 2                          # previous ping-pong half
-            pterm = (pN_ref_term + drho * pN_ref_dP) if adaptive else pN_ref_term
-            p_next = pterm - rho_b * dvgN
-            if en_ssoc:
-                p_next = p_next - rho_b * (vc[N - 1] - gc[N - 1])
-            if n_state_lin:
-                p_next = p_next - rho_b * (vl[N - 1] - gl[N - 1])
-            if n_tv_state_lin:
-                p_next = p_next - rho_b * (vtv[N - 1] - gtv[N - 1])
-            for i in range(N - 2, -1, -1):          # static unroll
+
+            def form_r(i):
                 r_i = neg_uref_r[i] - rho_b * (znew[pv, i] - y[i])
                 if en_isoc:
                     r_i = r_i - rho_b * (zc[i] - yc[i])
@@ -607,6 +615,9 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                     # u[0]-only consensus prox (admm.update_linear_cost's
                     # r[0] term, weighted by rho_c rather than rho).
                     r_i = r_i - rho_c * (zc0[:] - yc0[:])
+                return r_i
+
+            def form_q(i):
                 q_i = neg_xref_q[i] - rho_b * (vnew[pv, i] - g[i])
                 if en_ssoc:
                     q_i = q_i - rho_b * (vc[i] - gc[i])
@@ -614,6 +625,21 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                     q_i = q_i - rho_b * (vl[i] - gl[i])
                 if n_tv_state_lin:
                     q_i = q_i - rho_b * (vtv[i] - gtv[i])
+                return q_i
+
+            pterm = (pN_ref_term + drho * pN_ref_dP) if adaptive else pN_ref_term
+            p_next = pterm - rho_b * dvgN
+            if en_ssoc:
+                p_next = p_next - rho_b * (vc[N - 1] - gc[N - 1])
+            if n_state_lin:
+                p_next = p_next - rho_b * (vl[N - 1] - gl[N - 1])
+            if n_tv_state_lin:
+                p_next = p_next - rho_b * (vtv[N - 1] - gtv[N - 1])
+
+            dvals = [None] * (N - 1)
+            for i in range(N - 2, -1, -1):          # static unroll
+                r_i = form_r(i)
+                q_i = form_q(i)
                 if stack_sweeps:
                     pout = mm(Mback, p_next)
                     bp, ap = pout[:nu], pout[nu:]
@@ -621,11 +647,11 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                     ps = vsplit(p_next)   # feeds both BT and AmBKt dots
                     bp, ap = mm(BT, ps), mmAmBKt(ps)
                 if consensus and i == 0:
-                    # Step 0 carries the rho_c*I prox in its dedicated gain
-                    # (admm.backward_pass with consensus=True).
-                    d[i] = mm(Quu0, bp + r_i + BPf)
+                    # Step 0 carries the rho_c*I prox in its dedicated
+                    # gain (admm.backward_pass with consensus=True).
+                    dvals[i] = mm(Quu0, bp + r_i + BPf)
                 else:
-                    d[i] = mmQuu(bp + r_i + BPf)
+                    dvals[i] = mmQuu(bp + r_i + BPf)
                 p_next = q_i + ap - mmKT(r_i) + APf
 
             # 3. forward rollout (admm.cpp:25-32)
@@ -640,7 +666,7 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                     kx = mm(Kinf0, xsp) if (consensus and i == 0) \
                         else mmK(xsp)
                     ax = mm(A, xsp)
-                u_i = -kx - d[i]
+                u_i = -kx - dvals[i]
                 u[i] = u_i
                 x_i = ax + mm(Bm, u_i) + fvec
                 x[i + 1] = x_i
@@ -1118,7 +1144,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
             out_shape.append(jax.ShapeDtypeStruct(l.shape, dtype))
 
     scratch = [
-        zx(), zu(), zu(),                       # x u d
+        zx(), zu(),                             # x u (d rides as values)
         pltpu.VMEM((2, N, nx, Bt), dtype),      # vnew ping-pong
         pltpu.VMEM((2, N - 1, nu, Bt), dtype),  # znew ping-pong
         zx(), zu(),                             # g y
