@@ -535,7 +535,8 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         else:
             for ref in (vnew, znew, g, y):
                 ref[:] = jnp.zeros(ref.shape, ref.dtype)
-        x[0] = x0_ref[:]
+        x0v = x0_ref[:]          # loop-invariant; x/u ride as values (the
+        # refs are only written on warm solves, whose end-merge reads them)
         done[:] = jnp.zeros(done.shape, done.dtype)
         iters[:] = jnp.zeros(iters.shape, iters.dtype)
         res[:] = jnp.zeros(res.shape, res.dtype)
@@ -655,7 +656,8 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                 p_next = q_i + ap - mmKT(r_i) + APf
 
             # 3. forward rollout (admm.cpp:25-32)
-            x_i = x[0]
+            x_i = x0v
+            xvals, uvals = [x_i], []
             for i in range(N - 1):                  # static unroll
                 if stack_sweeps:
                     Mf = Mfwd0 if (consensus and i == 0) else Mfwd
@@ -667,9 +669,9 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                         else mmK(xsp)
                     ax = mm(A, xsp)
                 u_i = -kx - dvals[i]
-                u[i] = u_i
+                uvals.append(u_i)
                 x_i = ax + mm(Bm, u_i) + fvec
-                x[i + 1] = x_i
+                xvals.append(x_i)
 
             # 4. slack projection + 5. dual update (admm.cpp:81-256).
             # vnew/v and znew/z are ping-pong halves: iteration `it` writes
@@ -680,8 +682,11 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             # every family before update_dual touches any dual).
             cur = it % 2
             prev = 1 - cur
-            xs = x[:]
-            us = u[:]
+            xs = jnp.stack(xvals)
+            us = jnp.stack(uvals)
+            if warm:
+                x[:] = xs
+                u[:] = us
             vn = jnp.minimum(xmax, jnp.maximum(xmin, xs + g[:]))
             zn = jnp.minimum(umax, jnp.maximum(umin, us + y[:]))
             vnew[cur] = vn
