@@ -71,24 +71,53 @@ def _kernel(
     iters_ref,     # (T, Bt) i32
     solved_ref,    # (T, Bt) i32
     # scratch
-    x, u, d, vnew, znew, g, y, vstale, zstale,
+    xplant, u0s, vnew, znew, g, y, vstale, zstale,
     snap_v, snap_z, snap_g, snap_y, snap_vst, snap_zst, snap_u0,
     done, iters,
     *,
     T: int, N: int, nx: int, nu: int, max_iter: int, check_termination: int,
     abs_pri_tol: float, abs_dua_tol: float, rho: float, reset_duals: bool,
+    mm_mode: str = "ambient",
 ):
     f32 = jnp.float32
     Bt = x0_ref.shape[-1]
 
-    A = A_ref[:]
-    Bm = B_ref[:]
-    BT = BT_ref[:]
-    Kinf = Kinf_ref[:]
-    KinfT = KinfT_ref[:]
-    PinfT = PinfT_ref[:]
-    Quu = Quu_ref[:]
-    AmBKt = AmBKt_ref[:]
+    # Matmul mode — same scheme as admm_pallas._make_kernel: "ambient"
+    # follows the trace-time precision context; "bf16x3" is the hand-rolled
+    # 3-pass bf16 (~16 mantissa bits), depth-stacked so the three passes
+    # ride ONE MXU dot ([Mhi | Mhi | Mlo] @ [vhi; vlo; vhi]).
+    bf16 = jnp.bfloat16
+    if mm_mode == "bf16x3":
+        lo_prec = jax.lax.Precision.DEFAULT
+
+        def prep(M):
+            hi = M.astype(bf16)
+            lo = (M - hi.astype(f32)).astype(bf16)
+            return jnp.concatenate([hi, hi, lo], axis=1)
+
+        def mm(Mp, vv):
+            if vv.dtype != bf16:
+                vhi = vv.astype(bf16)
+                vlo = (vv - vhi.astype(f32)).astype(bf16)
+                vv = jnp.concatenate([vhi, vlo, vhi], axis=0)
+            return jnp.dot(Mp, vv, preferred_element_type=f32,
+                           precision=lo_prec)
+    else:
+        prep = lambda M: M
+
+        def mm(M, vv):
+            return jnp.dot(M, vv, preferred_element_type=f32)
+
+    A = prep(A_ref[:])
+    Bm = prep(B_ref[:])
+    Kinf = prep(Kinf_ref[:])
+    KinfT = prep(KinfT_ref[:])
+    PinfT = PinfT_ref[:]              # VPU-only (terminal-cost sum)
+    Quu = prep(Quu_ref[:])
+    # Stacked sweep dots (admm_pallas): the two matrices multiplying the
+    # same vector in each sweep step fuse into one dot.
+    Mback = prep(jnp.concatenate([BT_ref[:], AmBKt_ref[:]], axis=0))
+    Mfwd = prep(jnp.concatenate([Kinf_ref[:], A_ref[:]], axis=0))
     APf = APf_ref[:]
     BPf = BPf_ref[:]
     fvec = f_ref[:]
@@ -103,10 +132,7 @@ def _kernel(
     for ref in (vnew, znew, g, y, vstale, zstale,
                 snap_v, snap_z, snap_g, snap_y, snap_vst, snap_zst, snap_u0):
         ref[:] = jnp.zeros(ref.shape, ref.dtype)
-    x[0] = x0_ref[:]
-
-    def mm(M, vv):
-        return jnp.dot(M, vv, preferred_element_type=f32)
+    xplant[:] = x0_ref[:]
 
     def solve_step(step, carry0):
         # Reference window for this step (dynamic slice of the VMEM-resident
@@ -125,29 +151,39 @@ def _kernel(
         # Terminal vnew[N-1] - g[N-1] carry for iteration 0; half 1 holds
         # the previous solve's final slack (merged there at step end).
         dvgN0 = vnew[1, N - 1] - g[N - 1]
+        x0v = xplant[:]        # loop-invariant within this MPC step
 
         def iteration(it, dvgN):
             # Backward sweep with on-the-fly linear cost (admm.cpp:262-304
             # fused into :13-20); iteration `it` reads previous slack from
-            # ping-pong half 1-it%2 and writes half it%2.
+            # ping-pong half 1-it%2 and writes half it%2. The Riccati d and
+            # the rollout x/u ride as values (admm_pallas: no per-iteration
+            # VMEM round trips); only u[0] is committed to a ref, for the
+            # post-loop merge of unconverged lanes.
             pv = 1 - it % 2
             cur = it % 2
             p_next = pN_ref_term - rho * dvgN
+            dvals = [None] * (N - 1)
             for i in range(N - 2, -1, -1):
                 r_i = neg_uref_r[i] - rho * (znew[pv, i] - y[i])
                 q_i = neg_xref_q[i] - rho * (vnew[pv, i] - g[i])
-                d[i] = mm(Quu, mm(BT, p_next) + r_i + BPf)
-                p_next = q_i + mm(AmBKt, p_next) - mm(KinfT, r_i) + APf
+                pout = mm(Mback, p_next)
+                bp, ap = pout[:nu], pout[nu:]
+                dvals[i] = mm(Quu, bp + r_i + BPf)
+                p_next = q_i + ap - mm(KinfT, r_i) + APf
 
-            x_i = x[0]
+            x_i = x0v
+            xvals, uvals = [x_i], []
             for i in range(N - 1):
-                u_i = -mm(Kinf, x_i) - d[i]
-                u[i] = u_i
-                x_i = mm(A, x_i) + mm(Bm, u_i) + fvec
-                x[i + 1] = x_i
+                xout = mm(Mfwd, x_i)
+                u_i = -xout[:nu] - dvals[i]
+                uvals.append(u_i)
+                x_i = xout[nu:] + mm(Bm, u_i) + fvec
+                xvals.append(x_i)
 
-            xs = x[:]
-            us = u[:]
+            xs = jnp.stack(xvals)
+            us = jnp.stack(uvals)
+            u0s[:] = us[0]
             vn = jnp.minimum(xmax, jnp.maximum(xmin, xs + g[:]))
             zn = jnp.minimum(umax, jnp.maximum(umin, us + y[:]))
             vnew[cur] = vn
@@ -222,15 +258,14 @@ def _kernel(
         y[:] = jnp.where(cm, snap_y[:], y[:])
         vstale[:] = jnp.where(cm, snap_vst[:], vlast)
         zstale[:] = jnp.where(cm, snap_zst[:], zlast)
-        u0fin = jnp.where(conv[None, :], snap_u0[:], u[0])
+        u0fin = jnp.where(conv[None, :], snap_u0[:], u0s[:])
 
         # Record and simulate the plant with the applied first input.
-        x0 = x[0]
-        xs_ref[step] = x0
+        xs_ref[step] = x0v
         us_ref[step] = u0fin
         iters_ref[step] = iters[0]
         solved_ref[step] = done[0]
-        x[0] = mm(A, x0) + mm(Bm, u0fin) + fvec
+        xplant[:] = mm(A, x0v) + mm(Bm, u0fin) + fvec
         return carry0
 
     jax.lax.fori_loop(0, T, solve_step, 0)
@@ -304,16 +339,14 @@ def closed_loop_fused(prob: TinyProblem, Xref_total, x0s, n_steps: int,
         max_iter=st.max_iter, check_termination=st.check_termination,
         abs_pri_tol=st.abs_pri_tol, abs_dua_tol=st.abs_dua_tol,
         rho=float(c.rho), reset_duals=reset_duals,
+        # Mosaic has no HIGH dot precision; "high" maps to the hand-rolled
+        # depth-stacked 3-pass bf16 scheme (see admm_pallas).
+        mm_mode="bf16x3" if st.matmul_precision == "high" else "ambient",
     )
 
     zx = lambda: pltpu.VMEM((N, nx, Bt), dtype)
     zu = lambda: pltpu.VMEM((N - 1, nu, Bt), dtype)
 
-    if st.matmul_precision == "high":
-        # Mosaic has no HIGH dot precision and this kernel has no bf16x3
-        # path (solve_fused has one); round up to HIGHEST.
-        import dataclasses
-        st = dataclasses.replace(st, matmul_precision="highest")
     with matmul_precision_ctx(st):
         xs, us, iters, solved = pl.pallas_call(
             kernel,
@@ -332,7 +365,8 @@ def closed_loop_fused(prob: TinyProblem, Xref_total, x0s, n_steps: int,
                 jax.ShapeDtypeStruct((n_steps, B), jnp.int32),
             ),
             scratch_shapes=[
-                zx(), zu(), zu(),                       # x u d
+                pltpu.VMEM((nx, Bt), dtype),            # xplant
+                pltpu.VMEM((nu, Bt), dtype),            # u0s
                 pltpu.VMEM((2, N, nx, Bt), dtype),      # vnew ping-pong (v rides half)
                 pltpu.VMEM((2, N - 1, nu, Bt), dtype),  # znew ping-pong
                 zx(), zu(),                             # g y
