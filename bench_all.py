@@ -20,6 +20,11 @@ def _mk(system_name, N, dtype, max_iter=100, **settings):
     s = getattr(systems, system_name)()
     prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
                     N=N, f=s["f"], dtype=dtype)
+    # Same precision story as bench.py: "high" (3-pass bf16, ~16 mantissa
+    # bits) is the recommended speed mode — convergence statistics match
+    # "highest" (docs/PARITY.md); BENCH_PRECISION overrides.
+    settings.setdefault("matmul_precision",
+                        os.environ.get("BENCH_PRECISION", "high"))
     return tm.with_settings(prob, max_iter=max_iter, **settings), s
 
 

@@ -171,3 +171,61 @@ def test_codegen_cpp_matches_python(tmp_path):
                                    err_msg=f"step {rec['step']} u0")
         assert int(sol.iter) == rec["iter"], f"step {rec['step']} iters"
         x0j = prob.A @ x0j + prob.B @ state.u[0]
+
+
+def test_codegen_cpp_adaptive_matches_python(tmp_path):
+    """Generated C++ with the adaptive-rho subsystem burned in (the
+    reference's tiny_codegen_with_sensitivity, codegen.cpp:82-101): per-step
+    iteration counts, applied inputs, and the adapted rho trajectory match
+    the float64 Python solver."""
+    s = systems.quadrotor_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=10, dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    prob = tm.with_settings(prob, max_iter=100, adaptive_rho=True,
+                            adaptive_rho_min=1.0, adaptive_rho_max=100.0)
+    prob = tm.with_sensitivities(prob, systems.crazyflie_sensitivity_tables())
+
+    x0 = np.array([0, 1, 0, 0.2, 0, 0, 0.1, 0, 0, 0, 0, 0.0]) * 2.0
+    Xref = np.tile([0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0.0], (10, 1))
+    nsteps = 15
+    out = generate_cpp(prob, tmp_path / "gen", x0=x0, Xref=Xref,
+                       nsteps=nsteps)
+
+    exe = tmp_path / "tiny_main"
+    subprocess.run(["g++", "-O2", "-std=c++17",
+                    str(out / "src" / "tiny_main.cpp"), "-o", str(exe)],
+                   check=True)
+    res = subprocess.run([str(exe)], capture_output=True, text=True,
+                         check=True)
+    steps = [json.loads(line) for line in res.stdout.strip().splitlines()]
+    assert len(steps) == nsteps
+
+    state = tm.init_state(prob)
+    x0j = jnp.asarray(x0)
+    Xrefj = jnp.asarray(Xref)
+    cache = prob.cache
+    import dataclasses as _dc
+    for rec in steps:
+        # Each tiny_solve call starts from the previous call's adapted
+        # cache (cache->rho persists across solves in the reference).
+        p = prob.replace(cache=cache)
+        sol, state, cache = tm.solve(p, state, Xref=Xrefj, x0=x0j)
+        assert int(sol.iter) == rec["iter"], f"step {rec['step']} iters"
+        np.testing.assert_allclose(float(cache.rho), rec["rho"], rtol=1e-8,
+                                   err_msg=f"step {rec['step']} rho")
+        np.testing.assert_allclose(np.asarray(state.u[0]), rec["u0"],
+                                   atol=1e-8,
+                                   err_msg=f"step {rec['step']} u0")
+        x0j = prob.A @ x0j + prob.B @ state.u[0]
+
+
+def test_codegen_cpp_adaptive_requires_sensitivities(tmp_path):
+    import dataclasses
+
+    prob = _cartpole_problem()
+    prob = tm.with_settings(prob, adaptive_rho=True)
+    prob = prob.replace(
+        cache=dataclasses.replace(prob.cache, dKinf_drho=None))
+    with pytest.raises(ValueError, match="sensitivity"):
+        generate_cpp(prob, tmp_path / "gen")
