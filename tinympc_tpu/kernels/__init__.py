@@ -1,4 +1,4 @@
 """Pallas TPU kernels for the solver hot path."""
 from .admm_pallas import (FusedCarry, adapted_cache, fused_supported,
-                          init_carry, solve_fused, solve_fused_warm)
+                          init_carry, max_tile, solve_fused, solve_fused_warm)
 from .closed_loop_pallas import closed_loop_fused

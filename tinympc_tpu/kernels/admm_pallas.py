@@ -63,6 +63,66 @@ from ..types import (Solution, TinyProblem, _pytree_dataclass,
 
 DEFAULT_TILE = 1024
 
+# Auto tile selection (tile=None): widest power-of-two tile that fits the
+# VMEM budget, capped at the measured sweet spot. Wider tiles chain more
+# lane-passes per small matmul (4096 ~ 1.5x faster than 1024 on the
+# quadrotor N=20 headline), but past the VMEM budget Mosaic rejects the
+# kernel with an opaque allocation error — the estimate below turns that
+# into a clear ValueError, or avoids it entirely in auto mode.
+AUTO_TILE_CAP = 4096
+# v5e VMEM is 128 MiB/core, but Mosaic's own temporaries (matmul operand
+# staging, the bf16x3 hi/lo operand splits, pipeline double-buffering of
+# the lane-tiled inputs/outputs) roughly double the buffer-list estimate's
+# real footprint: tile=4096 on the quadrotor N=20 box problem (estimated
+# 26 MiB) runs, tile=8192 (52 MiB) is rejected. 48 MiB keeps a margin.
+LANE_VMEM_BUDGET = 48 * 2**20
+
+
+def _lane_rows(spec, settings, warm: bool) -> int:
+    """f32 rows of VMEM per batch lane used by the fused kernel (scratch
+    plus lane-tiled inputs/outputs). Mirrors the buffer lists in
+    `_fused_call` — keep the two in sync."""
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    Nx, Nu = N * nx, (N - 1) * nu
+    nfx = sum(map(bool, (spec.enabled_state_cones, spec.n_state_lin,
+                         spec.n_tv_state_lin)))
+    nfu = sum(map(bool, (spec.enabled_input_cones, spec.n_input_lin,
+                         spec.n_tv_input_lin)))
+    rows = nx                           # x0 lane input
+    rows += 4 * Nx + 4 * Nu + 6         # scratch: x u vnew(x2) znew(x2) g y
+    rows += Nx + Nu + 6                 # outputs: x u iter solved res(4)
+    rows += 2 * (nfx * Nx + nfu * Nu)   # per-family slack+dual scratch
+    if settings.adaptive_rho:
+        rows += 2                       # rho scratch + rho out
+    if spec.en_consensus:
+        rows += 2 * nu                  # zc0 yc0
+    if warm:
+        carry = 3 * (Nx + Nu) + nfx * Nx + nfu * Nu   # vnew znew g y v z
+        if spec.any_extra_family:
+            carry += Nx + Nu            # x u seeds
+        if settings.adaptive_rho:
+            carry += 1                  # per-lane rho
+        snaps = 4 * (Nx + Nu) + nfx * Nx + nfu * Nu   # stales + snapshots
+        if spec.any_extra_family:
+            snaps += Nx + Nu
+        rows += snaps + 2 * carry       # carry rides in AND out
+    return rows
+
+
+def max_tile(prob, warm: bool = False) -> int:
+    """Widest power-of-two fused-kernel tile that fits the VMEM budget for
+    this problem. `solve_fused(tile=None)` picks `min(max_tile, 4096)`."""
+    per_lane = 4 * _lane_rows(prob.spec, prob.settings, warm)
+    fit = LANE_VMEM_BUDGET // per_lane
+    if fit < 1:
+        raise ValueError(
+            f"one problem of this size needs ~{per_lane / 2**20:.0f} MiB of "
+            f"VMEM — beyond the fused kernel; use tinympc_tpu.solve")
+    p = 1
+    while p * 2 <= fit:
+        p *= 2
+    return p
+
 
 @_pytree_dataclass
 class FusedCarry:
@@ -914,8 +974,12 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
 
 
 def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
-                tile: int = DEFAULT_TILE, interpret: bool = False):
+                tile: Optional[int] = None, interpret: bool = False):
     """Batched cold-start solve via the fused kernel.
+
+    ``tile`` is the batch-lane tile width; ``None`` (default) picks the
+    widest power-of-two tile that fits the VMEM budget (see
+    :func:`max_tile`), up to the measured sweet spot of 4096.
 
     Args: x0s (B, nx); Xref (N, nx); Uref (N-1, nu). Supports any
     combination of box / SOC / hyperplane / tv-hyperplane families, with
@@ -934,7 +998,7 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
 
 def solve_fused_warm(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
                      carry: FusedCarry = None, *,
-                     tile: int = DEFAULT_TILE, interpret: bool = False):
+                     tile: Optional[int] = None, interpret: bool = False):
     """Warm-started batched solve: the receding-horizon pattern with an
     *external* plant (set x0 → solve → apply u[0] to the real system →
     repeat), at fused-kernel speed.
@@ -984,7 +1048,16 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
                              "of two for the in-kernel lane butterfly")
         x0s = x0s.reshape(-1, nx)
     B = x0s.shape[0]
-    Bt = min(tile, B)
+    per_lane = 4 * _lane_rows(spec, settings, warm)
+    fit = LANE_VMEM_BUDGET // per_lane
+    if tile is None:
+        Bt = min(B, fit, AUTO_TILE_CAP)
+        if B % Bt:   # largest power of two that still divides the batch
+            Bt = 1 << (Bt.bit_length() - 1)
+            while Bt > 1 and B % Bt:
+                Bt //= 2
+    else:
+        Bt = min(tile, B)
     if consensus and Bt % group:
         if group > Bt:
             raise ValueError(f"scenario group {group} exceeds tile {Bt}; "
@@ -992,6 +1065,11 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         Bt = (Bt // group) * group   # keep groups tile-aligned
     if B % Bt:
         raise ValueError(f"batch {B} must be divisible by tile {Bt}")
+    if Bt > fit:
+        raise ValueError(
+            f"tile {Bt} needs ~{Bt * per_lane / 2**20:.0f} MiB of VMEM for "
+            f"this problem (budget {LANE_VMEM_BUDGET / 2**20:.0f} MiB); pass "
+            f"tile <= {fit} or tile=None for auto selection")
 
     if Xref is None:
         Xref = jnp.zeros((N, nx), dtype)

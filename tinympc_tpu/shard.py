@@ -113,17 +113,14 @@ def solve_fused_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
     B = x0s.shape[0]
     if B % n:
         raise ValueError(f"batch {B} must divide over {n} mesh devices")
-    consensus = prob.spec.en_consensus and x0s.ndim == 3
     # Consensus batches are (n_groups, group, nx): shard the *groups* axis
     # so every scenario group stays whole inside one device's kernel tile
     # (the group mean is within-tile; see kernels._segment_mean_lanes) —
     # still zero collectives.
-    lanes = B // n * (x0s.shape[1] if consensus else 1)
-    local_tile = tile if tile is not None else min(4096, lanes)
-
     def local(x0s_local):
+        # tile=None → per-device auto selection (VMEM-fit, capped at 4096).
         sol, res = solve_fused(prob, Xref, Uref, x0s_local,
-                               tile=local_tile, interpret=interpret)
+                               tile=tile, interpret=interpret)
         return sol, res
 
     from .types import Solution
