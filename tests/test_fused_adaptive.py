@@ -1,11 +1,10 @@
 """Fused-kernel adaptive rho vs the XLA path.
 
-The XLA path materialises per-problem Taylor-updated cache matrices
-(admm.solve broadcasts the cache over the batch); the kernel telescopes the
-updates through the sensitivity matrices instead (M_b = M0 + drho_b * dM),
-which is algebraically identical but associates the floating point
-differently — so unlike the fixed-rho families these comparisons are
-tolerance-based, not bitwise. Runs in Pallas interpret mode on CPU.
+Both paths telescope the Taylor updates through the sensitivity matrices
+(M_b = M0 + drho_b * dM; admm.Telescope on the XLA side) but associate
+the floating point differently — so unlike the fixed-rho families these
+comparisons are tolerance-based, not bitwise. Runs in Pallas interpret
+mode on CPU.
 """
 import numpy as np
 import jax
@@ -107,6 +106,36 @@ def test_fused_adaptive_warm_sequence():
         u0 = state.u[0]
         x0 = (jnp.einsum('ij,bj->bi', prob.A, x0)
               + jnp.einsum('ij,bj->bi', prob.B, u0) + prob.f)
+
+
+def test_adaptive_loop_carries_no_cache_copies():
+    """The batched adaptive solve's while_loop carry holds only the (B,)
+    rho row — never O(B*nx^2) per-problem cache copies (the telescoped
+    Taylor update, VERDICT r1 item 7)."""
+    prob = _adaptive_problem()
+    B = 16
+    state = tm.init_state(prob, (B,))
+    x0s = _x0s(B)
+    jaxpr = jax.make_jaxpr(
+        lambda st, x0: tm.solve_(prob, st, XREF, None, x0))(state, x0s)
+
+    def while_eqns(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "while":
+                yield eqn
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    yield from while_eqns(v.jaxpr)
+
+    eqns = list(while_eqns(jaxpr.jaxpr))
+    assert eqns, "solve must lower to a while_loop"
+    for eqn in eqns:
+        for var in eqn.invars:
+            shape = getattr(var.aval, "shape", ())
+            # Solver-state leaves are time-major (N, B, F); a batch-leading
+            # 3-d leaf can only be a per-problem cache matrix copy.
+            assert not (len(shape) == 3 and shape[0] == B), (
+                f"while carry holds a per-problem cache copy: {shape}")
 
 
 def test_fused_supported_gate_adaptive():

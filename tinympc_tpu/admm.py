@@ -24,17 +24,42 @@ Key inversions vs the reference:
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from .projections import project_box, project_soc
-from .rho_adapt import adapt_rho
+from .rho_adapt import predict_rho, telescoped_osqp_residuals
 from .types import (
     Cache, ConstraintData, ProblemSpec, Settings, SolverState, Solution,
     TinyProblem, TINY_SOLVED, TINY_UNSOLVED, matmul_precision_ctx,
 )
+
+
+class Telescope(NamedTuple):
+    """Per-problem adaptive-rho cache view that never materialises.
+
+    The Taylor update is linear in rho (``M_b = M_base + drho_b * dM/drho``
+    exactly, however many adaptations ran — the deltas telescope), so the
+    per-problem matrices the reference mutates in place
+    (rho_benchmark.cpp:199-212) decompose into the *shared* base matvec
+    plus a drho-scaled sensitivity matvec. The batched XLA solve carries
+    only the (*b,) rho row through the loop instead of O(B*nx^2) cache
+    copies — the same trick as the fused kernel's in-kernel adaptation
+    (kernels/admm_pallas.py), applied at the XLA level.
+
+    ``dC1``/``dC2`` are None unless ``Settings.adaptive_rho_apply_c``
+    retargets the matrices the sweeps actually read (the reference only
+    updates the unused C1/C2 aliases, rho_benchmark.cpp:204-209 vs
+    admm.cpp:17-18).
+    """
+    drho: jax.Array                 # (*b,) rho_b - rho_base
+    dK: jax.Array                   # dKinf/drho
+    dP: jax.Array                   # dPinf/drho
+    dC1: Optional[jax.Array] = None  # dQuu_inv/drho when apply_c
+    dC2: Optional[jax.Array] = None  # dAmBKt/drho when apply_c
 
 
 # ---------------------------------------------------------------- helpers
@@ -72,17 +97,16 @@ def _where_tf(mask, new, old):
     return jnp.where(mask[None, ..., None], new, old)
 
 
-def _where_trail(mask, new, old):
-    """Masked commit for a batch-leading leaf ((*b,) scalar or (*b, i[, j]) cache)."""
-    m = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
-    return jnp.where(m, new, old)
-
-
 # ----------------------------------------------------------- linear cost
 
 def update_linear_cost(spec: ProblemSpec, prob: TinyProblem, state: SolverState,
-                       Xref, Uref) -> SolverState:
-    """q/r/p[N-1] from references, slacks, and duals (admm.cpp:262-304)."""
+                       Xref, Uref, tel: Optional[Telescope] = None
+                       ) -> SolverState:
+    """q/r/p[N-1] from references, slacks, and duals (admm.cpp:262-304).
+
+    ``tel`` (adaptive rho) telescopes the per-problem Pinf through the
+    sensitivity matrix in the terminal row instead of materialising
+    per-problem cache copies (see :class:`Telescope`)."""
     rho = _rho_b(prob.cache.rho)
 
     q = -(Xref * prob.Qdiag) - rho * (state.vnew - state.g)
@@ -111,6 +135,8 @@ def update_linear_cost(spec: ProblemSpec, prob: TinyProblem, state: SolverState,
     # Pinf^T x — Pinf is only symmetric up to round-off, so keep the transpose).
     rhoT = rho  # (*b, 1) or (1,), broadcasts against the (*b, nx) terminal row
     pN = -mtv(prob.cache.Pinf, Xref[-1]) - rhoT * (state.vnew[-1] - state.g[-1])
+    if tel is not None:
+        pN = pN - tel.drho[..., None] * mtv(tel.dP, Xref[-1])
     if spec.en_state_soc and spec.state_cones:
         pN = pN - rhoT * (state.vcnew[-1] - state.gc[-1])
     if spec.en_state_linear:
@@ -125,7 +151,8 @@ def update_linear_cost(spec: ProblemSpec, prob: TinyProblem, state: SolverState,
 # --------------------------------------------------------- Riccati sweeps
 
 def backward_pass(cache: Cache, B, state: SolverState,
-                  consensus: bool = False) -> SolverState:
+                  consensus: bool = False,
+                  tel: Optional[Telescope] = None) -> SolverState:
     """Linear (gradient) Riccati backward recursion (admm.cpp:13-20)::
 
         d[i] = Quu_inv (B' p[i+1] + r[i] + BPf)
@@ -134,11 +161,23 @@ def backward_pass(cache: Cache, B, state: SolverState,
     With consensus, step 0 uses the dedicated gain Quu0_inv that carries
     the rho_c*I consensus prox (cache.Kinf0/Quu0_inv; see with_consensus).
     Only d[0] changes — p[0] is never read downstream.
+
+    ``tel`` (adaptive rho) folds the per-problem Taylor deltas into each
+    matvec as a drho-scaled sensitivity matvec (see :class:`Telescope`).
     """
+    dr = None if tel is None else tel.drho[..., None]
+
     def step(p_next, qr):
         q_i, r_i = qr
-        d_i = mv(cache.Quu_inv, mtv(B, p_next) + r_i + cache.BPf)
+        w = mtv(B, p_next) + r_i + cache.BPf
+        d_i = mv(cache.Quu_inv, w)
         p_i = q_i + mv(cache.AmBKt, p_next) - mtv(cache.Kinf, r_i) + cache.APf
+        if tel is not None:
+            p_i = p_i - dr * mtv(tel.dK, r_i)
+            if tel.dC1 is not None:
+                d_i = d_i + dr * mv(tel.dC1, w)
+            if tel.dC2 is not None:
+                p_i = p_i + dr * mv(tel.dC2, p_next)
         return p_i, (p_i, d_i)
 
     _, (ps, ds) = jax.lax.scan(
@@ -152,7 +191,8 @@ def backward_pass(cache: Cache, B, state: SolverState,
 
 
 def forward_pass(A, B, f, cache: Cache, state: SolverState,
-                 consensus: bool = False, hp: bool = False) -> SolverState:
+                 consensus: bool = False, hp: bool = False,
+                 tel: Optional[Telescope] = None) -> SolverState:
     """LQR rollout (admm.cpp:25-32)::
 
         u[i] = -Kinf x[i] - d[i];  x[i+1] = A x[i] + B u[i] + f
@@ -170,12 +210,16 @@ def forward_pass(A, B, f, cache: Cache, state: SolverState,
     XLA path needs the precision pin.
     """
     prec = jax.lax.Precision.HIGHEST if hp else None
+    dr = None if tel is None else tel.drho[..., None]
 
     def mvp(M, v):
         return jnp.einsum("...ij,...j->...i", M, v, precision=prec)
 
     def step(x_i, d_i):
-        u_i = -mvp(cache.Kinf, x_i) - d_i
+        kx = mvp(cache.Kinf, x_i)
+        if tel is not None:
+            kx = kx + dr * mvp(tel.dK, x_i)
+        u_i = -kx - d_i
         x_next = mvp(A, x_i) + mvp(B, u_i) + f
         return x_next, (x_i, u_i)
 
@@ -393,22 +437,22 @@ def compute_residuals(state: SolverState, rho):
 # ------------------------------------------------------------- iteration
 
 def admm_iteration(prob: TinyProblem, state: SolverState, Xref, Uref,
-                   nb: int) -> SolverState:
+                   nb: int, tel: Optional[Telescope] = None) -> SolverState:
     """One full ADMM iteration (the body of admm.cpp:378-394)."""
     spec = prob.spec
     consensus = spec.en_consensus
     if consensus and prob.cache.Kinf0 is None:
         raise ValueError("en_consensus requires the step-0 consensus gains; "
                          "configure the problem via with_consensus(...)")
-    state = update_linear_cost(spec, prob, state, Xref, Uref)
+    state = update_linear_cost(spec, prob, state, Xref, Uref, tel)
     if prob.settings.horizon_parallel:
         state = backward_pass_assoc(prob.cache, prob.B, state, consensus)
         state = forward_pass_assoc(prob.A, prob.B, prob.f, prob.cache, state,
                                    consensus)
     else:
-        state = backward_pass(prob.cache, prob.B, state, consensus)
+        state = backward_pass(prob.cache, prob.B, state, consensus, tel)
         state = forward_pass(prob.A, prob.B, prob.f, prob.cache, state,
-                             consensus, hp=prob.settings.adaptive_rho)
+                             consensus, hp=prob.settings.adaptive_rho, tel=tel)
     state = update_slack(spec, prob.cons, state, nb,
                          prob.settings.consensus_axis_name)
     state = update_dual(spec, state)
@@ -484,12 +528,27 @@ def _solve_impl(prob, state, Xref, Uref, x0):
     )
     state = seed_extra_slacks(spec, state)
 
+    # Adaptive rho never materialises per-problem cache copies: the loop
+    # carries only the (*b,) rho row, and every per-problem matvec is the
+    # shared base matvec plus a drho-scaled sensitivity matvec (Telescope;
+    # the fused kernel's telescoped-Taylor trick at the XLA level). The
+    # base can itself be a batched cache (re-entry with a final_cache from
+    # a previous adaptive solve) — the matvecs broadcast.
     cache = prob.cache
-    if settings.adaptive_rho and nb > 0 and jnp.ndim(cache.rho) == 0:
-        # Each batch member adapts its own rho -> per-problem cache copies.
-        cache = jax.tree.map(
-            lambda l: (jnp.broadcast_to(l, b + l.shape) if l is not None else None),
-            cache,
+    adaptive = settings.adaptive_rho
+    rho0 = jnp.asarray(cache.rho, dtype)
+    rho_b = jnp.broadcast_to(rho0, b).astype(dtype) if (
+        adaptive and nb > 0 and rho0.ndim == 0) else rho0
+
+    def _tel(rho_cur):
+        if not adaptive:
+            return None
+        apply_c = settings.adaptive_rho_apply_c
+        return Telescope(
+            drho=rho_cur - rho0,
+            dK=cache.dKinf_drho, dP=cache.dPinf_drho,
+            dC1=cache.dC1_drho if apply_c else None,
+            dC2=cache.dC2_drho if apply_c else None,
         )
 
     tols = (settings.abs_pri_tol, settings.abs_dua_tol)
@@ -499,27 +558,32 @@ def _solve_impl(prob, state, Xref, Uref, x0):
         return (it < settings.max_iter) & ~jnp.all(converged)
 
     def body(carry):
-        st, ca, it, converged = carry
+        st, rho_cur, it, converged = carry
         active = ~converged
 
-        pr = prob.replace(cache=ca)
-        new = admm_iteration(pr, st, Xref, Uref, nb)
+        tel = _tel(rho_cur)
+        pr = prob if not adaptive else prob.replace(
+            cache=dataclasses.replace(cache, rho=rho_cur))
+        new = admm_iteration(pr, st, Xref, Uref, nb, tel)
 
         # Adaptive rho every ADAPTIVE_RHO_PERIOD iterations (admm.cpp:397-422),
-        # applied per problem only while that problem is still active.
-        if settings.adaptive_rho:
+        # applied per problem only while that problem is still active. Only
+        # the rho row updates; the next iteration's drho carries the Taylor
+        # delta into every matvec.
+        if adaptive:
             mask = (it > 0) & (it % ADAPTIVE_RHO_PERIOD == 0) & active
-            ca_new = adapt_rho(prob, ca, new, settings)
-            ca = jax.tree.map(
-                lambda n, o: _where_trail(jnp.asarray(mask), n, o), ca_new, ca
-            )
+            pri_r, dua_r, pri_n, dua_n = telescoped_osqp_residuals(
+                prob, cache, tel.drho, new)
+            new_rho = predict_rho(pri_r, dua_r, pri_n, dua_n, rho_cur,
+                                  settings)
+            rho_cur = jnp.where(mask, new_rho, rho_cur)
 
         it1 = it + 1
 
         # Termination check every check_termination iterations with the
         # (possibly adapted) rho (admm.cpp:310-328, 430).
         pred_check = (it1 % settings.check_termination) == 0
-        prs, pri, drs, dri = compute_residuals(new, ca.rho)
+        prs, pri, drs, dri = compute_residuals(new, rho_cur)
         ok = (prs < tols[0]) & (pri < tols[0]) & (drs < tols[1]) & (dri < tols[1])
         if spec.en_consensus:
             cres = jnp.max(jnp.abs(new.u[0] - new.zc0new), axis=-1)
@@ -548,11 +612,28 @@ def _solve_impl(prob, state, Xref, Uref, x0):
 
         # Freeze every field of converged problems.
         committed = _commit(new, st, active)
-        return committed, ca, it1, converged | just_conv
+        return committed, rho_cur, it1, converged | just_conv
 
-    state, cache, _, _ = jax.lax.while_loop(
-        cond, body, (state, cache, jnp.int32(0), jnp.zeros(b, jnp.bool_))
+    state, rho_final, _, _ = jax.lax.while_loop(
+        cond, body, (state, rho_b, jnp.int32(0), jnp.zeros(b, jnp.bool_))
     )
+
+    if adaptive:
+        # Materialise the per-problem final cache once, outside the loop
+        # (the deltas telescope: M_b = M_base + (rho_final - rho0) * dM).
+        # Dead-code-eliminated by XLA when the caller drops final_cache.
+        d2 = (rho_final - rho0)[..., None, None]
+        upd = dict(
+            rho=rho_final,
+            Kinf=cache.Kinf + d2 * cache.dKinf_drho,
+            Pinf=cache.Pinf + d2 * cache.dPinf_drho,
+            C1=cache.C1 + d2 * cache.dC1_drho,
+            C2=cache.C2 + d2 * cache.dC2_drho,
+        )
+        if settings.adaptive_rho_apply_c:
+            upd["Quu_inv"] = cache.Quu_inv + d2 * cache.dC1_drho
+            upd["AmBKt"] = cache.AmBKt + d2 * cache.dC2_drho
+        cache = dataclasses.replace(cache, **upd)
 
     solution = Solution(iter=state.iter, solved=state.solved,
                         x=state.vnew, u=state.znew)

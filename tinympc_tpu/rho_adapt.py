@@ -52,7 +52,8 @@ def _trail(v, like):
     return v.reshape(v.shape + (1,) * (like.ndim - v.ndim))
 
 
-def osqp_residuals(A, B, Qdiag, Rdiag, Pinf, x, u, vnew, znew, g, y):
+def osqp_residuals(A, B, Qdiag, Rdiag, Pinf, x, u, vnew, znew, g, y,
+                   dPinf=None, drho=None):
     """OSQP primal/dual residuals and normalisations of the stacked problem
     (rho_benchmark.cpp:44-173) evaluated matrix-free.
 
@@ -63,6 +64,10 @@ def osqp_residuals(A, B, Qdiag, Rdiag, Pinf, x, u, vnew, znew, g, y):
     The reference builds its q vector against a zero reference
     (rho_benchmark.cpp:127-143); same here.
     Returns (pri_res, dual_res, pri_norm, dual_norm), each shaped (*b,).
+
+    ``dPinf``/``drho`` telescope the per-problem Taylor-updated terminal
+    cost (``Pinf_b = Pinf + drho_b * dPinf``) without materialising it —
+    the batched adaptive path's memory fix (see admm.Telescope).
     """
     y_dyn = g[1:]                                 # (N-1, *b, nx)
     ax_in = u                                     # identity rows
@@ -76,7 +81,10 @@ def osqp_residuals(A, B, Qdiag, Rdiag, Pinf, x, u, vnew, znew, g, y):
 
     # P x: Q-diag blocks for stages, Pinf terminal, R-diag inputs
     # (rho_benchmark.cpp:105-124).
-    px_state = jnp.concatenate([Qdiag * x[:-1], _mv(Pinf, x[-1])[None]], axis=0)
+    pxN = _mv(Pinf, x[-1])
+    if drho is not None:
+        pxN = pxN + drho[..., None] * _mv(dPinf, x[-1])
+    px_state = jnp.concatenate([Qdiag * x[:-1], pxN[None]], axis=0)
     px_input = Rdiag * u
     # q vector: Q-diag for every stage *including* the terminal
     # (rho_benchmark.cpp:127-143 loops all i with work->Q).
@@ -146,3 +154,15 @@ def adapt_rho(prob, cache: Cache, state, settings: Settings) -> Cache:
     new_rho = predict_rho(pri_res, dual_res, pri_norm, dual_norm,
                           cache.rho, settings)
     return taylor_update(cache, new_rho, settings)
+
+
+def telescoped_osqp_residuals(prob, cache: Cache, drho, state):
+    """OSQP residuals with the per-problem terminal cost telescoped through
+    ``dPinf_drho`` (``Pinf_b = Pinf + drho_b * dPinf``) — no per-problem
+    cache copies ever exist. ``cache`` holds the *base* matrices the
+    ``drho`` offsets are relative to (see admm.Telescope)."""
+    return osqp_residuals(
+        prob.A, prob.B, prob.Qdiag, prob.Rdiag, cache.Pinf,
+        state.x, state.u, state.vnew, state.znew, state.g, state.y,
+        dPinf=cache.dPinf_drho, drho=drho,
+    )
