@@ -30,6 +30,65 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AxisLike = Union[str, Sequence[str]]
 
 
+# ------------------------------------------------------------- multi-host
+
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     **kw) -> None:
+    """Join a multi-host fleet: wire JAX's distributed runtime so
+    ``jax.devices()`` spans every host and meshes built by
+    :func:`make_mesh` shard over DCN.
+
+    Thin, idempotent wrapper over ``jax.distributed.initialize``. On cloud
+    TPU pods the arguments are auto-detected from the environment — call
+    with none; on self-managed clusters pass
+    ``(coordinator_address="host0:8476", num_processes=H, process_id=h)``
+    (the analog of torchrun-style rendezvous; the reference has no
+    multi-anything, SURVEY.md §2.4). After this, the flow is unchanged:
+    build a mesh over ``jax.devices()`` and feed globally-sharded batches
+    from :func:`global_batch`.
+    """
+    # Probe initialisation state without jax.process_count(), which would
+    # itself initialise the backend (then initialize() raises).
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kw)
+
+
+def global_batch(mesh: Mesh, local, axis: Optional[AxisLike] = None):
+    """Assemble a global batch-leading array (or pytree) from each
+    process's *local* rows: process p contributes ``local`` with shape
+    ``(B_local, ...)`` and the result is a (num_processes * B_local, ...)
+    array sharded over ``mesh``'s ``axis`` — multi-host batch ingestion
+    without ever materialising the full fleet on one host.
+
+    Single-process meshes fall back to :func:`shard_batch_leading`.
+    """
+    if jax.process_count() == 1:
+        return shard_batch_leading(mesh, local, axis)
+    ax = _axes(mesh, axis)
+
+    def put(leaf):
+        leaf = np.asarray(leaf)
+        gshape = (leaf.shape[0] * jax.process_count(),) + leaf.shape[1:]
+        sharding = NamedSharding(mesh, P(ax))
+        return jax.make_array_from_process_local_data(sharding, leaf, gshape)
+
+    return jax.tree.map(put, local)
+
+
+def local_rows(garray):
+    """This process's rows of a batch-leading globally-sharded array,
+    concatenated in device order — the inverse of :func:`global_batch`
+    for reading results back on each host."""
+    shards = sorted(garray.addressable_shards, key=lambda s: s.index[0].start)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def make_mesh(shape: Optional[Tuple[int, ...]] = None,
               axis_names: Optional[Tuple[str, ...]] = None,
               devices=None) -> Mesh:
@@ -111,8 +170,21 @@ def solve_fused_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
     ax = _axes(mesh, axis)
     n = int(np.prod([mesh.shape[a] for a in ax]))
     B = x0s.shape[0]
-    if B % n:
-        raise ValueError(f"batch {B} must divide over {n} mesh devices")
+    pad = (-B) % n
+    if pad:
+        # Ragged batch: pad with duplicate rows (their solves are real work
+        # but converge like their originals) and drop the extra outputs.
+        import jax.numpy as jnp
+        reps = jnp.concatenate([x0s] * (-(-(B + pad) // B)))[:B + pad]
+        sol, res = solve_fused_sharded(prob, Xref, Uref, reps, mesh,
+                                       axis=axis, tile=tile,
+                                       interpret=interpret)
+        from .types import Solution
+        trim_lead = lambda a: a[:B]
+        trim_mid = lambda a: a[:, :B]
+        sol = Solution(iter=trim_lead(sol.iter), solved=trim_lead(sol.solved),
+                       x=trim_mid(sol.x), u=trim_mid(sol.u))
+        return sol, trim_mid(res)
     # Consensus batches are (n_groups, group, nx): shard the *groups* axis
     # so every scenario group stays whole inside one device's kernel tile
     # (the group mean is within-tile; see kernels._segment_mean_lanes) —

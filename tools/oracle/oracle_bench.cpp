@@ -15,6 +15,7 @@
 
 int main(int argc, char** argv) {
     int num_solves = argc > 1 ? atoi(argv[1]) : 2000;
+    int max_iter = argc > 2 ? atoi(argv[2]) : 100;
 
     TinySolver* solver;
     tinyMatrix Adyn = Map<Matrix<tinytype, NSTATES, NSTATES, RowMajor>>(Adyn_data);
@@ -31,7 +32,7 @@ int main(int argc, char** argv) {
     tiny_setup(&solver, Adyn, Bdyn, fdyn, Q.asDiagonal(), R.asDiagonal(),
                rho_value, NSTATES, NINPUTS, NHORIZON, 0);
     tiny_set_bound_constraints(solver, x_min, x_max, u_min, u_max);
-    solver->settings->max_iter = 100;
+    solver->settings->max_iter = max_iter;
 
     TinyWorkspace* work = solver->work;
     tinyVector xref(NSTATES);
@@ -47,6 +48,7 @@ int main(int argc, char** argv) {
         for (int i = 0; i < NSTATES; i++) x0(i) = dist(gen);
 
     long total_iters = 0;
+    long num_solved = 0;
     // Warm-up solve (first-touch costs).
     tiny_set_x0(solver, x0s[0]);
     tiny_solve(solver);
@@ -61,14 +63,17 @@ int main(int argc, char** argv) {
         tiny_set_x0(solver, x0s[k]);
         tiny_solve(solver);
         total_iters += solver->solution->iter;
+        num_solved += solver->solution->solved;
     }
     auto t1 = std::chrono::steady_clock::now();
     double secs = std::chrono::duration<double>(t1 - t0).count();
 
     fprintf(stderr,
-            "{\"solves\":%d,\"seconds\":%.6f,\"solves_per_s\":%.1f,"
-            "\"total_iters\":%ld,\"iters_per_s\":%.1f,\"avg_iters\":%.2f}\n",
-            num_solves, secs, num_solves / secs, total_iters,
-            total_iters / secs, (double)total_iters / num_solves);
+            "{\"solves\":%d,\"max_iter\":%d,\"seconds\":%.6f,"
+            "\"solves_per_s\":%.1f,\"total_iters\":%ld,\"iters_per_s\":%.1f,"
+            "\"avg_iters\":%.2f,\"solved_frac\":%.4f}\n",
+            num_solves, max_iter, secs, num_solves / secs, total_iters,
+            total_iters / secs, (double)total_iters / num_solves,
+            (double)num_solved / num_solves);
     return 0;
 }
