@@ -224,6 +224,138 @@ def test_param_grads_sysid_descent():
 def test_diff_unsupported_specs_raise():
     prob = _cartpole()
     with pytest.raises(ValueError):
-        make_differentiable(tm.with_cones(prob, input_cones=[(0, 1, 0.5)]))
-    with pytest.raises(ValueError):
         make_differentiable(tm.with_consensus(prob))
+    from tinympc_tpu.diff import make_differentiable_params
+    with pytest.raises(ValueError):
+        make_differentiable_params(
+            tm.with_cones(prob, input_cones=[(0, 1, 0.5)]))
+
+
+# ------------------------- conic families (hyperplane / SOC active sets)
+
+def _quad_linear(tol=1e-10):
+    """Quadrotor with a binding altitude ceiling z <= 0.6 (static
+    hyperplane) and wide-open boxes."""
+    s = systems.quadrotor_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=6, dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-1e9, x_max=1e9, u_min=-1e9, u_max=1e9)
+    a = np.zeros(12); a[2] = 1.0
+    prob = tm.with_linear_constraints(prob, Alin_x=a[None], blin_x=[0.3])
+    return tm.with_settings(prob, max_iter=50000, abs_pri_tol=tol,
+                            abs_dua_tol=tol)
+
+
+def test_grad_hyperplane_matches_fd():
+    """An active altitude hyperplane contributes its constraint row: the
+    implicit gradient matches finite differences of the solver map."""
+    prob = _quad_linear()
+    f = make_differentiable(prob)
+    x0 = jnp.zeros(12, jnp.float64)
+    Xref = jnp.tile(jnp.asarray([0, 0, 1.0] + [0.0] * 9), (6, 1))
+    Uref = jnp.zeros((5, 4), jnp.float64)
+    sol = f(x0, Xref, Uref)
+    assert float(jnp.max(sol.x[:, 2])) >= 0.3 - 1e-6, \
+        "test premise: the ceiling must bind"
+
+    def loss(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum((sol.x[:, 2] - 1.0) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(x0, Xref, Uref)
+    for argi in range(2):
+        _fd_check(loss, (x0, Xref, Uref), g, argi, n=4, rtol=5e-3)
+
+
+def test_grad_tv_hyperplane_matches_fd():
+    """Time-varying ceiling schedule: only the binding steps' rows enter."""
+    s = systems.quadrotor_20hz()
+    N = 6
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-1e9, x_max=1e9, u_min=-1e9, u_max=1e9)
+    a = np.zeros(12); a[2] = 1.0
+    Atv = np.tile(a, (N, 1, 1))                     # (N, 1, 12)
+    btv = np.linspace(0.5, 0.15, N)[:, None]       # tightening ceiling
+    prob = tm.with_tv_linear_constraints(prob, tv_Alin_x=Atv, tv_blin_x=btv)
+    prob = tm.with_settings(prob, max_iter=50000, abs_pri_tol=1e-10,
+                            abs_dua_tol=1e-10)
+    f = make_differentiable(prob)
+    x0 = jnp.zeros(12, jnp.float64)
+    Xref = jnp.tile(jnp.asarray([0, 0, 1.0] + [0.0] * 9), (N, 1))
+    Uref = jnp.zeros((N - 1, 4), jnp.float64)
+    sol = f(x0, Xref, Uref)
+    zmax = np.asarray(sol.x[:, 2])
+    assert np.any(zmax >= np.asarray(btv[:, 0]) - 1e-6), \
+        "test premise: some ceiling step must bind"
+
+    def loss(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum((sol.x[:, 2] - 1.0) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(x0, Xref, Uref)
+    for argi in range(2):
+        _fd_check(loss, (x0, Xref, Uref), g, argi, n=4, rtol=5e-3)
+
+
+def test_grad_soc_matches_fd():
+    """Rocket landing with a binding input thrust cone: the boundary
+    tangent row [v/||v||, -mu] linearizes the active cone."""
+    s = systems.rocket_landing_20hz()
+    N = 8
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, f=s["f"], dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-1e9, x_max=1e9, u_min=-1e9, u_max=1e9)
+    prob = tm.with_cones(prob, input_cones=[(0, 3, 0.12)])
+    prob = tm.with_settings(prob, max_iter=200000, abs_pri_tol=1e-10,
+                            abs_dua_tol=1e-10)
+    f = make_differentiable(prob)
+    x0 = jnp.asarray([4.0, 2.0, 20.0, -3.0, 2.0, -4.5], jnp.float64)
+    Xref = jnp.asarray(np.linspace(np.asarray(x0), np.zeros(6), N),
+                       jnp.float64)
+    Uref = jnp.zeros((N - 1, 3), jnp.float64).at[:, 2].set(10.0)
+    sol = f(x0, Xref, Uref)
+    u = np.asarray(sol.u)
+    ratio = np.linalg.norm(u[:, :2], axis=1) / (0.12 * np.abs(u[:, 2]) + 1e-12)
+    n_active = int(np.sum(np.abs(ratio - 1.0) < 1e-4))
+    assert n_active > 0, f"test premise: cone must bind (ratios {ratio})"
+
+    def loss(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum(sol.x[:, :3] ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(x0, Xref, Uref)
+    for argi in range(2):
+        _fd_check(loss, (x0, Xref, Uref), g, argi, n=4, rtol=5e-3)
+
+
+def test_inactive_extra_family_grads_match_fd():
+    """A never-binding hyperplane still changes the *effective* QP (each
+    enabled slack family cancels one rho from the effective weights —
+    tinympc's fixed point solves Q + (2 - n_fam) rho, so adding a family
+    undoes the rho augmentation; solutions genuinely differ from the
+    box-only problem). The gradient must track that effective problem:
+    FD-check the inactive-family config (validates the per-family Hessian
+    correction in _kkt_matrix)."""
+    s = systems.quadrotor_20hz()
+    base = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=6, dtype=jnp.float64)
+    base = tm.with_bounds(base, x_min=-1e9, x_max=1e9, u_min=-1e9, u_max=1e9)
+    base = tm.with_settings(base, max_iter=50000, abs_pri_tol=1e-11,
+                            abs_dua_tol=1e-11)
+    a = np.zeros(12); a[2] = 1.0
+    lin = tm.with_linear_constraints(base, Alin_x=a[None], blin_x=[50.0])
+
+    x0 = jnp.zeros(12, jnp.float64)
+    Xref = jnp.tile(jnp.asarray([0, 0, 1.0] + [0.0] * 9), (6, 1))
+    Uref = jnp.zeros((5, 4), jnp.float64)
+
+    f1 = make_differentiable(lin)
+
+    def loss(x0, Xref, Uref):
+        sol = f1(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum((sol.x[:, 2] - 1.0) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(x0, Xref, Uref)
+    for argi in range(2):
+        _fd_check(loss, (x0, Xref, Uref), g, argi, n=4, rtol=5e-3)

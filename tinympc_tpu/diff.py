@@ -28,9 +28,25 @@ is solved densely per problem (z = trajectory, D = initial condition +
 dynamics rows). Solve accuracy bounds gradient accuracy — tighten
 ``abs_pri_tol``/``abs_dua_tol`` when training through the solver.
 
-Scope: box-constrained specs (the reference's default family). SOC /
-hyperplane / consensus specs raise — their active-set geometry (cone
-boundaries, halfspaces) needs per-family tangent treatment.
+Beyond boxes, the conic families (SOC / hyperplane / tv-hyperplane;
+:func:`make_differentiable` only) are differentiated through the
+*projection operators themselves*: each enabled slack family satisfies
+``z = P_f(z + y_f)`` at the fixed point, so the implicit system couples
+``dz`` to per-family dual tangents ``dy_f`` through the Jacobian ``DP_f``
+of the very projection code the solver runs (see :func:`_family_dps` —
+this captures cone curvature, the reference's scaled-SOC projection
+quirk, and the sequential hyperplane composition exactly, where a
+textbook active-row linearization is measurably wrong).
+
+With extra families the *effective* quadratic also changes: every enabled
+slack family contributes a ``-rho x`` term at the fixed point (its
+``-rho (v_f - g_f)`` linear-cost term with ``v_f = x``), so the effective
+stage Hessian is ``Q_user + (2 - n_fam) rho`` on top of the stored
+once-augmented ``Qdiag = Q_user + rho`` — see ``_kkt_matrix``.
+
+Scope: consensus and adaptive-rho specs raise (coupled groups / varying
+rho need different machinery); ``make_differentiable_params`` remains
+box-only.
 """
 from __future__ import annotations
 
@@ -48,6 +64,10 @@ from .types import init_state as _init_state
 
 
 def _diff_supported(prob: TinyProblem) -> bool:
+    return not (prob.spec.en_consensus or prob.settings.adaptive_rho)
+
+
+def _params_diff_supported(prob: TinyProblem) -> bool:
     spec = prob.spec
     return not (
         spec.en_state_soc or spec.en_input_soc
@@ -57,10 +77,28 @@ def _diff_supported(prob: TinyProblem) -> bool:
     )
 
 
+def _family_counts(spec):
+    """Enabled slack families per side (box always runs — the candidate is
+    clipped against infinite bounds even when disabled, admm.update_slack):
+    each contributes a -rho(v_f - g_f) linear-cost term, hence a -rho x at
+    the fixed point."""
+    nfx = 1 + int(bool(spec.en_state_soc and spec.state_cones)) \
+        + int(bool(spec.en_state_linear)) + int(bool(spec.en_tv_state_linear))
+    nfu = 1 + int(bool(spec.en_input_soc and spec.input_cones)) \
+        + int(bool(spec.en_input_linear)) + int(bool(spec.en_tv_input_linear))
+    return nfx, nfu
+
+
 def _kkt_matrix(prob: TinyProblem):
     """Dense KKT matrix of the effective equality-constrained QP (no
     actives yet). Layout: z = [x_0..x_{N-1}, u_0..u_{N-2}], constraints =
-    [x_0 = x0, x_{i} - A x_{i-1} - B u_{i-1} = f]."""
+    [x_0 = x0, x_{i} - A x_{i-1} - B u_{i-1} = f].
+
+    Effective weights (module docstring): the stored diagonals are
+    once-augmented (Qdiag = Q_user + rho), the primal step augments by one
+    more rho, and each of the n_fam slack families cancels one rho at the
+    fixed point — net ``Qdiag + (1 - n_fam) rho`` (box-only: Qdiag).
+    Likewise the terminal block is ``Pinf - n_fam rho I``."""
     spec = prob.spec
     N, nx, nu = spec.N, spec.nx, spec.nu
     dtype = prob.dtype
@@ -69,16 +107,18 @@ def _kkt_matrix(prob: TinyProblem):
     nc = N * nx
 
     rho = jnp.asarray(prob.cache.rho, dtype)
-    Pterm = prob.cache.Pinf - rho * jnp.eye(nx, dtype=dtype)
+    nfx, nfu = _family_counts(spec)
+    Pterm = prob.cache.Pinf - nfx * rho * jnp.eye(nx, dtype=dtype)
+    Qd = prob.Qdiag + (1 - nfx) * rho
+    Rd = prob.Rdiag + (1 - nfu) * rho
 
     H = jnp.zeros((nz, nz), dtype)
     for i in range(N - 1):
-        H = H.at[i * nx:(i + 1) * nx, i * nx:(i + 1) * nx].set(
-            jnp.diag(prob.Qdiag))
+        H = H.at[i * nx:(i + 1) * nx, i * nx:(i + 1) * nx].set(jnp.diag(Qd))
     H = H.at[(N - 1) * nx:nzx, (N - 1) * nx:nzx].set(Pterm)
     for i in range(N - 1):
         o = nzx + i * nu
-        H = H.at[o:o + nu, o:o + nu].set(jnp.diag(prob.Rdiag))
+        H = H.at[o:o + nu, o:o + nu].set(jnp.diag(Rd))
 
     D = jnp.zeros((nc, nz), dtype)
     D = D.at[:nx, :nx].set(jnp.eye(nx, dtype=dtype))       # x_0 = x0
@@ -116,12 +156,180 @@ def _active_mask(prob: TinyProblem, sol_x, sol_u):
         [(~ax).reshape(-1), (~au).reshape(-1)]).astype(sol_x.dtype)
 
 
-def _vjp_one(prob: TinyProblem, S, m_z, gx, gu):
-    """Solve the adjoint KKT system for one problem's cotangents."""
+def _has_extra_families(spec) -> bool:
+    return bool((spec.en_state_soc and spec.state_cones)
+                or (spec.en_input_soc and spec.input_cones)
+                or spec.en_state_linear or spec.en_input_linear
+                or spec.en_tv_state_linear or spec.en_tv_input_linear)
+
+
+def _blockdiag(Bs):
+    """(T, w, w) per-timestep blocks -> (T*w, T*w) block-diagonal."""
+    T, w, _ = Bs.shape
+    M = jnp.zeros((T, w, T, w), Bs.dtype)
+    idx = jnp.arange(T)
+    M = M.at[idx, :, idx, :].set(Bs)
+    return M.reshape(T * w, T * w)
+
+
+def _family_dps(prob: TinyProblem, sx, su, duals):
+    """Projection Jacobians of every enabled slack family at its converged
+    candidate ``cand_f = z* + dual_f``.
+
+    The ADMM fixed point satisfies ``z = P_f(z + dual_f)`` per family, so
+    the implicit derivative needs ``DP_f`` — the Jacobian of the *actual*
+    projection operator the solver runs (jacfwd of the same code), not the
+    textbook constraint linearization. This matters beyond curvature: the
+    reference's SOC projection is Euclidean in the scaled coordinates
+    ``(v, mu*s)`` (admm.cpp:39-60), so its boundary multiplier direction is
+    ``[v/||v||, -1/mu]``, not the surface normal ``[v/||v||, -mu]`` — a
+    fixed-row active-set treatment gets visibly wrong gradients. Sequential
+    hyperplane composition (constraint k sees k-1's output) is likewise
+    captured exactly by differentiating the composed map.
+
+    Returns a list of ``(coord_offset, dim, DP)`` blocks over the z layout.
+    Timestep 0 of every state-side family is forced to identity — x_0 is
+    held by the initial-condition equality (cf. _active_mask).
+    """
+    from .projections import project_hyperplane_if_violated, project_soc
+
+    spec, cons = prob.spec, prob.cons
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    nzx = N * nx
+    dtype = prob.dtype
+    fams = []
+
+    def free_row0(DPs):
+        return DPs.at[0].set(jnp.eye(DPs.shape[-1], dtype=dtype))
+
+    # Box family (always runs; infinite bounds when disabled).
+    fin = jnp.finfo(dtype).max
+    xmin = jnp.asarray(cons.x_min, dtype) if spec.en_state_bound \
+        else jnp.full((N, nx), -fin)
+    xmax = jnp.asarray(cons.x_max, dtype) if spec.en_state_bound \
+        else jnp.full((N, nx), fin)
+    umin = jnp.asarray(cons.u_min, dtype) if spec.en_input_bound \
+        else jnp.full((N - 1, nu), -fin)
+    umax = jnp.asarray(cons.u_max, dtype) if spec.en_input_bound \
+        else jnp.full((N - 1, nu), fin)
+    cand = sx + duals["g"]
+    inside = ((cand > xmin) & (cand < xmax)).astype(dtype)
+    inside = inside.at[0].set(1.0)
+    fams.append((0, nzx, _blockdiag(jax.vmap(jnp.diag)(inside))))
+    cand = su + duals["y"]
+    inside = ((cand > umin) & (cand < umax)).astype(dtype)
+    fams.append((nzx, (N - 1) * nu, _blockdiag(jax.vmap(jnp.diag)(inside))))
+
+    def soc_proj(cone_list, mus):
+        def proj(vec):
+            for k, (start, dim) in enumerate(cone_list):
+                seg = project_soc(vec[start:start + dim], mus[k])
+                vec = vec.at[start:start + dim].set(seg)
+            return vec
+        return proj
+
+    if spec.en_state_soc and spec.state_cones:
+        mus = jnp.asarray(cons.cx, dtype)
+        DPs = jax.vmap(jax.jacfwd(soc_proj(spec.state_cones, mus)))(
+            sx + duals["gc"])
+        fams.append((0, nzx, _blockdiag(free_row0(DPs))))
+    if spec.en_input_soc and spec.input_cones:
+        mus = jnp.asarray(cons.cu, dtype)
+        DPs = jax.vmap(jax.jacfwd(soc_proj(spec.input_cones, mus)))(
+            su + duals["yc"])
+        fams.append((nzx, (N - 1) * nu, _blockdiag(DPs)))
+
+    def hyper_proj(A, b):
+        def proj(vec):
+            for k in range(A.shape[0]):
+                vec = project_hyperplane_if_violated(vec, A[k], b[k])
+            return vec
+        return proj
+
+    if spec.en_state_linear:
+        proj = hyper_proj(jnp.asarray(cons.Alin_x, dtype),
+                          jnp.asarray(cons.blin_x, dtype))
+        DPs = jax.vmap(jax.jacfwd(proj))(sx + duals["gl"])
+        fams.append((0, nzx, _blockdiag(free_row0(DPs))))
+    if spec.en_input_linear:
+        proj = hyper_proj(jnp.asarray(cons.Alin_u, dtype),
+                          jnp.asarray(cons.blin_u, dtype))
+        DPs = jax.vmap(jax.jacfwd(proj))(su + duals["yl"])
+        fams.append((nzx, (N - 1) * nu, _blockdiag(DPs)))
+
+    def tv_proj(vec, Ai, bi):
+        for k in range(Ai.shape[0]):
+            vec = project_hyperplane_if_violated(vec, Ai[k], bi[k])
+        return vec
+
+    if spec.en_tv_state_linear:
+        DPs = jax.vmap(jax.jacfwd(tv_proj))(
+            sx + duals["gl_tv"], jnp.asarray(cons.tv_Alin_x, dtype),
+            jnp.asarray(cons.tv_blin_x, dtype))
+        fams.append((0, nzx, _blockdiag(free_row0(DPs))))
+    if spec.en_tv_input_linear:
+        DPs = jax.vmap(jax.jacfwd(tv_proj))(
+            su + duals["yl_tv"], jnp.asarray(cons.tv_Alin_u, dtype),
+            jnp.asarray(cons.tv_blin_u, dtype))
+        fams.append((nzx, (N - 1) * nu, _blockdiag(DPs)))
+    return fams
+
+
+def _dp_vjp_one(prob: TinyProblem, S, gx, gu, sx, su, duals):
+    """Adjoint of the full projection-operator fixed point (conic specs).
+
+    Unknowns (dz, dlam, dy_f per family) satisfy the linearized system::
+
+        H dz + D' dlam + sum_f rho dy_f|_coords = -dc
+        D dz = de
+        (I - DP_f) dz|_coords - DP_f dy_f = 0        for each family f
+
+    where the last rows differentiate ``z = P_f(z + y_f)``. Nonsymmetric
+    (DP_f is not a projection onto the constraint tangent in general — see
+    _family_dps), solved densely per problem; the adjoint solve uses the
+    transpose. Returns (gx0, gXref, gUref) like _vjp_one.
+    """
     spec = prob.spec
     N, nx, nu = spec.N, spec.nx, spec.nu
     nzx = N * nx
-    nz = S.shape[0] - N * nx
+    nz = nzx + (N - 1) * nu
+    nc = N * nx
+    dtype = S.dtype
+    rho = jnp.asarray(prob.cache.rho, dtype)
+
+    fams = _family_dps(prob, sx, su, duals)
+    n_extra = sum(d for _, d, _ in fams)
+    n_tot = nz + nc + n_extra
+    A = jnp.zeros((n_tot, n_tot), dtype)
+    A = A.at[:nz + nc, :nz + nc].set(S)
+    off = nz + nc
+    for coff, dim, DP in fams:
+        eye = jnp.eye(dim, dtype=dtype)
+        A = A.at[coff:coff + dim, off:off + dim].set(rho * eye)
+        A = A.at[off:off + dim, coff:coff + dim].set(eye - DP)
+        A = A.at[off:off + dim, off:off + dim].set(-DP)
+        off += dim
+
+    gz = jnp.concatenate([gx.reshape(-1), gu.reshape(-1)])
+    rhs = jnp.concatenate([gz, jnp.zeros(nc + n_extra, dtype)])
+    w = jnp.linalg.solve(A.T, rhs)
+
+    w_x = w[:nzx].reshape(N, nx)
+    w_u = w[nzx:nz].reshape(N - 1, nu)
+    gXref = prob.Qdiag * w_x
+    gXref = gXref.at[N - 1].set(prob.cache.Pinf @ w_x[N - 1])
+    gUref = prob.Rdiag * w_u
+    gx0 = w[nz:nz + nx]
+    return gx0, gXref, gUref
+
+
+def _vjp_one(prob: TinyProblem, S, m_z, gx, gu):
+    """Solve the adjoint KKT system for one problem's cotangents
+    (box-only specs; conic specs go through _dp_vjp_one)."""
+    spec = prob.spec
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    nzx = N * nx
+    nz = nzx + (N - 1) * nu
     dtype = S.dtype
 
     m = jnp.concatenate([m_z, jnp.ones(N * nx, dtype)])
@@ -209,10 +417,20 @@ def _kkt_values(prob: TinyProblem, S, m_z, sol_x, sol_u, c, e):
     return w[:nz], w[nz:]
 
 
+_DUAL_FIELDS = ("g", "y", "gc", "yc", "gl", "yl", "gl_tv", "yl_tv")
+
+
 def make_differentiable(prob: TinyProblem, state: Optional[SolverState] = None):
     """Return ``f(x0, Xref, Uref) -> Solution`` differentiable w.r.t. all
     three arguments (unbatched ``(nx,)`` or batched ``(B, nx)`` x0, with
     Xref/Uref shared ``(N, nx)``/``(N-1, nu)`` or batched likewise).
+
+    Supports every projection family except consensus: box-only specs use
+    the symmetric pinned-KKT adjoint (:func:`_vjp_one`); conic specs (SOC /
+    hyperplane / tv-hyperplane) differentiate the projection operators
+    themselves (:func:`_dp_vjp_one`), which handles cone curvature, the
+    reference's scaled-SOC quirk, and sequential hyperplane composition
+    exactly (a.e.).
 
     Gradients flow through ``Solution.x``/``Solution.u``; iteration counts
     and flags are non-differentiable bookkeeping. ``state`` optionally
@@ -220,47 +438,54 @@ def make_differentiable(prob: TinyProblem, state: Optional[SolverState] = None):
     unaffected).
     """
     if not _diff_supported(prob):
-        raise ValueError("make_differentiable supports box-constrained "
-                         "fixed-rho specs; SOC/hyperplane/consensus and "
+        raise ValueError("make_differentiable supports fixed-rho "
+                         "non-consensus specs; consensus groups and "
                          "adaptive-rho active sets are not differentiated")
     S = _kkt_matrix(prob)
+    extra = _has_extra_families(prob.spec)
 
     def _solve(x0, Xref, Uref):
         b = x0.shape[:-1]
         st = state if state is not None else _init_state(
             prob.spec, b, prob.dtype)
-        sol, _, _ = admm.solve(prob, st, Xref=Xref, Uref=Uref, x0=x0)
-        return sol
+        sol, st, _ = admm.solve(prob, st, Xref=Xref, Uref=Uref, x0=x0)
+        return sol, st
 
     @jax.custom_vjp
     def f(x0, Xref, Uref):
-        return _solve(x0, Xref, Uref)
+        return _solve(x0, Xref, Uref)[0]
 
     def fwd(x0, Xref, Uref):
-        sol = _solve(x0, Xref, Uref)
-        return sol, (sol.x, sol.u, x0.shape, Xref.shape, Uref.shape)
+        sol, st = _solve(x0, Xref, Uref)
+        duals = {k: getattr(st, k) for k in _DUAL_FIELDS
+                 if getattr(st, k, None) is not None} if extra else {}
+        return sol, (sol.x, sol.u, duals,
+                     x0.shape, Xref.shape, Uref.shape)
 
     def bwd(res, ct):
-        sol_x, sol_u, x0_shape, xref_shape, uref_shape = res
+        sol_x, sol_u, duals, x0_shape, xref_shape, uref_shape = res
         gx, gu = ct.x, ct.u
         batched = len(x0_shape) > 1
 
-        def one(sx, su, gxi, gui):
-            m_z = _active_mask(prob, sx, su)
-            return _vjp_one(prob, S, m_z, gxi, gui)
+        def one(sx, su, gxi, gui, duals_i):
+            if not extra:
+                m_z = _active_mask(prob, sx, su)
+                return _vjp_one(prob, S, m_z, gxi, gui)
+            return _dp_vjp_one(prob, S, gxi, gui, sx, su, duals_i)
 
         if batched:
             # Solution arrays are (T, B, F) — move batch in front for vmap.
             tb = lambda a: jnp.moveaxis(a, 1, 0)
             gx0, gXref, gUref = jax.vmap(one)(
-                tb(sol_x), tb(sol_u), tb(gx), tb(gu))
+                tb(sol_x), tb(sol_u), tb(gx), tb(gu),
+                {k: tb(v) for k, v in duals.items()})
             # Shared (unbatched) references accumulate over the batch.
             gXref = (jnp.sum(gXref, axis=0) if len(xref_shape) == 2
                      else jnp.moveaxis(gXref, 0, 1))
             gUref = (jnp.sum(gUref, axis=0) if len(uref_shape) == 2
                      else jnp.moveaxis(gUref, 0, 1))
         else:
-            gx0, gXref, gUref = one(sol_x, sol_u, gx, gu)
+            gx0, gXref, gUref = one(sol_x, sol_u, gx, gu, duals)
         return gx0, gXref, gUref
 
     f.defvjp(fwd, bwd)
@@ -289,7 +514,7 @@ def make_differentiable_params(template: TinyProblem,
     assumption holds to gradient accuracy. Unbatched or batched x0, like
     :func:`make_differentiable`.
     """
-    if not _diff_supported(template):
+    if not _params_diff_supported(template):
         raise ValueError("make_differentiable_params supports "
                          "box-constrained fixed-rho specs")
     rho = template.cache.rho
