@@ -141,9 +141,41 @@ def main():
             fn = jax.jit(lambda x0s, p=p: tm.solve_(
                 p, tm.init_state(p, (B,)), Xref, None, x0s)[0].iter)
             out, dt = bench("hp", fn, x0s)
-            label = "assoc-scan" if hp else "sequential"
+            label = "blocked-scan" if hp else "sequential"
             record(f"long horizon N={N} ({label})", B,
                    B * 20 / dt, "iters*B/s", "")
+
+    # --- to-convergence: per-tile early exit vs lane compaction ---
+    # Uniformly hard workload (the oracle's: nearly every lane runs long):
+    # tile exit alone is optimal. Mixed-difficulty workload (easy lanes
+    # finish in ~10 iters, hard lanes hit the cap): compaction re-packs
+    # unconverged lanes between launches — identical per-problem results.
+    from tinympc_tpu.kernels import make_compact_solver
+    prob, _ = _mk("quadrotor_20hz", 20, f32, max_iter=500)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    Xref = jnp.zeros((20, 12), f32).at[:, 2].set(1.0)
+    B = 32768
+    x0h = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 12)), f32)
+    te = jax.jit(lambda x0s: solve_fused(prob, Xref, None, x0s,
+                                         tile=4096)[0])
+    out, dt = bench("to_conv_hard", te, x0h)
+    record("to-convergence 500it hard batch (tile exit)", B, B / dt,
+           "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}")
+
+    B = 262144
+    scales = np.linspace(0.05, 0.5, B)[:, None]
+    x0m = jnp.asarray((rng.uniform(-1, 1, (B, 12)) * scales)[
+        rng.permutation(B)], f32)
+    tem = jax.jit(lambda x0s: solve_fused(prob, None, None, x0s,
+                                          tile=4096)[0])
+    out, dt = bench("to_conv_mixed_te", tem, x0m)
+    record("to-convergence 500it mixed batch (tile exit)", B, B / dt,
+           "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}")
+    solver = make_compact_solver(prob, chunk=[100, 400])
+    cm = lambda x0s: solver(x0s)[0]
+    out, dt = bench("to_conv_mixed_compact", cm, x0m)
+    record("to-convergence 500it mixed batch (compaction)", B, B / dt,
+           "solves/s", "schedule=[100,400], bitwise == tile exit")
 
     # --- closed loop (XLA scan), warm-started fleet ---
     B, T = 4096, 50

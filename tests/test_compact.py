@@ -1,0 +1,174 @@
+"""solve_fused_compact: to-convergence solves with lane compaction.
+
+Box-family problems with fixed rho must be *bitwise* identical to one
+long fused solve — the FusedCarry hands a chunk boundary over exactly
+(kernels/compact.py module docstring). Extra families re-seed slack at
+chunk boundaries (reference tiny_solve-again semantics, admm.cpp:352-376)
+so for them we assert solution validity rather than bitwise equality.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jax
+
+import tinympc_tpu as tm
+from tinympc_tpu import systems
+from tinympc_tpu.kernels import solve_fused, solve_fused_compact
+
+
+def _solve_long(prob, Xref, Uref, x0s, B):
+    """Jitted single long fused solve. solve_fused_compact jits its
+    phases (one dispatch per launch); in Pallas interpret mode on CPU the
+    kernel body compiles differently under jit than eagerly (FMA/fusion),
+    so the bitwise reference must be jitted the same way. On TPU both
+    forms run the identical Mosaic binary (tools/run_tpu_checks.py pins
+    eager-vs-compact equality on the chip)."""
+    fn = jax.jit(lambda x0: solve_fused(prob, Xref, Uref, x0, tile=B,
+                                        interpret=True))
+    return fn(x0s)
+
+
+def _quadrotor(max_iter=60, **settings):
+    s = systems.quadrotor_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=10, dtype=jnp.float32)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    return tm.with_settings(prob, max_iter=max_iter, **settings)
+
+
+def _mixed_x0s(B, scale_lo=0.05, scale_hi=0.45, seed=0):
+    """Initial states spanning easy (few iterations) to hard (hits the
+    budget), so compaction actually re-packs between chunks."""
+    rng = np.random.default_rng(seed)
+    scales = np.linspace(scale_lo, scale_hi, B)[:, None]
+    return jnp.asarray(rng.uniform(-1, 1, (B, 12)) * scales, jnp.float32)
+
+
+def test_compact_bitwise_matches_long_solve():
+    prob = _quadrotor(max_iter=60)
+    B = 16
+    x0s = _mixed_x0s(B)
+
+    sol_long, res_long = _solve_long(prob, None, None, x0s, B)
+    sol_c, res_c = solve_fused_compact(prob, None, None, x0s, chunk=15,
+                                       tile=None, min_batch=4,
+                                       interpret=True)
+
+    # The workload must be genuinely mixed for this test to mean anything.
+    it = np.asarray(sol_long.iter)
+    assert it.min() <= 15 and it.max() > 30, f"workload not mixed: {it}"
+
+    np.testing.assert_array_equal(np.asarray(sol_c.iter), it)
+    np.testing.assert_array_equal(np.asarray(sol_c.solved),
+                                  np.asarray(sol_long.solved))
+    np.testing.assert_array_equal(np.asarray(sol_c.x), np.asarray(sol_long.x))
+    np.testing.assert_array_equal(np.asarray(sol_c.u), np.asarray(sol_long.u))
+    np.testing.assert_array_equal(np.asarray(res_c), np.asarray(res_long))
+
+
+def test_compact_budget_not_multiple_of_chunk():
+    """A final partial chunk (total % chunk != 0) must still land on the
+    exact budget."""
+    prob = _quadrotor(max_iter=37)
+    B = 8
+    x0s = _mixed_x0s(B, scale_lo=0.3, scale_hi=0.5)
+    sol_long, _ = _solve_long(prob, None, None, x0s, B)
+    sol_c, _ = solve_fused_compact(prob, None, None, x0s, chunk=10,
+                                   min_batch=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sol_c.iter),
+                                  np.asarray(sol_long.iter))
+    np.testing.assert_array_equal(np.asarray(sol_c.x),
+                                  np.asarray(sol_long.x))
+    assert np.asarray(sol_c.iter).max() <= 37
+
+
+def test_compact_all_converge_early_stops():
+    """When every problem converges in the first chunk, no further phases
+    run and iteration counts match the long solve."""
+    prob = _quadrotor(max_iter=100)
+    B = 8
+    x0s = _mixed_x0s(B, scale_lo=0.01, scale_hi=0.05)
+    sol_long, _ = _solve_long(prob, None, None, x0s, B)
+    assert np.asarray(sol_long.solved).all()
+    sol_c, _ = solve_fused_compact(prob, None, None, x0s, chunk=50,
+                                   min_batch=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sol_c.iter),
+                                  np.asarray(sol_long.iter))
+    assert np.asarray(sol_c.solved).all()
+
+
+def test_compact_soc_solutions_valid():
+    """Rocket-landing SOC: chunk boundaries re-seed cone slack (reference
+    tiny_solve-again semantics) — solutions must still satisfy the
+    termination tolerances and the cone constraints."""
+    s = systems.rocket_landing_20hz()
+    N = 10
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, f=s["f"], dtype=jnp.float32)
+    x_min = np.tile([-5.0, -5.0, -0.5, -10.0, -10.0, -20.0], (N, 1))
+    x_max = np.tile([5.0, 5.0, 100.0, 10.0, 10.0, 20.0], (N, 1))
+    prob = tm.with_bounds(prob, x_min=x_min, x_max=x_max, u_min=-10.0,
+                          u_max=105.0)
+    prob = tm.with_cones(prob, state_cones=[(0, 3, 0.25)],
+                         input_cones=[(0, 3, 0.5)])
+    prob = tm.with_settings(prob, max_iter=80, abs_pri_tol=2e-3)
+    B = 8
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(
+        np.asarray([4, 2, 20, -3, 2, -4.5])
+        * (1 + 0.1 * rng.uniform(-1, 1, (B, 6))), jnp.float32)
+    frac = jnp.arange(N, dtype=jnp.float32) / 99.0
+    Xref = jnp.asarray([4, 2, 20, -3, 2, -4.5], jnp.float32) \
+        * (1 - frac[:, None])
+    Uref = jnp.zeros((N - 1, 3), jnp.float32).at[:, 2].set(10.0)
+    sol, res = solve_fused_compact(prob, Xref, Uref, x0s, chunk=20,
+                                   min_batch=4, interpret=True)
+    solved = np.asarray(sol.solved)
+    assert solved.any()
+    r = np.asarray(res)
+    assert (r[:4, solved] < prob.settings.abs_pri_tol + 1e-6).all()
+    # Cone feasibility of the projected state iterates: ||x[:2]|| <= mu*x[2].
+    x = np.asarray(sol.x)[:, solved, :]
+    lhs = np.linalg.norm(x[..., :2], axis=-1)
+    assert (lhs <= 0.25 * x[..., 2] + 1e-4).all()
+
+
+def test_compact_adaptive_rho_runs():
+    prob = _quadrotor(max_iter=40, adaptive_rho=True)
+    B = 8
+    x0s = _mixed_x0s(B, scale_lo=0.1, scale_hi=0.4, seed=1)
+    sol, res = solve_fused_compact(prob, None, None, x0s, chunk=10,
+                                   min_batch=4, interpret=True)
+    assert res.shape[0] == 5            # final-rho row rides along
+    rho = np.asarray(res[4])
+    assert (rho >= prob.settings.adaptive_rho_min - 1e-6).all()
+    assert (rho <= prob.settings.adaptive_rho_max + 1e-6).all()
+    solved = np.asarray(sol.solved)
+    r = np.asarray(res)
+    if solved.any():
+        assert (r[:4, solved] < prob.settings.abs_pri_tol + 1e-6).all()
+
+
+def test_compact_rejects_bad_chunk():
+    prob = _quadrotor(max_iter=40, check_termination=5)
+    x0s = _mixed_x0s(4)
+    with pytest.raises(ValueError, match="chunk"):
+        solve_fused_compact(prob, None, None, x0s, chunk=7, interpret=True)
+
+
+def test_compact_phase_schedule():
+    """chunk may be a phase-length schedule ([10, 40]: compact once, then
+    run survivors to the cap) — still bitwise equal to one long solve."""
+    prob = _quadrotor(max_iter=60)
+    B = 16
+    x0s = _mixed_x0s(B)
+    sol_long, _ = _solve_long(prob, None, None, x0s, B)
+    sol_c, _ = solve_fused_compact(prob, None, None, x0s, chunk=[10, 40],
+                                   min_batch=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sol_c.iter),
+                                  np.asarray(sol_long.iter))
+    np.testing.assert_array_equal(np.asarray(sol_c.x),
+                                  np.asarray(sol_long.x))

@@ -78,7 +78,7 @@ AUTO_TILE_CAP = 4096
 LANE_VMEM_BUDGET = 48 * 2**20
 
 
-def _lane_rows(spec, settings, warm: bool) -> int:
+def _lane_rows(spec, settings, warm: bool, final: bool = False) -> int:
     """f32 rows of VMEM per batch lane used by the fused kernel (scratch
     plus lane-tiled inputs/outputs). Mirrors the buffer lists in
     `_fused_call` — keep the two in sync."""
@@ -89,7 +89,9 @@ def _lane_rows(spec, settings, warm: bool) -> int:
     nfu = sum(map(bool, (spec.enabled_input_cones, spec.n_input_lin,
                          spec.n_tv_input_lin)))
     rows = nx                           # x0 lane input
-    rows += 4 * Nx + 4 * Nu + 6         # scratch: x u vnew(x2) znew(x2) g y
+    rows += 3 * Nx + 3 * Nu + 6         # scratch: vnew(x2) znew(x2) g y
+    if warm and spec.any_extra_family:
+        rows += Nx + Nu                 # x u scratch (carry hand-over)
     rows += Nx + Nu + 6                 # outputs: x u iter solved res(4)
     rows += 2 * (nfx * Nx + nfu * Nu)   # per-family slack+dual scratch
     if settings.adaptive_rho:
@@ -102,17 +104,18 @@ def _lane_rows(spec, settings, warm: bool) -> int:
             carry += Nx + Nu            # x u seeds
         if settings.adaptive_rho:
             carry += 1                  # per-lane rho
-        snaps = 4 * (Nx + Nu) + nfx * Nx + nfu * Nu   # stales + snapshots
-        if spec.any_extra_family:
-            snaps += Nx + Nu
-        rows += snaps + 2 * carry       # carry rides in AND out
+        rows += Nx + Nu + 2 * carry     # stales + carry in AND out
+        if not final:                   # per-lane freeze snapshots
+            rows += 3 * (Nx + Nu) + nfx * Nx + nfu * Nu
+            if spec.any_extra_family:
+                rows += Nx + Nu
     return rows
 
 
-def max_tile(prob, warm: bool = False) -> int:
+def max_tile(prob, warm: bool = False, final: bool = False) -> int:
     """Widest power-of-two fused-kernel tile that fits the VMEM budget for
     this problem. `solve_fused(tile=None)` picks `min(max_tile, 4096)`."""
-    per_lane = 4 * _lane_rows(prob.spec, prob.settings, warm)
+    per_lane = 4 * _lane_rows(prob.spec, prob.settings, warm, final)
     fit = LANE_VMEM_BUDGET // per_lane
     if fit < 1:
         raise ValueError(
@@ -298,7 +301,7 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                  state_cones=(), input_cones=(),
                  n_state_lin: int = 0, n_input_lin: int = 0,
                  n_tv_state_lin: int = 0, n_tv_input_lin: int = 0,
-                 warm: bool = False,
+                 warm: bool = False, final: bool = False,
                  adaptive: bool = False, apply_c: bool = False,
                  rho_min: float = 1.0, rho_max: float = 100.0,
                  rho_clip: bool = True, adapt_period: int = 5,
@@ -316,6 +319,15 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
     carry at first convergence (the XLA path's per-lane freeze), and the
     merged carry is written to outputs — the same machinery as the fused
     closed-loop kernel, for solves whose plant lives outside the chip.
+
+    ``final`` (with ``warm``) drops the per-lane carry freeze: every lane's
+    carry output is simply its final iterate, converged or not, and the
+    snapshot scratch/RMWs disappear (solution outputs still freeze at first
+    convergence). This is the right mode when only *unconverged* lanes'
+    carries will ever be read — the compaction driver
+    (:func:`~.compact.make_compact_solver`) discards converged lanes at
+    its gather, and the snapshot machinery measurably slows long phases
+    (converged lanes trigger the read-modify-write on many iterations).
 
     ``adaptive`` adds the IROS-2025 adaptive-rho subsystem (rho_benchmark.cpp
     via rho_adapt.py) *inside* the kernel. The XLA path materialises a full
@@ -362,6 +374,8 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
     en_isoc = bool(input_cones)
     any_extra = (en_ssoc or en_isoc or n_state_lin or n_input_lin
                  or n_tv_state_lin or n_tv_input_lin)
+    need_xu = warm and any_extra   # x/u scratch only feeds the carry merge
+    snap = warm and not final      # per-lane carry freeze machinery
     f32 = jnp.float32
 
     def kernel(*refs):
@@ -423,7 +437,7 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             x_out = nxt() if any_extra else None
             u_out = nxt() if any_extra else None
         # --- scratch
-        x, u = nxt(), nxt()
+        x, u = (nxt(), nxt()) if need_xu else (None, None)
         vnew, znew = nxt(), nxt()       # (2, ...) ping-pong halves
         g, y = nxt(), nxt()
         done, iters, res = nxt(), nxt(), nxt()
@@ -444,6 +458,7 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         yc0 = nxt() if consensus else None
         if warm:
             vstale, zstale = nxt(), nxt()
+        if snap:
             snap_v, snap_z, snap_g, snap_y, snap_vst, snap_zst = (
                 nxt(), nxt(), nxt(), nxt(), nxt(), nxt())
             snap_gc = nxt() if en_ssoc else None
@@ -587,11 +602,12 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             y[:] = y_in[:]
             vstale[:] = v_in[:]
             zstale[:] = z_in[:]
-            for ref in (snap_v, snap_z, snap_g, snap_y, snap_vst, snap_zst,
-                        snap_gc, snap_yc, snap_gl, snap_yl, snap_gtv,
-                        snap_ytv, snap_x, snap_u):
-                if ref is not None:
-                    ref[:] = jnp.zeros(ref.shape, ref.dtype)
+            if snap:
+                for ref in (snap_v, snap_z, snap_g, snap_y, snap_vst,
+                            snap_zst, snap_gc, snap_yc, snap_gl, snap_yl,
+                            snap_gtv, snap_ytv, snap_x, snap_u):
+                    if ref is not None:
+                        ref[:] = jnp.zeros(ref.shape, ref.dtype)
         else:
             for ref in (vnew, znew, g, y):
                 ref[:] = jnp.zeros(ref.shape, ref.dtype)
@@ -744,7 +760,7 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             prev = 1 - cur
             xs = jnp.stack(xvals)
             us = jnp.stack(uvals)
-            if warm:
+            if need_xu:
                 x[:] = xs
                 u[:] = us
             vn = jnp.minimum(xmax, jnp.maximum(xmin, xs + g[:]))
@@ -898,18 +914,18 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                 jm = just[None, None, :]
                 outx_ref[:] = jnp.where(jm, vn, outx_ref[:])
                 outu_ref[:] = jnp.where(jm, zn, outu_ref[:])
-                if warm:
+                if snap:
                     snap_v[:] = jnp.where(jm, vn, snap_v[:])
                     snap_z[:] = jnp.where(jm, zn, snap_z[:])
                     snap_g[:] = jnp.where(jm, g_new, snap_g[:])
                     snap_y[:] = jnp.where(jm, y_new, snap_y[:])
                     snap_vst[:] = jnp.where(jm, vprev, snap_vst[:])
                     snap_zst[:] = jnp.where(jm, zprev, snap_zst[:])
-                    for snap, val in ((snap_gc, gcn), (snap_yc, ycn),
+                    for sref, val in ((snap_gc, gcn), (snap_yc, ycn),
                                       (snap_gl, gln), (snap_yl, yln),
                                       (snap_gtv, gtvn), (snap_ytv, ytvn)):
-                        if snap is not None:
-                            snap[:] = jnp.where(jm, val, snap[:])
+                        if sref is not None:
+                            sref[:] = jnp.where(jm, val, sref[:])
                     if any_extra:
                         snap_x[:] = jnp.where(jm, xs, snap_x[:])
                         snap_u[:] = jnp.where(jm, us, snap_u[:])
@@ -947,7 +963,7 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             # so this is the per-problem final rho of admm.solve's cache.
             rho_out[:] = rho_s[:]
 
-        if warm:
+        if snap:
             # Merge the carry: converged lanes restore their snapshots
             # (per-lane freeze); max-iter lanes hand over the final iterate,
             # for which the reference's last v <- vnew copy *did* run.
@@ -958,17 +974,34 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             y_out[:] = jnp.where(cm, snap_y[:], y[:])
             v_out[:] = jnp.where(cm, snap_vst[:], vlast)
             z_out[:] = jnp.where(cm, snap_zst[:], zlast)
-            for out, snap, cur_ref in ((gc_out, snap_gc, gc),
+            for out, sref, cur_ref in ((gc_out, snap_gc, gc),
                                        (yc_out, snap_yc, yc),
                                        (gl_out, snap_gl, gl),
                                        (yl_out, snap_yl, yl),
                                        (gtv_out, snap_gtv, gtv),
                                        (ytv_out, snap_ytv, ytv)):
                 if out is not None:
-                    out[:] = jnp.where(cm, snap[:], cur_ref[:])
+                    out[:] = jnp.where(cm, sref[:], cur_ref[:])
             if any_extra:
                 x_out[:] = jnp.where(cm, snap_x[:], x[:])
                 u_out[:] = jnp.where(cm, snap_u[:], u[:])
+        elif warm:
+            # ``final`` mode: every lane hands over its final iterate (the
+            # caller reads only unconverged lanes' carries — see docstring).
+            vnew_out[:] = vlast
+            znew_out[:] = zlast
+            g_out[:] = g[:]
+            y_out[:] = y[:]
+            v_out[:] = vlast
+            z_out[:] = zlast
+            for out, cur_ref in ((gc_out, gc), (yc_out, yc), (gl_out, gl),
+                                 (yl_out, yl), (gtv_out, gtv),
+                                 (ytv_out, ytv)):
+                if out is not None:
+                    out[:] = cur_ref[:]
+            if any_extra:
+                x_out[:] = x[:]
+                u_out[:] = u[:]
 
     return kernel
 
@@ -998,7 +1031,8 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
 
 def solve_fused_warm(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
                      carry: FusedCarry = None, *,
-                     tile: Optional[int] = None, interpret: bool = False):
+                     tile: Optional[int] = None, final: bool = False,
+                     interpret: bool = False):
     """Warm-started batched solve: the receding-horizon pattern with an
     *external* plant (set x0 → solve → apply u[0] to the real system →
     repeat), at fused-kernel speed.
@@ -1010,14 +1044,20 @@ def solve_fused_warm(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
     plant is the model itself, prefer
     :func:`~tinympc_tpu.kernels.closed_loop_fused` (zero HBM traffic
     between steps).
+
+    ``final=True`` replaces the per-lane freeze with final-iterate carry
+    outputs for *every* lane (converged lanes' carries become
+    post-convergence iterates — only read them for unconverged lanes).
+    This drops the in-kernel snapshot machinery, which measurably slows
+    long mixed-convergence phases; it is what the compaction driver uses.
     """
     if carry is None:
         raise ValueError("solve_fused_warm needs a carry; start from "
                          "init_carry(prob, B)")
-    return _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret)
+    return _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final)
 
 
-def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
+def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False):
     spec, settings = prob.spec, prob.settings
     warm = carry is not None
     adaptive = settings.adaptive_rho
@@ -1048,7 +1088,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
                              "of two for the in-kernel lane butterfly")
         x0s = x0s.reshape(-1, nx)
     B = x0s.shape[0]
-    per_lane = 4 * _lane_rows(spec, settings, warm)
+    per_lane = 4 * _lane_rows(spec, settings, warm, final)
     fit = LANE_VMEM_BUDGET // per_lane
     if tile is None:
         Bt = min(B, fit, AUTO_TILE_CAP)
@@ -1187,7 +1227,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         input_cones=spec.input_cones if en_isoc else (),
         n_state_lin=nsl, n_input_lin=nil,
         n_tv_state_lin=ntsl, n_tv_input_lin=ntil,
-        warm=warm,
+        warm=warm, final=final,
         adaptive=adaptive, apply_c=settings.adaptive_rho_apply_c,
         rho_min=settings.adaptive_rho_min, rho_max=settings.adaptive_rho_max,
         rho_clip=settings.adaptive_rho_clip, adapt_period=ADAPTIVE_RHO_PERIOD,
@@ -1226,8 +1266,10 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
             out_specs.append(lane_spec(l))
             out_shape.append(jax.ShapeDtypeStruct(l.shape, dtype))
 
-    scratch = [
-        zx(), zu(),                             # x u (d rides as values)
+    scratch = []
+    if warm and any_extra:
+        scratch += [zx(), zu()]                 # x u (carry hand-over)
+    scratch += [
         pltpu.VMEM((2, N, nx, Bt), dtype),      # vnew ping-pong
         pltpu.VMEM((2, N - 1, nu, Bt), dtype),  # znew ping-pong
         zx(), zu(),                             # g y
@@ -1253,6 +1295,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret):
         scratch += [pltpu.VMEM((nu, Bt), dtype)] * 2   # zc0 yc0
     if warm:
         scratch += [zx(), zu()]                         # vstale zstale
+    if warm and not final:
         scratch += [zx(), zu(), zx(), zu(), zx(), zu()]  # snaps v z g y vst zst
         if en_ssoc:
             scratch += [zx()]   # snap_gc

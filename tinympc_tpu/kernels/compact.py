@@ -1,0 +1,208 @@
+"""To-convergence fused solves with lane compaction.
+
+The fused kernel (admm_pallas) already terminates each batch *tile* as
+soon as every lane in it converges, but a tile is only as fast as its
+slowest lane: at tile=4096 one stubborn problem keeps 4095 converged
+lanes spinning. For to-convergence workloads (max_iter in the hundreds,
+reference default 1000 — tiny_api_constants.hpp:5-7) the per-problem
+iteration counts are heavily long-tailed (on the quadrotor benchmark
+workload ~3%% of problems finish within 100 iterations, ~21%% within 500,
+~73%% within 2000), so run-to-tile-completion wastes a large fraction of
+the chip on mixed-difficulty batches.
+
+:func:`make_compact_solver` recovers per-*problem* early exit without
+giving up wide tiles: the iteration budget is split into fixed chunks,
+each chunk runs as one fused launch, and between chunks the still-
+unconverged lanes are gathered into a fresh dense batch (padded to a
+tile multiple so the lanes stay MXU-aligned). The exact warm-start carry
+(:class:`~.admm_pallas.FusedCarry`) makes a chunk boundary invisible to
+the algorithm: for box-constrained problems with fixed rho the chunked
+solve is *bitwise identical* to a single ``max_iter``-long fused solve —
+same iterates, same per-problem iteration counts, same residuals (the
+carry hands over vnew/znew/g/y plus the one-behind v/z that iteration
+0's dual residual reads, mirroring admm.cpp:444-446).
+
+Everything between the per-phase solved-mask readbacks is jitted — the
+phase solve, the compaction gather, and the result scatter are each one
+device dispatch, built once by the factory and reused across calls (on
+remote/tunneled accelerators, per-op eager dispatch costs ~100x, and
+rebuilding jit closures per call re-traces and re-loads executables).
+
+Deviations from a single long solve, by construction:
+  * extra constraint families (SOC / hyperplane / tv) re-seed their slack
+    from the carried x/u at each chunk boundary — exactly what the
+    reference does on every ``tiny_solve`` call (admm.cpp:352-376), so
+    the chunked solve matches a *sequence of warm reference solves*
+    rather than one long one;
+  * adaptive rho restarts its every-5-iterations clock at each chunk
+    (admm.cpp:397 counts from the start of solve()), so adaptations
+    land at chunk-local multiples of 5.
+Both still satisfy the same termination criteria; solutions remain
+feasible and residual-checked.
+
+Consensus problems are not supported (scenario groups would have to be
+compacted as units; use solve_fused, whose in-tile group mean already
+amortizes over the group).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import Solution, TinyProblem
+from .admm_pallas import init_carry, solve_fused_warm
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
+                        tile: Optional[int] = None, min_batch: int = 256,
+                        interpret: bool = False):
+    """Build a reusable to-convergence compaction solver for ``prob``.
+
+    Returns ``solve(x0s, Xref=None, Uref=None) -> (Solution, residuals)``
+    — semantically equivalent to ``solve_fused`` with the problem's full
+    ``settings.max_iter`` budget (bitwise so for box families with fixed
+    rho — see module docstring), but converged problems stop consuming
+    chip time at the next ``chunk`` boundary instead of at tile
+    completion. Residuals gain the final-rho 5th row for adaptive
+    problems.
+
+    Args:
+      prob: the configured problem; ``settings.max_iter`` is the total
+        iteration budget.
+      chunk: iterations per fused launch — an int (every phase the same
+        length), or a sequence of phase lengths, the last repeating until
+        the budget is spent (e.g. ``[100, 400]``: compact once after 100
+        iterations, then let the survivors run to the cap with in-kernel
+        tile exit — one readback total, the right shape when the host
+        round-trip is expensive relative to the kernel). Each length must
+        be a multiple of ``settings.check_termination``. Smaller chunks
+        compact sooner but pay more launch/readback overhead and compile
+        more phase variants (one kernel per distinct (batch, iterations)
+        pair — all cached inside the returned closure).
+      tile: forwarded to the fused launches (None = auto per phase).
+      min_batch: stop compacting below this many live lanes — the gather
+        bookkeeping outweighs the saved iterations once the tail is
+        narrow; the final phases run the stragglers at this width.
+      interpret: run the kernels in interpreter mode (tests).
+    """
+    settings = prob.settings
+    total = settings.max_iter
+    if prob.spec.en_consensus:
+        raise ValueError("compaction does not support consensus problems; "
+                         "use solve_fused")
+    schedule = [chunk] if isinstance(chunk, int) else [int(c) for c in chunk]
+    for c in schedule:
+        if c < 1 or c % settings.check_termination:
+            raise ValueError(
+                f"chunk ({c}) must be a positive multiple of "
+                f"check_termination ({settings.check_termination}) so "
+                "residual checks land on chunk boundaries")
+
+    def phase_len(phase_idx: int, remaining: int) -> int:
+        c = schedule[min(phase_idx, len(schedule) - 1)]
+        return min(c, remaining)
+
+    phase_fns = {}
+
+    def run_phase(iters, Xref, Uref, x0_sub, carry_sub):
+        if iters not in phase_fns:
+            p = prob.replace(
+                settings=dataclasses.replace(settings, max_iter=iters))
+            # final=True: no per-lane carry freeze — the gather below only
+            # ever reads unconverged lanes' carries, and dropping the
+            # snapshot machinery makes mixed-convergence phases ~2x faster.
+            phase_fns[iters] = jax.jit(
+                lambda X, U, x0, c: solve_fused_warm(p, X, U, x0, c,
+                                                     tile=tile, final=True,
+                                                     interpret=interpret))
+        return phase_fns[iters](Xref, Uref, x0_sub, carry_sub)
+
+    @jax.jit
+    def gather_phase(x0s, carry, local_pad, global_pad):
+        sub_x0 = jnp.take(x0s, global_pad, axis=0)
+        sub_carry = jax.tree_util.tree_map(
+            lambda a: jnp.take(a, local_pad, axis=-1), carry)
+        return sub_x0, sub_carry
+
+    @jax.jit
+    def scatter_phase(outs, sel, sol, res, used):
+        out_x, out_u, out_iter, out_solved, out_res = outs
+        k = sel.shape[0]
+        return (out_x.at[:, sel].set(sol.x[:, :k]),
+                out_u.at[:, sel].set(sol.u[:, :k]),
+                out_iter.at[sel].set(used + sol.iter[:k]),
+                out_solved.at[sel].set(sol.solved[:k]),
+                out_res.at[:, sel].set(res[:, :k]))
+
+    def solve(x0s, Xref=None, Uref=None):
+        x0s = jnp.asarray(x0s)
+        B = x0s.shape[0]
+        step = phase_len(0, total)
+        phase_idx = 1
+        carry = init_carry(prob, B)
+        sol, res, carry = run_phase(step, Xref, Uref, x0s, carry)
+        out_x, out_u = sol.x, sol.u      # (N, B, nx), (N-1, B, nu)
+        out_iter, out_solved, out_res = sol.iter, sol.solved, res
+        used = step
+
+        # g: global lane ids of the first k (real) lanes of the carry.
+        g = np.arange(B)
+        k = B
+        solved_host = np.asarray(out_solved)
+        while used < total:
+            local = np.flatnonzero(~solved_host)
+            if local.size == 0:
+                break
+            g = g[local]
+            k = local.size
+            # Pad the gather so the fused launch keeps full-width tiles:
+            # up to a multiple of the tile width (every power-of-two tile
+            # divides it), or the next power of two below one tile.
+            # Duplicated lanes redo work harmlessly and are dropped at
+            # scatter. Below min_batch, stop shrinking.
+            T = tile if tile else 4096
+            P = -(-k // T) * T if k >= T else _next_pow2(k)
+            P = max(P, min(min_batch, _next_pow2(B)))
+            local_pad = np.concatenate([local, np.full(P - k, local[0])]) \
+                if P > k else local
+            global_pad = np.concatenate([g, np.full(P - k, g[0])]) \
+                if P > k else g
+            sub_x0, carry = gather_phase(x0s, carry, jnp.asarray(local_pad),
+                                         jnp.asarray(global_pad))
+
+            step = phase_len(phase_idx, total - used)
+            phase_idx += 1
+            sol, res, carry = run_phase(step, Xref, Uref, sub_x0, carry)
+            out_x, out_u, out_iter, out_solved, out_res = scatter_phase(
+                (out_x, out_u, out_iter, out_solved, out_res),
+                jnp.asarray(g), sol, res, jnp.int32(used))
+            used += step
+            solved_host = np.asarray(sol.solved[:k])
+
+        return (Solution(iter=out_iter, solved=out_solved, x=out_x,
+                         u=out_u), out_res)
+
+    return solve
+
+
+def solve_fused_compact(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
+                        chunk: int = 100, tile: Optional[int] = None,
+                        min_batch: int = 256, interpret: bool = False):
+    """One-shot convenience wrapper over :func:`make_compact_solver`.
+
+    Builds the solver and runs it once — fine for tests and single
+    solves; for repeated solves (serving, closed loops) hold on to
+    ``make_compact_solver(prob, ...)`` so its jitted phases are reused
+    instead of re-traced per call.
+    """
+    return make_compact_solver(prob, chunk=chunk, tile=tile,
+                               min_batch=min_batch,
+                               interpret=interpret)(x0s, Xref, Uref)
