@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""On-TPU verification lane: re-checks on the real chip what the CPU test
+suite can only check in interpret mode.
+
+The pytest suite pins jax to CPU (tests/conftest.py) so CI needs no TPU;
+the claims that are *about* the chip — fused-kernel-vs-XLA bit parity
+(kernels/admm_pallas.py module docstring), the bf16x3 precision mode's
+convergence statistics, warm-start carry semantics, compaction equality —
+are verified here instead. Run on a machine with a TPU attached:
+
+    python tools/run_tpu_checks.py            # ~2-4 min incl. compiles
+
+Prints one PASS/FAIL line per check and exits non-zero on any failure.
+"""
+import sys
+import traceback
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+_RESULTS = []
+
+
+def check(name):
+    def deco(fn):
+        _RESULTS.append((name, fn))
+        return fn
+    return deco
+
+
+def _quadrotor(max_iter=100, N=10, **settings):
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu import systems
+    s = systems.quadrotor_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, dtype=jnp.float32)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    return tm.with_settings(prob, max_iter=max_iter, **settings)
+
+
+def _x0s(B, scale=0.3, seed=0):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(-scale, scale, (B, 12)), jnp.float32)
+
+
+@check("fused kernel vs XLA path: bit-identical solutions (box family)")
+def check_fused_bit_parity():
+    """The admm_pallas docstring claims bit-identical solutions, iteration
+    counts, solved flags, and residuals vs admm.solve on-chip at 'default'
+    precision (both paths run the MXU's single-pass bf16 matmul). At
+    'highest', XLA's and Mosaic's multi-pass f32 dots round differently —
+    there the claim is maxdiff below f32 round-off at iterate magnitude
+    and >=99%% identical per-lane iteration counts (docs/PARITY.md)."""
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import solve_fused
+    B = 256
+    x0s = _x0s(B)
+
+    prob = _quadrotor(max_iter=60, matmul_precision="default")
+    sol_ref, st_ref, _ = tm.solve(prob, tm.init_state(prob, (B,)), x0=x0s)
+    sol_f, res = solve_fused(prob, None, None, x0s, tile=B)
+    assert np.array_equal(np.asarray(sol_f.iter), np.asarray(sol_ref.iter)), \
+        "iteration counts differ (default precision)"
+    assert np.array_equal(np.asarray(sol_f.solved), np.asarray(sol_ref.solved))
+    assert np.array_equal(np.asarray(sol_f.x), np.asarray(sol_ref.x)), \
+        f"max |dx| = {np.abs(np.asarray(sol_f.x) - np.asarray(sol_ref.x)).max()}"
+    assert np.array_equal(np.asarray(sol_f.u), np.asarray(sol_ref.u))
+    assert np.array_equal(np.asarray(res[0]), np.asarray(st_ref.pri_res_state))
+
+    prob_h = _quadrotor(max_iter=60, matmul_precision="highest")
+    sol_rh, _, _ = tm.solve(prob_h, tm.init_state(prob_h, (B,)), x0=x0s)
+    sol_fh, _ = solve_fused(prob_h, None, None, x0s, tile=B)
+    dx = np.abs(np.asarray(sol_fh.x) - np.asarray(sol_rh.x)).max()
+    assert dx < 1e-4, f"highest-precision max |dx| = {dx}"
+    same_iter = np.mean(np.asarray(sol_fh.iter) == np.asarray(sol_rh.iter))
+    assert same_iter >= 0.99, f"iteration agreement {same_iter:.3f}"
+
+
+@check("fused kernel vs XLA path: SOC family (rocket landing)")
+def check_fused_soc_parity():
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu import systems
+    from tinympc_tpu.kernels import solve_fused
+    s = systems.rocket_landing_20hz()
+    N = 10
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, f=s["f"], dtype=jnp.float32)
+    x_min = np.tile([-5.0, -5.0, -0.5, -10.0, -10.0, -20.0], (N, 1))
+    x_max = np.tile([5.0, 5.0, 100.0, 10.0, 10.0, 20.0], (N, 1))
+    prob = tm.with_bounds(prob, x_min=x_min, x_max=x_max, u_min=-10.0,
+                          u_max=105.0)
+    prob = tm.with_cones(prob, state_cones=[(0, 3, 0.25)],
+                         input_cones=[(0, 3, 0.5)])
+    prob = tm.with_settings(prob, max_iter=40, abs_pri_tol=2e-3,
+                            matmul_precision="highest")
+    B = 128
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(np.asarray([4, 2, 20, -3, 2, -4.5])
+                      * (1 + 0.1 * rng.uniform(-1, 1, (B, 6))), jnp.float32)
+    frac = jnp.arange(N, dtype=jnp.float32) / 99.0
+    Xref = jnp.asarray([4, 2, 20, -3, 2, -4.5], jnp.float32) \
+        * (1 - frac[:, None])
+    sol_ref, _, _ = tm.solve(prob, tm.init_state(prob, (B,)), Xref=Xref,
+                             x0=x0s)
+    sol_f, _ = solve_fused(prob, Xref, None, x0s, tile=B)
+    assert np.array_equal(np.asarray(sol_f.iter), np.asarray(sol_ref.iter))
+    dx = np.abs(np.asarray(sol_f.x) - np.asarray(sol_ref.x)).max()
+    # The SOC sqrt/divide chains may round differently between Mosaic and
+    # XLA; anything beyond f32 round-off at these magnitudes (~20) is real.
+    assert dx < 1e-4, f"max |dx| = {dx}"
+
+
+@check("bf16x3 'high' mode: convergence statistics track 'highest'")
+def check_bf16x3_convergence():
+    """matmul_precision='high' (hand-rolled 3-pass bf16, ~16 mantissa bits)
+    must reproduce the f32-accurate path's convergence behavior: same
+    solved set up to a small margin, iteration counts within a few."""
+    from tinympc_tpu.kernels import solve_fused
+    B = 2048
+    x0s = _x0s(B, scale=0.4, seed=2)
+    sols = {}
+    for prec in ("highest", "high"):
+        prob = _quadrotor(max_iter=100, matmul_precision=prec)
+        sol, _ = solve_fused(prob, None, None, x0s, tile=B)
+        sols[prec] = sol
+    sv_hi = np.asarray(sols["highest"].solved)
+    sv_3x = np.asarray(sols["high"].solved)
+    disagree = float(np.mean(sv_hi != sv_3x))
+    assert disagree < 0.02, f"solved-set disagreement {disagree:.3%}"
+    both = sv_hi & sv_3x
+    di = np.abs(np.asarray(sols["highest"].iter)[both].astype(np.int64)
+                - np.asarray(sols["high"].iter)[both].astype(np.int64))
+    assert np.median(di) <= 2, f"median iteration delta {np.median(di)}"
+    du = np.abs(np.asarray(sols["highest"].u)[:, both]
+                - np.asarray(sols["high"].u)[:, both]).max()
+    assert du < 5e-3, f"max |du| on solved problems = {du}"
+
+
+@check("warm-start carry: fused warm sequence == XLA warm sequence")
+def check_warm_sequence():
+    """Three receding-horizon steps with an external plant: the fused
+    warm path (FusedCarry) must match the XLA path's persistent-state
+    sequence bit-for-bit ('highest' precision)."""
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import init_carry, solve_fused_warm
+    prob = _quadrotor(max_iter=50, matmul_precision="default")
+    B = 128
+    x0s = _x0s(B, scale=0.2, seed=3)
+    A, Bm = jnp.asarray(prob.A), jnp.asarray(prob.B)
+
+    state = tm.init_state(prob, (B,))
+    carry = init_carry(prob, B)
+    xk_ref = xk_fused = x0s
+    for step in range(3):
+        sol_r, state, _ = tm.solve(prob, state, x0=xk_ref)
+        sol_f, _, carry = solve_fused_warm(prob, None, None, xk_fused, carry,
+                                           tile=B)
+        assert np.array_equal(np.asarray(sol_f.iter), np.asarray(sol_r.iter)), \
+            f"step {step}: iteration counts differ"
+        assert np.array_equal(np.asarray(sol_f.u), np.asarray(sol_r.u)), \
+            f"step {step}"
+        xk_ref = xk_ref @ A.T + sol_r.u[0] @ Bm.T
+        xk_fused = xk_fused @ A.T + sol_f.u[0] @ Bm.T
+
+
+@check("compaction: solve_fused_compact bitwise == one long fused solve")
+def check_compact_on_chip():
+    from tinympc_tpu.kernels import solve_fused, solve_fused_compact
+    prob = _quadrotor(max_iter=200)
+    B = 1024
+    rng = np.random.default_rng(4)
+    import jax.numpy as jnp
+    scales = np.linspace(0.05, 0.5, B)[:, None]
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, 12)) * scales, jnp.float32)
+    sol_l, res_l = solve_fused(prob, None, None, x0s, tile=B)
+    sol_c, res_c = solve_fused_compact(prob, None, None, x0s, chunk=50)
+    assert np.array_equal(np.asarray(sol_c.iter), np.asarray(sol_l.iter))
+    assert np.array_equal(np.asarray(sol_c.solved), np.asarray(sol_l.solved))
+    assert np.array_equal(np.asarray(sol_c.x), np.asarray(sol_l.x))
+    assert np.array_equal(np.asarray(res_c), np.asarray(res_l))
+
+
+@check("adaptive rho: fused in-kernel subsystem matches XLA path")
+def check_adaptive_parity():
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import solve_fused
+    prob = _quadrotor(max_iter=60, adaptive_rho=True,
+                      matmul_precision="highest")
+    B = 256
+    x0s = _x0s(B, scale=0.35, seed=5)
+    sol_ref, st_ref, _ = tm.solve(prob, tm.init_state(prob, (B,)), x0=x0s)
+    sol_f, res = solve_fused(prob, None, None, x0s, tile=B)
+    assert np.array_equal(np.asarray(sol_f.iter), np.asarray(sol_ref.iter))
+    du = np.abs(np.asarray(sol_f.u) - np.asarray(sol_ref.u)).max()
+    # The telescoped Taylor update reorders the axpy vs the XLA path's
+    # materialised per-problem cache; f32 round-off level differences only.
+    assert du < 1e-5, f"max |du| = {du}"
+
+
+def main():
+    import jax
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform})")
+    if dev.platform not in ("tpu", "axon"):
+        print("WARNING: no TPU attached — these checks verify chip "
+              "behavior and mean little on CPU.", file=sys.stderr)
+    failures = 0
+    for name, fn in _RESULTS:
+        try:
+            fn()
+            print(f"PASS  {name}")
+        except Exception:
+            failures += 1
+            print(f"FAIL  {name}")
+            traceback.print_exc()
+    print(f"{len(_RESULTS) - failures}/{len(_RESULTS)} on-TPU checks passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
