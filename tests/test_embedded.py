@@ -92,3 +92,44 @@ def test_embedded_soc_family(tmp_path):
                              Uref=jnp.asarray(Uref), x0=jnp.asarray(x0))
     assert esol.iter == int(sol.iter)
     np.testing.assert_allclose(esol.u, np.asarray(sol.u), atol=1e-9)
+
+
+def test_embedded_runtime_reconfiguration(tmp_path):
+    """v2 C ABI: tiny_set_bound_constraints / tiny_update_settings mutate
+    the deployed artifact at runtime (the reference keeps these callable by
+    linking the full library into its generated project,
+    src/tinympc/CMakeLists.txt:14-43). The reconfigured .so must track a
+    Python solver rebuilt with the same bounds/settings."""
+    prob = _cartpole_problem()
+    so = build_shared_library(prob, tmp_path / "deploy", name="reconf")
+    emb = EmbeddedSolver(so)
+
+    st = emb.settings
+    assert st["max_iter"] == 100 and abs(st["abs_pri_tol"] - 1e-3) < 1e-12
+
+    # Tighten the input bound and the iteration budget mid-mission.
+    emb.set_bound_constraints(u_min=-2.0, u_max=2.0)
+    emb.update_settings(abs_pri_tol=1e-4, abs_dua_tol=1e-4, max_iter=250)
+    assert emb.settings["max_iter"] == 250
+
+    prob2 = tm.with_bounds(prob, u_min=-2.0, u_max=2.0)
+    prob2 = tm.with_settings(prob2, abs_pri_tol=1e-4, abs_dua_tol=1e-4,
+                             max_iter=250)
+
+    Xref = np.tile([1.0, 0, 0, 0], (10, 1))
+    emb.set_x_ref(Xref)
+    state = tm.init_state(prob2)
+    x0 = np.array([0.5, 0.0, 0.0, 0.0])
+    for step in range(10):
+        esol = emb.solve(x0)
+        sol, state, _ = tm.solve(prob2, state, Xref=jnp.asarray(Xref),
+                                 x0=jnp.asarray(x0))
+        assert esol.iter == int(sol.iter), f"step {step}"
+        np.testing.assert_allclose(esol.u, np.asarray(sol.u), atol=1e-9)
+        x0 = np.asarray(prob.A) @ x0 + np.asarray(prob.B) @ emb.u[0]
+    assert np.max(np.abs(esol.u)) <= 2.0 + 1e-12
+
+    # Partial update leaves other fields untouched.
+    emb.update_settings(max_iter=37)
+    st = emb.settings
+    assert st["max_iter"] == 37 and abs(st["abs_pri_tol"] - 1e-4) < 1e-12
