@@ -138,3 +138,35 @@ def test_sharded_fused_consensus_matches_local():
     np.testing.assert_array_equal(np.asarray(sol_sh.iter),
                                   np.asarray(sol_loc.iter))
     assert len(sol_sh.u.sharding.device_set) == 8
+
+
+def test_sharded_fused_ragged_batch():
+    """A batch not divisible by the mesh size pads with duplicate rows and
+    trims the outputs — results must equal the per-problem unsharded fused
+    solve (interpret mode; solve_fused_sharded's ragged path)."""
+    from tinympc_tpu.kernels import solve_fused
+    s = systems.quadrotor_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=10, dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    prob = tm.with_settings(prob, max_iter=15)
+    B = 13                       # 8 devices -> pad 3
+    x0s = _x0s(B, seed=7)
+    mesh = shard.make_mesh()
+    sol_sh, res_sh = shard.solve_fused_sharded(prob, None, None, x0s, mesh,
+                                               interpret=True)
+    sol_ref, res_ref = solve_fused(prob, None, None, x0s, tile=B,
+                                   interpret=True)
+    assert sol_sh.iter.shape == (B,)
+    assert sol_sh.x.shape == sol_ref.x.shape
+    np.testing.assert_array_equal(np.asarray(sol_sh.iter),
+                                  np.asarray(sol_ref.iter))
+    np.testing.assert_array_equal(np.asarray(sol_sh.solved),
+                                  np.asarray(sol_ref.solved))
+    # The fused kernel computes in f32 and its CPU-interpret matmuls round
+    # differently per tile width (sharded runs tile=2 per device vs the
+    # reference's tile=13), so agreement is to f32 round-off, not bitwise.
+    np.testing.assert_allclose(np.asarray(sol_sh.x), np.asarray(sol_ref.x),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_sh), np.asarray(res_ref),
+                               atol=1e-4)

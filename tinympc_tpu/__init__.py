@@ -23,6 +23,7 @@ Batched (one system, many problems)::
 """
 
 from .api import (
+    describe,
     init_state,
     setup,
     solve,

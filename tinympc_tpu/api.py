@@ -276,6 +276,70 @@ def with_sensitivities(prob: TinyProblem, tables=None) -> TinyProblem:
     return prob.replace(cache=cache)
 
 
+def describe(prob: TinyProblem, matrices: bool = True) -> str:
+    """Human-readable dump of a configured problem — the reference's
+    verbose setup diagnostics (tiny_setup's verbose path prints the
+    computed cache, tiny_api.cpp:321-327,359-368). Returns a string;
+    print it (or use ``compat.TinyMPC.setup(verbose=2)``).
+
+    ``matrices=False`` limits the dump to dimensions, settings, and
+    enabled constraint families.
+    """
+    import numpy as np
+    spec, st, c = prob.spec, prob.settings, prob.cache
+    lines = [
+        f"TinyProblem: nx={spec.nx} nu={spec.nu} N={spec.N} "
+        f"dtype={np.asarray(prob.A).dtype}",
+        f"settings: rho={float(np.asarray(c.rho)):g} "
+        f"abs_pri_tol={st.abs_pri_tol:g} abs_dua_tol={st.abs_dua_tol:g} "
+        f"max_iter={st.max_iter} check_termination={st.check_termination}",
+        f"          adaptive_rho={st.adaptive_rho} "
+        f"horizon_parallel={st.horizon_parallel} "
+        f"matmul_precision={st.matmul_precision!r}",
+    ]
+    fams = []
+    if spec.en_state_bound:
+        fams.append("state bounds")
+    if spec.en_input_bound:
+        fams.append("input bounds")
+    if spec.enabled_state_cones:
+        fams.append(f"state SOC x{len(spec.state_cones)}")
+    if spec.enabled_input_cones:
+        fams.append(f"input SOC x{len(spec.input_cones)}")
+    if spec.n_state_lin:
+        fams.append(f"state hyperplanes x{spec.n_state_lin}")
+    if spec.n_input_lin:
+        fams.append(f"input hyperplanes x{spec.n_input_lin}")
+    if spec.n_tv_state_lin:
+        fams.append(f"tv state hyperplanes x{spec.n_tv_state_lin}")
+    if spec.n_tv_input_lin:
+        fams.append(f"tv input hyperplanes x{spec.n_tv_input_lin}")
+    if spec.en_consensus:
+        fams.append("consensus")
+    lines.append("constraint families: " + (", ".join(fams) or "none"))
+    if matrices:
+        def mat(name, M):
+            if M is None:
+                return
+            a = np.asarray(M)
+            with np.printoptions(precision=4, suppress=True, linewidth=100):
+                body = str(a)
+            lines.append(f"{name} {a.shape}:")
+            lines.extend("  " + ln for ln in body.splitlines())
+        # The cache the reference's verbose path prints
+        # (tiny_api.cpp:321-327, 359-368).
+        mat("Kinf", c.Kinf)
+        mat("Pinf", c.Pinf)
+        mat("Quu_inv", c.Quu_inv)
+        mat("AmBKt", c.AmBKt)
+        mat("APf", c.APf)
+        mat("BPf", c.BPf)
+        if st.adaptive_rho and c.dKinf_drho is not None:
+            mat("dKinf_drho", c.dKinf_drho)
+            mat("dPinf_drho", c.dPinf_drho)
+    return "\n".join(lines)
+
+
 def init_state(prob: TinyProblem, batch_shape: Tuple[int, ...] = ()) -> SolverState:
     """Zero workspace for this problem (tiny_setup's zero-init,
     tiny_api.cpp:68-133)."""

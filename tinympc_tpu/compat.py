@@ -100,9 +100,10 @@ class TinyMPC:
         if settings:
             self.update_settings(**settings)
         if verbose:
-            c = self.problem.cache
-            print(f"tinympc-tpu: nx={self.nx} nu={self.nu} N={self.N} "
-                  f"rho={float(np.asarray(c.rho))}")
+            # verbose=1: one-line summary; verbose>=2 additionally dumps
+            # the computed cache like the reference's verbose tiny_setup
+            # (tiny_api.cpp:321-327, 359-368).
+            print(api.describe(self.problem, matrices=verbose >= 2))
         return self
 
     # -- layout helpers --------------------------------------------------
