@@ -70,3 +70,42 @@ def test_unconstrained_matches_lqr():
         u_lqr = -K @ x
         np.testing.assert_allclose(np.asarray(state.u[t]), u_lqr, atol=1e-9)
         x = np.asarray(prob.A) @ x + np.asarray(prob.B) @ u_lqr
+
+
+def test_bf16x3_sweeps_approximate_f32():
+    """The hand-rolled 3-pass bf16 sweep mode (matmul_precision='high',
+    admm._b3_*) must track the f32 sweeps to ~16-mantissa-bit accuracy —
+    XLA's native bf16_3x does not at these shapes, which is why the
+    scheme is hand-rolled (types.matmul_precision_ctx)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu import admm, systems
+
+    s = systems.quadrotor_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=10, dtype=jnp.float32)
+    state = tm.init_state(prob, (4,))
+    rng = np.random.default_rng(0)
+    state = state.replace(
+        q=jnp.asarray(rng.normal(size=state.q.shape), jnp.float32),
+        r=jnp.asarray(rng.normal(size=state.r.shape), jnp.float32),
+        p=state.p.at[-1].set(jnp.asarray(rng.normal(size=(4, 12)),
+                                         jnp.float32)),
+        x=state.x.at[0].set(jnp.asarray(rng.normal(size=(4, 12)),
+                                        jnp.float32)))
+
+    ref = admm.backward_pass(prob.cache, prob.B, state)
+    b3 = admm.backward_pass(prob.cache, prob.B, state, mm3=True)
+    scale = float(np.abs(np.asarray(ref.p)).max())
+    np.testing.assert_allclose(np.asarray(b3.p), np.asarray(ref.p),
+                               atol=2e-4 * scale)
+    np.testing.assert_allclose(np.asarray(b3.d), np.asarray(ref.d),
+                               atol=2e-4 * scale)
+
+    ref2 = admm.forward_pass(prob.A, prob.B, prob.f, prob.cache, ref)
+    b32 = admm.forward_pass(prob.A, prob.B, prob.f, prob.cache, ref,
+                            mm3=True)
+    scale2 = float(np.abs(np.asarray(ref2.x)).max())
+    np.testing.assert_allclose(np.asarray(b32.x), np.asarray(ref2.x),
+                               atol=2e-4 * scale2)

@@ -74,6 +74,53 @@ def mtv(M, v):
     return jnp.einsum("...ji,...j->...i", M, v)
 
 
+# Hand-rolled 3-pass bf16 matmuls for Settings.matmul_precision == "high".
+# XLA's native bf16_3x does not deliver 3-pass accuracy on these
+# small-matrix sweeps (see types.matmul_precision_ctx); this is the same
+# scheme the fused kernel hand-rolls (kernels/admm_pallas.py): operands
+# split into bf16 hi/lo pairs, the lo*lo term dropped, and the three
+# passes stacked along the contraction axis so they ride one dot —
+# [Mhi | Mhi | Mlo] @ [vhi; vlo; vhi], ~16 mantissa bits.
+#
+# The optimization_barrier on the hi half is load-bearing: without it
+# XLA's algebraic simplifier folds the residual computation
+# ``v - f32(bf16(v))`` away (measured: the jitted pipeline degrades to
+# single-pass accuracy, 2.9e-2 vs 5.3e-5 error on a (16,12)@(12,4)
+# probe). This folding is very likely why XLA's own bf16_3x emission
+# misbehaves at these shapes; the barrier makes the split opaque to the
+# simplifier. Mosaic compiles the fused kernel's identical split without
+# interference, so the kernel needs no barrier.
+
+def _b3_split(a):
+    hi = jax.lax.optimization_barrier(a.astype(jnp.bfloat16))
+    lo = (a - hi.astype(a.dtype)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _b3_prep(M):
+    hi, lo = _b3_split(jnp.asarray(M))
+    return jnp.concatenate([hi, hi, lo], axis=-1)
+
+
+def _b3_vsplit(v):
+    hi, lo = _b3_split(v)
+    return jnp.concatenate([hi, lo, hi], axis=-1)
+
+
+def _b3_dot(Mp, vs):
+    return jnp.einsum("...ij,...j->...i", Mp, vs,
+                      precision=jax.lax.Precision.DEFAULT,
+                      preferred_element_type=jnp.float32)
+
+
+def _sweep_mm(mm3: bool):
+    """(prep, vsplit, dot) triple for the sweep matvecs: 3-pass bf16 when
+    ``mm3``, ambient-precision einsum otherwise."""
+    if mm3:
+        return _b3_prep, _b3_vsplit, _b3_dot
+    return (lambda M: M), (lambda v: v), mv
+
+
 def _emid(a, nb: int):
     """Insert ``nb`` singleton batch axes after the leading (time) axis so an
     unbatched (T, F) constraint table broadcasts against (T, *b, F) state."""
@@ -152,7 +199,8 @@ def update_linear_cost(spec: ProblemSpec, prob: TinyProblem, state: SolverState,
 
 def backward_pass(cache: Cache, B, state: SolverState,
                   consensus: bool = False,
-                  tel: Optional[Telescope] = None) -> SolverState:
+                  tel: Optional[Telescope] = None,
+                  mm3: bool = False) -> SolverState:
     """Linear (gradient) Riccati backward recursion (admm.cpp:13-20)::
 
         d[i] = Quu_inv (B' p[i+1] + r[i] + BPf)
@@ -166,18 +214,44 @@ def backward_pass(cache: Cache, B, state: SolverState,
     matvec as a drho-scaled sensitivity matvec (see :class:`Telescope`).
     """
     dr = None if tel is None else tel.drho[..., None]
+    nu = B.shape[-1]
+    prep, vsplit, dot = _sweep_mm(mm3)
+    if tel is None:
+        # Both matrices multiplying the costate are stacked into one dot
+        # per step (the fused kernel's stacked-sweep trick): these
+        # contractions are only nx deep, so per-dot issue latency
+        # dominates the sequential scan. Adaptive rho keeps the unstacked
+        # path (its drho-scaled sensitivity dots have different row
+        # counts per term).
+        Mback = prep(jnp.concatenate(
+            [jnp.swapaxes(B, -1, -2), cache.AmBKt], axis=-2))
+    else:
+        BTp = prep(jnp.swapaxes(B, -1, -2))
+        AmBKtp = prep(cache.AmBKt)
+        dKTp = prep(jnp.swapaxes(tel.dK, -1, -2))
+        dC1p = None if tel.dC1 is None else prep(tel.dC1)
+        dC2p = None if tel.dC2 is None else prep(tel.dC2)
+    Quup = prep(cache.Quu_inv)
+    KinfTp = prep(jnp.swapaxes(cache.Kinf, -1, -2))
 
     def step(p_next, qr):
         q_i, r_i = qr
-        w = mtv(B, p_next) + r_i + cache.BPf
-        d_i = mv(cache.Quu_inv, w)
-        p_i = q_i + mv(cache.AmBKt, p_next) - mtv(cache.Kinf, r_i) + cache.APf
+        if tel is None:
+            out = dot(Mback, vsplit(p_next))
+            bp, ap = out[..., :nu], out[..., nu:]
+        else:
+            ps = vsplit(p_next)
+            bp, ap = dot(BTp, ps), dot(AmBKtp, ps)
+        rs = vsplit(r_i)
+        w = bp + r_i + cache.BPf
+        d_i = dot(Quup, vsplit(w))
+        p_i = q_i + ap - dot(KinfTp, rs) + cache.APf
         if tel is not None:
-            p_i = p_i - dr * mtv(tel.dK, r_i)
-            if tel.dC1 is not None:
-                d_i = d_i + dr * mv(tel.dC1, w)
-            if tel.dC2 is not None:
-                p_i = p_i + dr * mv(tel.dC2, p_next)
+            p_i = p_i - dr * dot(dKTp, rs)
+            if dC1p is not None:
+                d_i = d_i + dr * dot(dC1p, vsplit(w))
+            if dC2p is not None:
+                p_i = p_i + dr * dot(dC2p, ps)
         return p_i, (p_i, d_i)
 
     _, (ps, ds) = jax.lax.scan(
@@ -185,14 +259,17 @@ def backward_pass(cache: Cache, B, state: SolverState,
     )
     p = jnp.concatenate([ps, state.p[-1:]], axis=0)
     if consensus:
-        d0 = mv(cache.Quu0_inv, mtv(B, p[1]) + state.r[0] + cache.BPf)
+        w0 = dot(prep(jnp.swapaxes(B, -1, -2)), vsplit(p[1])) \
+            + state.r[0] + cache.BPf
+        d0 = dot(prep(cache.Quu0_inv), vsplit(w0))
         ds = ds.at[0].set(d0)
     return state.replace(p=p, d=ds)
 
 
 def forward_pass(A, B, f, cache: Cache, state: SolverState,
                  consensus: bool = False, hp: bool = False,
-                 tel: Optional[Telescope] = None) -> SolverState:
+                 tel: Optional[Telescope] = None,
+                 mm3: bool = False) -> SolverState:
     """LQR rollout (admm.cpp:25-32)::
 
         u[i] = -Kinf x[i] - d[i];  x[i+1] = A x[i] + B u[i] + f
@@ -211,16 +288,30 @@ def forward_pass(A, B, f, cache: Cache, state: SolverState,
     """
     prec = jax.lax.Precision.HIGHEST if hp else None
     dr = None if tel is None else tel.drho[..., None]
+    # hp (adaptive rho) pins the rollout to HIGHEST so it cancels against
+    # the OSQP residual recomputation — it overrides the 3-pass mode.
+    prep, vsplit, _b3 = _sweep_mm(mm3 and not hp)
 
     def mvp(M, v):
         return jnp.einsum("...ij,...j->...i", M, v, precision=prec)
 
+    dot = _b3 if (mm3 and not hp) else mvp
+    nu = B.shape[-1]
+    if tel is None:
+        # Stacked-sweep trick (see backward_pass): Kinf and A both
+        # multiply the state — one dot per step, rows split after.
+        Mfwd = prep(jnp.concatenate([cache.Kinf, A], axis=-2))
+    Bp = prep(B)
+
     def step(x_i, d_i):
-        kx = mvp(cache.Kinf, x_i)
-        if tel is not None:
-            kx = kx + dr * mvp(tel.dK, x_i)
+        if tel is None:
+            out = dot(Mfwd, vsplit(x_i))
+            kx, ax = out[..., :nu], out[..., nu:]
+        else:
+            kx = mvp(cache.Kinf, x_i) + dr * mvp(tel.dK, x_i)
+            ax = mvp(A, x_i)
         u_i = -kx - d_i
-        x_next = mvp(A, x_i) + mvp(B, u_i) + f
+        x_next = ax + dot(Bp, vsplit(u_i)) + f
         return x_next, (x_i, u_i)
 
     if not consensus:
@@ -229,8 +320,8 @@ def forward_pass(A, B, f, cache: Cache, state: SolverState,
         return state.replace(x=x, u=us)
 
     x0 = state.x[0]
-    u0 = -mvp(cache.Kinf0, x0) - state.d[0]
-    x1 = mvp(A, x0) + mvp(B, u0) + f
+    u0 = -dot(prep(cache.Kinf0), vsplit(x0)) - state.d[0]
+    x1 = dot(prep(A), vsplit(x0)) + dot(Bp, vsplit(u0)) + f
     x_last, (xs, us) = jax.lax.scan(step, x1, state.d[1:])
     x = jnp.concatenate([x0[None], xs, x_last[None]], axis=0)
     u = jnp.concatenate([u0[None], us], axis=0)
@@ -535,15 +626,18 @@ def admm_iteration(prob: TinyProblem, state: SolverState, Xref, Uref,
     if consensus and prob.cache.Kinf0 is None:
         raise ValueError("en_consensus requires the step-0 consensus gains; "
                          "configure the problem via with_consensus(...)")
+    mm3 = prob.settings.matmul_precision == "high"
     state = update_linear_cost(spec, prob, state, Xref, Uref, tel)
     if prob.settings.horizon_parallel:
         state = backward_pass_assoc(prob.cache, prob.B, state, consensus)
         state = forward_pass_assoc(prob.A, prob.B, prob.f, prob.cache, state,
                                    consensus)
     else:
-        state = backward_pass(prob.cache, prob.B, state, consensus, tel)
+        state = backward_pass(prob.cache, prob.B, state, consensus, tel,
+                              mm3=mm3)
         state = forward_pass(prob.A, prob.B, prob.f, prob.cache, state,
-                             consensus, hp=prob.settings.adaptive_rho, tel=tel)
+                             consensus, hp=prob.settings.adaptive_rho,
+                             tel=tel, mm3=mm3)
     state = update_slack(spec, prob.cons, state, nb,
                          prob.settings.consensus_axis_name)
     state = update_dual(spec, state)

@@ -39,9 +39,20 @@ def matmul_precision_ctx(settings):
 
     Entered by every solver entry point (XLA and Pallas) so that all dots
     traced inside honor ``Settings.matmul_precision`` — see that field's
-    comment for why "highest" is the accuracy-critical default on TPU."""
+    comment for why "highest" is the accuracy-critical default on TPU.
+
+    "high" does NOT map to XLA's native bf16_3x: measured on-chip, that
+    mode converges like single-pass bf16 on this solver's small-matrix
+    sweeps (solved fraction 0.003 vs 0.207 at f32 on the marginal
+    quadrotor max_iter=500 workload), i.e. it does not deliver 3-pass
+    accuracy at these shapes. Instead the 3-pass scheme is hand-rolled
+    into the sweep matvecs (admm._b3_prep/_b3_vsplit — the same
+    [Mhi|Mhi|Mlo] @ [vhi;vlo;vhi] stacking as the fused kernel's
+    mm_mode="bf16x3"), and every other dot runs f32-accurate."""
     if settings.matmul_precision == "default":
         return contextlib.nullcontext()
+    if settings.matmul_precision == "high":
+        return jax.default_matmul_precision("highest")
     return jax.default_matmul_precision(settings.matmul_precision)
 
 # Status codes (reference types.hpp has no enum; values from admm.cpp:336,431)
@@ -185,9 +196,11 @@ class Settings:
     # "default"/"bfloat16" to trade convergence accuracy for raw matmul rate.
     # "high" (3-pass bf16, ~16 mantissa bits) is the throughput sweet spot
     # for large fused batches: ~1.7x the solves/s of "highest" with
-    # convergence statistics matching it on the benchmark workloads (the
-    # XLA path uses native bf16_3x; solve_fused hand-rolls the 3-pass
-    # scheme, which Mosaic lacks — see kernels/admm_pallas.py).
+    # convergence statistics matching it on the benchmark workloads. Both
+    # paths hand-roll the 3-pass scheme into the sweep matvecs
+    # (admm._b3_* / kernels mm_mode="bf16x3"): Mosaic lacks a native one,
+    # and XLA's bf16_3x measured near-single-pass-bf16 convergence at
+    # these shapes (see matmul_precision_ctx).
     matmul_precision: str = "highest"
 
 
