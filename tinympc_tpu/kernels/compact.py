@@ -6,8 +6,8 @@ slowest lane: at tile=4096 one stubborn problem keeps 4095 converged
 lanes spinning. For to-convergence workloads (max_iter in the hundreds,
 reference default 1000 — tiny_api_constants.hpp:5-7) the per-problem
 iteration counts are heavily long-tailed (on the quadrotor benchmark
-workload ~3%% of problems finish within 100 iterations, ~21%% within 500,
-~73%% within 2000), so run-to-tile-completion wastes a large fraction of
+workload ~3% of problems finish within 100 iterations, ~21% within 500,
+~73% within 2000), so run-to-tile-completion wastes a large fraction of
 the chip on mixed-difficulty batches.
 
 :func:`make_compact_solver` recovers per-*problem* early exit without
@@ -98,6 +98,12 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
     if prob.spec.en_consensus:
         raise ValueError("compaction does not support consensus problems; "
                          "use solve_fused")
+    if tile is not None and (tile < 1 or tile & (tile - 1)):
+        # The compaction pad (below) rounds shrunken batches to the next
+        # power of two, which every power-of-two tile divides; a
+        # non-power-of-two tile would fail the divisibility check inside a
+        # later phase launch instead of here at factory time.
+        raise ValueError(f"explicit tile ({tile}) must be a power of two")
     schedule = [chunk] if isinstance(chunk, int) else [int(c) for c in chunk]
     for c in schedule:
         if c < 1 or c % settings.check_termination:

@@ -201,6 +201,11 @@ class Settings:
     # (admm._b3_* / kernels mm_mode="bf16x3"): Mosaic lacks a native one,
     # and XLA's bf16_3x measured near-single-pass-bf16 convergence at
     # these shapes (see matmul_precision_ctx).
+    # With horizon_parallel=True the blocked two-level sweeps pin their
+    # dots to f32-accurate precision (the matrix-power chain and the
+    # level-3 broadcast einsums are reassociation-sensitive), so "high"
+    # behaves like "highest" there — the ~1.7x bf16x3 speedup applies to
+    # the sequential-scan and fused-kernel paths only.
     matmul_precision: str = "highest"
 
 
