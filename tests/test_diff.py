@@ -227,8 +227,9 @@ def test_diff_unsupported_specs_raise():
         make_differentiable(tm.with_consensus(prob))
     from tinympc_tpu.diff import make_differentiable_params
     with pytest.raises(ValueError):
-        make_differentiable_params(
-            tm.with_cones(prob, input_cones=[(0, 1, 0.5)]))
+        make_differentiable_params(tm.with_consensus(prob))
+    with pytest.raises(ValueError):
+        make_differentiable_params(tm.with_settings(prob, adaptive_rho=True))
 
 
 # ------------------------- conic families (hyperplane / SOC active sets)
@@ -327,6 +328,78 @@ def test_grad_soc_matches_fd():
     g = jax.grad(loss, argnums=(0, 1))(x0, Xref, Uref)
     for argi in range(2):
         _fd_check(loss, (x0, Xref, Uref), g, argi, n=4, rtol=5e-3)
+
+
+def test_param_grads_soc_matches_fd():
+    """make_differentiable_params through a binding SOC cone (the flagship
+    rocket scenario): gradients w.r.t. A, B, Q, R, f match finite
+    differences — sysid through the conic controller."""
+    from tinympc_tpu.diff import make_differentiable_params
+    s = systems.rocket_landing_20hz()
+    N = 8
+    template = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                        N=N, f=s["f"], dtype=jnp.float64)
+    template = tm.with_bounds(template, x_min=-1e9, x_max=1e9, u_min=-1e9,
+                              u_max=1e9)
+    template = tm.with_cones(template, input_cones=[(0, 3, 0.12)])
+    template = tm.with_settings(template, max_iter=200000,
+                                abs_pri_tol=1e-10, abs_dua_tol=1e-10)
+    g = make_differentiable_params(template)
+
+    A = jnp.asarray(s["A"], jnp.float64)
+    B = jnp.asarray(s["B"], jnp.float64)
+    Q = jnp.asarray(s["Qdiag"], jnp.float64)
+    R = jnp.asarray(s["Rdiag"], jnp.float64)
+    fv = jnp.asarray(s["f"], jnp.float64)
+    x0 = jnp.asarray([4.0, 2.0, 20.0, -3.0, 2.0, -4.5], jnp.float64)
+    Xref = jnp.asarray(np.linspace(np.asarray(x0), np.zeros(6), N),
+                       jnp.float64)
+    Uref = jnp.zeros((N - 1, 3), jnp.float64).at[:, 2].set(10.0)
+
+    sol = g(A, B, Q, R, fv, x0, Xref, Uref)
+    u = np.asarray(sol.u)
+    ratio = np.linalg.norm(u[:, :2], axis=1) / (0.12 * np.abs(u[:, 2]) + 1e-12)
+    assert int(np.sum(np.abs(ratio - 1.0) < 1e-4)) > 0, \
+        f"test premise: cone must bind (ratios {ratio})"
+
+    def loss(A, B, Q, R, fv):
+        sol = g(A, B, Q, R, fv, x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum(sol.x[:, :3] ** 2)
+
+    args = (A, B, Q, R, fv)
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    for argi in range(5):
+        _fd_check_args(loss, args, grads, argi, n=4, rtol=5e-3)
+
+
+def test_param_grads_hyperplane_matches_fd():
+    """make_differentiable_params through a binding altitude hyperplane."""
+    from tinympc_tpu.diff import make_differentiable_params
+    s = systems.quadrotor_20hz()
+    template = _quad_linear(tol=1e-10)
+    g = make_differentiable_params(template)
+
+    A = jnp.asarray(s["A"], jnp.float64)
+    B = jnp.asarray(s["B"], jnp.float64)
+    Q = jnp.asarray(s["Qdiag"], jnp.float64)
+    R = jnp.asarray(s["Rdiag"], jnp.float64)
+    fv = jnp.zeros(12, jnp.float64)
+    x0 = jnp.zeros(12, jnp.float64)
+    Xref = jnp.tile(jnp.asarray([0, 0, 1.0] + [0.0] * 9), (6, 1))
+    Uref = jnp.zeros((5, 4), jnp.float64)
+
+    sol = g(A, B, Q, R, fv, x0, Xref, Uref)
+    assert float(jnp.max(sol.x[:, 2])) >= 0.3 - 1e-6, \
+        "test premise: the ceiling must bind"
+
+    def loss(A, B, Q, R, fv):
+        sol = g(A, B, Q, R, fv, x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum((sol.x[:, 2] - 1.0) ** 2)
+
+    args = (A, B, Q, R, fv)
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    for argi in range(5):
+        _fd_check_args(loss, args, grads, argi, n=4, rtol=5e-3)
 
 
 def test_inactive_extra_family_grads_match_fd():

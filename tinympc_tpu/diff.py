@@ -45,8 +45,9 @@ stage Hessian is ``Q_user + (2 - n_fam) rho`` on top of the stored
 once-augmented ``Qdiag = Q_user + rho`` — see ``_kkt_matrix``.
 
 Scope: consensus and adaptive-rho specs raise (coupled groups / varying
-rho need different machinery); ``make_differentiable_params`` remains
-box-only.
+rho need different machinery). Both :func:`make_differentiable` (solve
+inputs) and :func:`make_differentiable_params` (dynamics/cost parameters)
+cover every other family.
 """
 from __future__ import annotations
 
@@ -68,13 +69,7 @@ def _diff_supported(prob: TinyProblem) -> bool:
 
 
 def _params_diff_supported(prob: TinyProblem) -> bool:
-    spec = prob.spec
-    return not (
-        spec.en_state_soc or spec.en_input_soc
-        or spec.en_state_linear or spec.en_input_linear
-        or spec.en_tv_state_linear or spec.en_tv_input_linear
-        or spec.en_consensus or prob.settings.adaptive_rho
-    )
+    return _diff_supported(prob)
 
 
 def _family_counts(spec):
@@ -275,10 +270,10 @@ def _family_dps(prob: TinyProblem, sx, su, duals):
     return fams
 
 
-def _dp_vjp_one(prob: TinyProblem, S, gx, gu, sx, su, duals):
-    """Adjoint of the full projection-operator fixed point (conic specs).
+def _ext_matrix(prob: TinyProblem, S, sx, su, duals):
+    """Linearized projection-operator fixed-point matrix for conic specs.
 
-    Unknowns (dz, dlam, dy_f per family) satisfy the linearized system::
+    Unknowns (dz, dlam, dy_f per family) satisfy::
 
         H dz + D' dlam + sum_f rho dy_f|_coords = -dc
         D dz = de
@@ -286,13 +281,10 @@ def _dp_vjp_one(prob: TinyProblem, S, gx, gu, sx, su, duals):
 
     where the last rows differentiate ``z = P_f(z + y_f)``. Nonsymmetric
     (DP_f is not a projection onto the constraint tangent in general — see
-    _family_dps), solved densely per problem; the adjoint solve uses the
-    transpose. Returns (gx0, gXref, gUref) like _vjp_one.
-    """
+    _family_dps). Returns the dense (nz+nc+n_extra)^2 matrix."""
     spec = prob.spec
     N, nx, nu = spec.N, spec.nx, spec.nu
-    nzx = N * nx
-    nz = nzx + (N - 1) * nu
+    nz = N * nx + (N - 1) * nu
     nc = N * nx
     dtype = S.dtype
     rho = jnp.asarray(prob.cache.rho, dtype)
@@ -309,9 +301,48 @@ def _dp_vjp_one(prob: TinyProblem, S, gx, gu, sx, su, duals):
         A = A.at[off:off + dim, coff:coff + dim].set(eye - DP)
         A = A.at[off:off + dim, off:off + dim].set(-DP)
         off += dim
+    return A
 
+
+def _dual_coord_sums(prob: TinyProblem, duals):
+    """sum_f y_f per side, flattened over the z layout — the value-level
+    stationarity of the effective QP reads H z + c + D' lam
+    + rho (ysum_x | ysum_u) = 0 (each enabled slack family contributes its
+    scaled dual on its side's coordinates; update_linear_cost's
+    -rho (slack_new - dual) terms at the fixed point v_f = x)."""
+    spec = prob.spec
+    zeros_x = jnp.zeros((spec.N, spec.nx), duals["g"].dtype)
+    zeros_u = jnp.zeros((spec.N - 1, spec.nu), duals["g"].dtype)
+    ysum_x = duals["g"]
+    ysum_u = duals["y"]
+    if spec.en_state_soc and spec.state_cones:
+        ysum_x = ysum_x + duals.get("gc", zeros_x)
+    if spec.en_input_soc and spec.input_cones:
+        ysum_u = ysum_u + duals.get("yc", zeros_u)
+    if spec.en_state_linear:
+        ysum_x = ysum_x + duals.get("gl", zeros_x)
+    if spec.en_input_linear:
+        ysum_u = ysum_u + duals.get("yl", zeros_u)
+    if spec.en_tv_state_linear:
+        ysum_x = ysum_x + duals.get("gl_tv", zeros_x)
+    if spec.en_tv_input_linear:
+        ysum_u = ysum_u + duals.get("yl_tv", zeros_u)
+    return jnp.concatenate([ysum_x.reshape(-1), ysum_u.reshape(-1)])
+
+
+def _dp_vjp_one(prob: TinyProblem, S, gx, gu, sx, su, duals):
+    """Adjoint of the full projection-operator fixed point (conic specs):
+    solve the transpose of :func:`_ext_matrix`'s system densely per
+    problem. Returns (gx0, gXref, gUref) like _vjp_one."""
+    spec = prob.spec
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    nzx = N * nx
+    nz = nzx + (N - 1) * nu
+    dtype = S.dtype
+
+    A = _ext_matrix(prob, S, sx, su, duals)
     gz = jnp.concatenate([gx.reshape(-1), gu.reshape(-1)])
-    rhs = jnp.concatenate([gz, jnp.zeros(nc + n_extra, dtype)])
+    rhs = jnp.concatenate([gz, jnp.zeros(A.shape[0] - nz, dtype)])
     w = jnp.linalg.solve(A.T, rhs)
 
     w_x = w[:nzx].reshape(N, nx)
@@ -508,19 +539,28 @@ def make_differentiable_params(template: TinyProblem,
     an implicit-function-theorem pass through the DARE fixed point
     (:func:`_pinf_vjp`) — the forward while_loop is never unrolled.
 
-    ``template`` supplies rho, horizon, bounds, and settings; its own
+    ``template`` supplies rho, horizon, constraints, and settings; its own
     A/B/Q/R/f are ignored. The cache is recomputed at ``riccati_tol``
     (much tighter than the solver default 1e-5) so the fixed-point
     assumption holds to gradient accuracy. Unbatched or batched x0, like
     :func:`make_differentiable`.
+
+    Supports the same spec families as :func:`make_differentiable`: box
+    specs use the pinned-KKT adjoint, conic specs (SOC / hyperplane /
+    tv-hyperplane) the projection-Jacobian extended system — the dynamics
+    multipliers the parameter cotangents contract against are recovered
+    from the value-level stationarity ``H z + c + D' lam + rho sum_f y_f
+    = 0`` using the solver's converged duals (see :func:`_dual_coord_sums`).
     """
     if not _params_diff_supported(template):
-        raise ValueError("make_differentiable_params supports "
-                         "box-constrained fixed-rho specs")
+        raise ValueError("make_differentiable_params supports fixed-rho "
+                         "non-consensus specs; consensus groups and "
+                         "adaptive-rho active sets are not differentiated")
     rho = template.cache.rho
     spec = template.spec
     N, nx, nu = spec.N, spec.nx, spec.nu
     nzx = N * nx
+    extra = _has_extra_families(spec)
 
     def build(A, B, Q, R, f):
         dtype = template.dtype
@@ -536,29 +576,32 @@ def make_differentiable_params(template: TinyProblem,
 
     def _solve(prob, x0, Xref, Uref):
         st = _init_state(prob.spec, x0.shape[:-1], prob.dtype)
-        sol, _, _ = admm.solve(prob, st, Xref=Xref, Uref=Uref, x0=x0)
-        return sol
+        sol, st, _ = admm.solve(prob, st, Xref=Xref, Uref=Uref, x0=x0)
+        return sol, st
 
     @jax.custom_vjp
     def g(A, B, Q, R, f, x0, Xref, Uref):
-        return _solve(build(A, B, Q, R, f), x0, Xref, Uref)
+        return _solve(build(A, B, Q, R, f), x0, Xref, Uref)[0]
 
     def fwd(A, B, Q, R, f, x0, Xref, Uref):
         prob = build(A, B, Q, R, f)
-        sol = _solve(prob, x0, Xref, Uref)
-        return sol, (prob, sol.x, sol.u, x0, Xref, Uref,
+        sol, st = _solve(prob, x0, Xref, Uref)
+        duals = {k: getattr(st, k) for k in _DUAL_FIELDS
+                 if getattr(st, k, None) is not None} if extra else {}
+        return sol, (prob, sol.x, sol.u, duals, x0, Xref, Uref,
                      x0.shape, Xref.shape, Uref.shape)
 
     def bwd(res, ct):
-        (prob, sol_x, sol_u, x0, Xref, Uref,
+        (prob, sol_x, sol_u, duals, x0, Xref, Uref,
          x0_shape, xref_shape, uref_shape) = res
         S = _kkt_matrix(prob)
         batched = len(x0_shape) > 1
+        nz = nzx + (N - 1) * nu
 
-        def one(sx, su, gxi, gui, x0i, Xrefi, Urefi):
+        def one_box(sx, su, gxi, gui, x0i, Xrefi, Urefi):
+            """Adjoint + multipliers via the pinned KKT system."""
             m_z = _active_mask(prob, sx, su)
             c, e = _cvec_evec(prob, Xrefi, Urefi, x0i)
-            # adjoint solve (for input grads) + value solve (multipliers)
             gx0, gXref, gUref = _vjp_one(prob, S, m_z, gxi, gui)
             m = jnp.concatenate([m_z, jnp.ones(N * nx, S.dtype)])
             Sm = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
@@ -566,10 +609,47 @@ def make_differentiable_params(template: TinyProblem,
             w = jnp.linalg.solve(
                 Sm, jnp.concatenate([gz, jnp.zeros(N * nx, S.dtype)]))
             w_x = w[:nzx].reshape(N, nx)
-            w_u = w[nzx:nzx + (N - 1) * nu].reshape(N - 1, nu)
-            w_lam = w[nzx + (N - 1) * nu:].reshape(N, nx)
+            w_u = w[nzx:nz].reshape(N - 1, nu)
+            w_lam = w[nz:].reshape(N, nx)
             zv, lam = _kkt_values(prob, S, m_z, sx, su, c, e)
             lam = lam.reshape(N, nx)
+            return gx0, gXref, gUref, w_x, w_u, w_lam, lam
+
+        def one_conic(sx, su, gxi, gui, x0i, Xrefi, Urefi, duals_i):
+            """Adjoint through the extended projection-Jacobian system;
+            multipliers from the value-level stationarity with the
+            solver's converged family duals."""
+            A_ext = _ext_matrix(prob, S, sx, su, duals_i)
+            gz = jnp.concatenate([gxi.reshape(-1), gui.reshape(-1)])
+            rhs = jnp.concatenate(
+                [gz, jnp.zeros(A_ext.shape[0] - nz, S.dtype)])
+            w = jnp.linalg.solve(A_ext.T, rhs)
+            w_x = w[:nzx].reshape(N, nx)
+            w_u = w[nzx:nz].reshape(N - 1, nu)
+            w_lam = w[nz:nz + N * nx].reshape(N, nx)
+            gXref = prob.Qdiag * w_x
+            gXref = gXref.at[N - 1].set(prob.cache.Pinf @ w_x[N - 1])
+            gUref = prob.Rdiag * w_u
+            gx0 = w[nz:nz + nx]
+
+            # Value solve: H z + c + D' lam + rho ysum = 0 and D z = e is
+            # square and nonsingular; its z-part reproduces the solver's
+            # solution, its lam-part is the dynamics multipliers.
+            c, e = _cvec_evec(prob, Xrefi, Urefi, x0i)
+            ysum = _dual_coord_sums(prob, duals_i)
+            rho_ = jnp.asarray(prob.cache.rho, S.dtype)
+            wv = jnp.linalg.solve(
+                S, jnp.concatenate([-c - rho_ * ysum, e]))
+            lam = wv[nz:].reshape(N, nx)
+            return gx0, gXref, gUref, w_x, w_u, w_lam, lam
+
+        def one(sx, su, gxi, gui, x0i, Xrefi, Urefi, duals_i):
+            if extra:
+                gx0, gXref, gUref, w_x, w_u, w_lam, lam = one_conic(
+                    sx, su, gxi, gui, x0i, Xrefi, Urefi, duals_i)
+            else:
+                gx0, gXref, gUref, w_x, w_u, w_lam, lam = one_box(
+                    sx, su, gxi, gui, x0i, Xrefi, Urefi)
 
             # dL/dtheta = -w' dF/dtheta at (z*, lambda*).
             # Stationarity x_i rows carry -A'lam_{i+1}; dynamics rows -A x_i.
@@ -581,8 +661,8 @@ def make_differentiable_params(template: TinyProblem,
             # Effective-diagonal terms (H z and c = -Qd*Xref both carry Qd).
             Qdbar = -jnp.sum(w_x[:-1] * (sx[:-1] - Xrefi[:-1]), axis=0)
             Rdbar = -jnp.sum(w_u * (su - Urefi), axis=0)
-            # Terminal block: Pterm = Pinf - rho I multiplies x_{N-1} in H;
-            # c_{N-1} = -Pinf' Xref_{N-1}.
+            # Terminal block: Pterm = Pinf - n_fam rho I multiplies x_{N-1}
+            # in H; c_{N-1} = -Pinf' Xref_{N-1}.
             Pbar = (-jnp.outer(w_x[-1], sx[-1])
                     + jnp.outer(Xrefi[-1], w_x[-1]))
             return gx0, gXref, gUref, Abar, Bbar, fbar, Qdbar, Rdbar, Pbar
@@ -595,7 +675,8 @@ def make_differentiable_params(template: TinyProblem,
             bUref = (Uref if len(uref_shape) == 3
                      else jnp.broadcast_to(Uref[:, None], (N - 1, Bn, nu)))
             outs = jax.vmap(one)(tb(sol_x), tb(sol_u), tb(ct.x), tb(ct.u),
-                                 x0, tb(bXref), tb(bUref))
+                                 x0, tb(bXref), tb(bUref),
+                                 {k: tb(v) for k, v in duals.items()})
             gx0 = outs[0]
             gXref = (jnp.sum(outs[1], axis=0) if len(xref_shape) == 2
                      else jnp.moveaxis(outs[1], 0, 1))
@@ -605,7 +686,7 @@ def make_differentiable_params(template: TinyProblem,
                 jnp.sum(o, axis=0) for o in outs[3:]]
         else:
             (gx0, gXref, gUref, Abar, Bbar, fbar, Qdbar, Rdbar,
-             Pbar) = one(sol_x, sol_u, ct.x, ct.u, x0, Xref, Uref)
+             Pbar) = one(sol_x, sol_u, ct.x, ct.u, x0, Xref, Uref, duals)
 
         # Chain the Pinf cotangent through the DARE fixed point.
         dtype = prob.dtype
