@@ -1,10 +1,19 @@
 #!/usr/bin/env python
 """Extended benchmark suite: one JSON line per workload (bench.py stays the
 single-line headline benchmark). Covers every solver path on multiple
-configurations; writes BENCH_TABLE.md.
+configurations; writes BENCH_TABLE.md (the single source of truth for
+in-tree numbers — README/STATUS/DESIGN quote this table's run) and
+BENCH_RESULTS.json (machine-readable, same rows).
+
+Timing: each workload is timed as the median of ``reps`` independent
+synchronous calls after one compile+warmup call, and the min-max spread is
+recorded next to every number — run-to-run variance on the shared-tunnel
+chip was measured at +-5%, so single-timing deltas below the spread are
+noise, not regressions.
 
 Run on TPU:  python bench_all.py
 """
+import datetime
 import json
 import os
 import time
@@ -28,14 +37,18 @@ def _mk(system_name, N, dtype, max_iter=100, **settings):
     return tm.with_settings(prob, max_iter=max_iter, **settings), s
 
 
-def bench(name, fn, *args, reps=3):
+def bench(name, fn, *args, reps=5):
+    """Compile+warm once, then ``reps`` independent timed calls. Returns
+    (out, median_seconds, spread) with spread = (max-min)/median."""
     import jax
     out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return out, (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    med = float(np.median(ts))
+    return out, med, (max(ts) - min(ts)) / med
 
 
 def main():
@@ -52,11 +65,16 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
 
-    def record(workload, B, value, unit, extra=""):
-        rows.append((workload, B, value, unit, extra))
+    def record(workload, B, value, unit, extra="", spread=0.0):
+        rows.append((workload, B, value, unit, extra, spread))
         print(json.dumps({"workload": workload, "batch": B,
                           "value": round(value, 1), "unit": unit,
+                          "spread_pct": round(100 * spread, 1),
                           "note": extra}), flush=True)
+
+    def iters_to_solved(sol):
+        it, sv = np.asarray(sol.iter), np.asarray(sol.solved).astype(bool)
+        return float(np.mean(it[sv])) if sv.any() else float("nan")
 
     # --- cold-start batched solves, XLA vs fused, several configs ---
     for sys_name, nx, nus, N, B in [
@@ -72,17 +90,17 @@ def main():
 
         xla = jax.jit(lambda x0s: tm.solve_(prob, tm.init_state(prob, (B,)),
                                             Xref, None, x0s)[0].iter)
-        out, dt = bench("xla", xla, x0s)
+        out, dt, sp = bench("xla", xla, x0s)
         iters = float(np.mean(np.asarray(out)))
         record(f"{sys_name} N={N} cold solve (XLA)", B, B / dt, "solves/s",
-               f"avg_iters={iters:.1f}")
+               f"avg_iters={iters:.1f}", sp)
 
         ftile = 4096 if N <= 20 else 1024     # VMEM-bound at long horizons
         fused = jax.jit(lambda x0s: solve_fused(prob, Xref, None, x0s,
                                                 tile=ftile)[0].iter)
-        out, dt = bench("fused", fused, x0s)
+        out, dt, sp = bench("fused", fused, x0s)
         record(f"{sys_name} N={N} cold solve (fused)", B, B / dt, "solves/s",
-               f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
+               f"avg_iters={float(np.mean(np.asarray(out))):.1f}", sp)
 
     # --- SOC rocket landing (XLA path) ---
     prob, s = _mk("rocket_landing_20hz", 10, f32, abs_pri_tol=2e-3)
@@ -99,15 +117,15 @@ def main():
     Uref = jnp.zeros((9, 3), f32).at[:, 2].set(10.0)
     soc = jax.jit(lambda x0s: tm.solve_(prob, tm.init_state(prob, (B,)),
                                         Xref, Uref, x0s)[0].iter)
-    out, dt = bench("soc", soc, x0s)
+    out, dt, sp = bench("soc", soc, x0s)
     record("rocket SOC cold solve (XLA)", B, B / dt, "solves/s",
-           f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
+           f"avg_iters={float(np.mean(np.asarray(out))):.1f}", sp)
 
     soc_f = jax.jit(lambda x0s: solve_fused(prob, Xref, Uref, x0s,
                                             tile=4096)[0].iter)
-    out, dt = bench("soc_fused", soc_f, x0s)
+    out, dt, sp = bench("soc_fused", soc_f, x0s)
     record("rocket SOC cold solve (fused)", B, B / dt, "solves/s",
-           f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
+           f"avg_iters={float(np.mean(np.asarray(out))):.1f}", sp)
 
     # --- consensus ADMM: scenario groups of 16, XLA pmean-free local path
     # vs the in-kernel group mean (segment matmul) ---
@@ -120,16 +138,20 @@ def main():
     x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (ng, G, 12)), f32)
     cons_x = jax.jit(lambda x0s: tm.solve_(prob, tm.init_state(prob, (ng, G)),
                                            Xref, None, x0s)[0].iter)
-    out, dt = bench("consensus_xla", cons_x, x0s)
+    out, dt, sp = bench("consensus_xla", cons_x, x0s)
     record("consensus G=16 cold solve (XLA)", B, B / dt, "solves/s",
-           f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
+           f"avg_iters={float(np.mean(np.asarray(out))):.1f}", sp)
     cons_f = jax.jit(lambda x0s: solve_fused(prob, Xref, None, x0s,
                                              tile=4096)[0].iter)
-    out, dt = bench("consensus_fused", cons_f, x0s)
+    out, dt, sp = bench("consensus_fused", cons_f, x0s)
     record("consensus G=16 cold solve (fused)", B, B / dt, "solves/s",
-           f"avg_iters={float(np.mean(np.asarray(out))):.1f}")
+           f"avg_iters={float(np.mean(np.asarray(out))):.1f}", sp)
 
-    # --- long-horizon: sequential vs associative scan ---
+    # --- long-horizon: XLA sequential vs blocked scans vs fused kernel ---
+    # The fused kernel holds the whole trajectory per lane in VMEM, so long
+    # horizons trade tile width for residency (auto tile: N=128 -> 1024,
+    # N=512 -> 256); narrow tiles still win because every elementwise phase
+    # stays on-chip while the XLA paths stream HBM per phase.
     for N in (128, 512):
         B = 1024
         prob, _ = _mk("quadrotor_20hz", N, f32, max_iter=20)
@@ -140,10 +162,14 @@ def main():
             p = tm.with_settings(prob, horizon_parallel=hp)
             fn = jax.jit(lambda x0s, p=p: tm.solve_(
                 p, tm.init_state(p, (B,)), Xref, None, x0s)[0].iter)
-            out, dt = bench("hp", fn, x0s)
+            out, dt, sp = bench("hp", fn, x0s)
             label = "blocked-scan" if hp else "sequential"
             record(f"long horizon N={N} ({label})", B,
-                   B * 20 / dt, "iters*B/s", "")
+                   B * 20 / dt, "iters*B/s", "", sp)
+        fn = jax.jit(lambda x0s: solve_fused(prob, Xref, None, x0s)[0].iter)
+        out, dt, sp = bench("hp_fused", fn, x0s)
+        record(f"long horizon N={N} (fused)", B, B * 20 / dt, "iters*B/s",
+               "auto tile", sp)
 
     # --- to-convergence: per-tile early exit vs lane compaction ---
     # Uniformly hard workload (the oracle's: nearly every lane runs long):
@@ -158,9 +184,20 @@ def main():
     x0h = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 12)), f32)
     te = jax.jit(lambda x0s: solve_fused(prob, Xref, None, x0s,
                                          tile=4096)[0])
-    out, dt = bench("to_conv_hard", te, x0h)
-    record("to-convergence 500it hard batch (tile exit)", B, B / dt,
-           "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}")
+    out, dt, sp = bench("to_conv_hard", te, x0h)
+    record("to-convergence 500it hard batch (fixed rho)", B, B / dt,
+           "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
+           f"iters_to_solved={iters_to_solved(out):.0f}", sp)
+
+    # Adaptive rho on the same batch and budget: the IROS-2025 subsystem's
+    # value proposition — per-problem rho rescaling should convert
+    # unsolved-at-500 lanes into solved ones (rho_benchmark.cpp:175-197).
+    pa = tm.with_settings(prob, adaptive_rho=True)
+    ta = jax.jit(lambda x0s: solve_fused(pa, Xref, None, x0s, tile=4096)[0])
+    out, dt, sp = bench("to_conv_hard_adapt", ta, x0h)
+    record("to-convergence 500it hard batch (adaptive rho)", B, B / dt,
+           "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
+           f"iters_to_solved={iters_to_solved(out):.0f}", sp)
 
     B = 262144
     scales = np.linspace(0.05, 0.5, B)[:, None]
@@ -168,14 +205,52 @@ def main():
         rng.permutation(B)], f32)
     tem = jax.jit(lambda x0s: solve_fused(prob, None, None, x0s,
                                           tile=4096)[0])
-    out, dt = bench("to_conv_mixed_te", tem, x0m)
-    record("to-convergence 500it mixed batch (tile exit)", B, B / dt,
-           "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}")
+    out, dt, sp = bench("to_conv_mixed_te", tem, x0m)
+    record("to-convergence 500it mixed batch (fixed rho)", B, B / dt,
+           "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
+           f"iters_to_solved={iters_to_solved(out):.0f}", sp)
+    tam = jax.jit(lambda x0s: solve_fused(pa, None, None, x0s, tile=4096)[0])
+    out, dt, sp = bench("to_conv_mixed_adapt", tam, x0m)
+    record("to-convergence 500it mixed batch (adaptive rho)", B, B / dt,
+           "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
+           f"iters_to_solved={iters_to_solved(out):.0f}", sp)
     solver = make_compact_solver(prob, chunk=[100, 400])
     cm = lambda x0s: solver(x0s)[0]
-    out, dt = bench("to_conv_mixed_compact", cm, x0m)
+    out, dt, sp = bench("to_conv_mixed_compact", cm, x0m)
     record("to-convergence 500it mixed batch (compaction)", B, B / dt,
-           "solves/s", "schedule=[100,400], bitwise == tile exit")
+           "solves/s", "schedule=[100,400], bitwise == fixed-rho tile exit", sp)
+
+    # --- 1M-instance fleet (BASELINE.json configs[4]) ---
+    # One chip, B = 2^20 independent quadrotor N=20 problems. Fixed-work
+    # regime via plain tile exit; mixed-difficulty to-convergence regime
+    # via compaction (the carry + gather/scatter arrays are the HBM
+    # high-water mark). Peak HBM from the device allocator.
+    B = 1 << 20
+    x0f = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 12)), f32)
+    p100, _ = _mk("quadrotor_20hz", 20, f32, max_iter=100)
+    p100 = tm.with_bounds(p100, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    tf = jax.jit(lambda x0s: solve_fused(p100, Xref, None, x0s,
+                                         tile=4096)[0].iter)
+    out, dt, sp = bench("fleet_1m", tf, x0f)
+    mem = jax.local_devices()[0].memory_stats() or {}
+    peak = mem.get("peak_bytes_in_use", 0) / 2**30
+    record("fleet 1M-instance N=20 100it (fused)", B, B / dt, "solves/s",
+           f"peak_hbm={peak:.1f}GiB", sp)
+
+    scales = np.linspace(0.05, 0.5, B)[:, None]
+    x0fm = jnp.asarray((rng.uniform(-1, 1, (B, 12)) * scales)[
+        rng.permutation(B)], f32)
+    del x0f
+    solver1m = make_compact_solver(prob, chunk=[100, 400])
+    cm1 = lambda x0s: solver1m(x0s)[0]
+    out, dt, sp = bench("fleet_1m_compact", cm1, x0fm)
+    mem = jax.local_devices()[0].memory_stats() or {}
+    peak = mem.get("peak_bytes_in_use", 0) / 2**30
+    record("fleet 1M-instance N=20 500it mixed (compaction)", B, B / dt,
+           "solves/s",
+           f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
+           f"peak_hbm={peak:.1f}GiB", sp)
+    del x0fm
 
     # --- closed loop (XLA scan), warm-started fleet ---
     B, T = 4096, 50
@@ -185,25 +260,37 @@ def main():
     x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
     cl = jax.jit(lambda x0s: closed_loop(prob, tm.init_state(prob, (B,)),
                                          x0s, Xref, T)[2])
-    out, dt = bench("cl", cl, x0s)
+    out, dt, sp = bench("cl", cl, x0s)
     record("closed-loop MPC steps (XLA scan)", B, B * T / dt, "MPC steps/s",
-           f"T={T} warm-started")
+           f"T={T} warm-started", sp)
 
     from tinympc_tpu.kernels import closed_loop_fused
     B = 16384
     x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
     clf = jax.jit(lambda x0s: closed_loop_fused(prob, Xref, x0s, T)[2])
-    out, dt = bench("clf", clf, x0s)
+    out, dt, sp = bench("clf", clf, x0s)
     record("closed-loop MPC steps (fused kernel)", B, B * T / dt,
-           "MPC steps/s", f"T={T} warm-started")
+           "MPC steps/s", f"T={T} warm-started", sp)
 
+    stamp = datetime.date.today().isoformat()
+    dev = str(jax.devices()[0])
     with open("BENCH_TABLE.md", "w") as fh:
-        fh.write("# Benchmark table (1x TPU v5e chip)\n\n"
-                 "Generated by bench_all.py.\n\n"
-                 "| workload | batch | value | unit | note |\n|---|---|---|---|---|\n")
-        for w, b, v, u, e in rows:
-            fh.write(f"| {w} | {b} | {v:,.0f} | {u} | {e} |\n")
-    print("wrote BENCH_TABLE.md")
+        fh.write(f"# Benchmark table ({dev}, 1 chip)\n\n"
+                 f"Generated by bench_all.py on {stamp}. Each value is the "
+                 "median of 5 independent timings; the +- column is the "
+                 "min-max spread of those timings as a fraction of the "
+                 "median (deltas inside the spread are run-to-run noise).\n\n"
+                 "| workload | batch | value | +- | unit | note |\n"
+                 "|---|---|---|---|---|---|\n")
+        for w, b, v, u, e, spd in rows:
+            fh.write(f"| {w} | {b} | {v:,.0f} | {100 * spd:.0f}% | {u} "
+                     f"| {e} |\n")
+    with open("BENCH_RESULTS.json", "w") as fh:
+        json.dump({"date": stamp, "device": dev, "reps": 5,
+                   "rows": [dict(zip(("workload", "batch", "value", "unit",
+                                      "note", "spread"), r)) for r in rows]},
+                  fh, indent=1)
+    print("wrote BENCH_TABLE.md, BENCH_RESULTS.json")
 
 
 if __name__ == "__main__":

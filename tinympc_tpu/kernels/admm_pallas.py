@@ -72,10 +72,15 @@ DEFAULT_TILE = 1024
 AUTO_TILE_CAP = 4096
 # v5e VMEM is 128 MiB/core, but Mosaic's own temporaries (matmul operand
 # staging, the bf16x3 hi/lo operand splits, pipeline double-buffering of
-# the lane-tiled inputs/outputs) roughly double the buffer-list estimate's
-# real footprint: tile=4096 on the quadrotor N=20 box problem (estimated
-# 26 MiB) runs, tile=8192 (52 MiB) is rejected. 48 MiB keeps a margin.
-LANE_VMEM_BUDGET = 48 * 2**20
+# the lane-tiled inputs/outputs) several-fold inflate the buffer-list
+# estimate's real footprint. Measured accept/reject boundary on v5e
+# (buffer-list estimate -> Mosaic verdict): N=20 cold 21 MiB ok / 42 MiB
+# rejected; N=20 warm 28.7 MiB ok; N=128 cold 16.8 MiB ok / 33.6 MiB
+# rejected; N=512 cold 16.7 MiB ok / 33.5 MiB rejected — boundary within
+# (28.7, 33.5) MiB across horizons. 30 MiB sits inside it and keeps every
+# measured-good auto tile (4096 @ N<=20, 1024 @ N=64, 512 @ N=128,
+# 128 @ N=512) while rejecting every measured-bad one.
+LANE_VMEM_BUDGET = 30 * 2**20
 
 
 def _lane_rows(spec, settings, warm: bool, final: bool = False) -> int:
