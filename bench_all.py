@@ -168,8 +168,14 @@ def main():
                    B * 20 / dt, "iters*B/s", "", sp)
         fn = jax.jit(lambda x0s: solve_fused(prob, Xref, None, x0s)[0].iter)
         out, dt, sp = bench("hp_fused", fn, x0s)
-        record(f"long horizon N={N} (fused)", B, B * 20 / dt, "iters*B/s",
-               "auto tile", sp)
+        record(f"long horizon N={N} (fused resident)", B, B * 20 / dt,
+               "iters*B/s", "auto tile", sp)
+        from tinympc_tpu.kernels import solve_fused_streamed
+        fn = jax.jit(lambda x0s: solve_fused_streamed(prob, Xref, None,
+                                                      x0s)[0].iter)
+        out, dt, sp = bench("hp_stream", fn, x0s)
+        record(f"long horizon N={N} (fused streamed)", B, B * 20 / dt,
+               "iters*B/s", "HBM-resident trajectories", sp)
 
     # --- to-convergence: per-tile early exit vs lane compaction ---
     # Uniformly hard workload (the oracle's: nearly every lane runs long):

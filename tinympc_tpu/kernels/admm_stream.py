@@ -1,0 +1,491 @@
+"""Streamed fused solve for long horizons (N beyond the VMEM wall).
+
+The whole-solve kernel (:mod:`.admm_pallas`) keeps every trajectory for a
+tile of problems resident in VMEM, which caps the usable tile width as N
+grows (auto tile 4096 at N<=20 shrinks to 128 at N=512) — and narrow
+tiles are MXU-issue-latency-bound: measured 1.4x the XLA sequential path
+at N=512 where the headline configs get 5-8x. This module trades
+residency for width: trajectories live in HBM and each ADMM iteration
+runs as two Pallas launches that *stream* the horizon through VMEM in
+C-row chunks (Pallas pipelines the chunk DMA against compute via its
+double-buffered BlockSpecs), so the tile stays wide at any N:
+
+  * backward kernel — grid (tiles, chunks) in *reverse* chunk order;
+    forms the linear cost q/r rows on the fly (admm.cpp:262-304), rolls
+    the costate p across chunks in VMEM scratch (persistent across grid
+    steps of one tile), and writes the feedforward d (admm.cpp:13-20);
+  * forward kernel — forward chunk order; rolls x, computes u
+    (admm.cpp:25-32), applies the box projection and dual update
+    (admm.cpp:81-256) row by row while the chunk is resident, accumulates
+    the four max-abs residuals in scratch, and commits per-lane
+    iteration/convergence bookkeeping at each tile's last chunk
+    (admm.cpp:310-328).
+
+The ADMM loop is a jax.lax.while_loop around the two launches; solution
+snapshots at first convergence (admm.cpp:436-437) are applied between
+iterations by a lax.cond that only pays for a full-array blend on
+iterations where some lane converged. Early exit is whole-batch (the
+while predicate), not per-tile: one launch pair serves the entire batch,
+so a converged tile stops costing only when the batch is done — for
+mixed-difficulty to-convergence workloads at long N, drive this solver
+with the compaction pattern instead.
+
+Per iteration per lane the streams move ~9 trajectory-array passes of
+HBM traffic — the XLA path materialises every phase's intermediates and
+moves ~3-4x that, which is the entire gap this module closes. Measured
+on v5e (quadrotor, N=512, B=1024, 20 iterations): 2.6x the XLA
+sequential path end-to-end, vs 1.4x for the resident kernel at its
+VMEM-forced tile of 128 (see BENCH_TABLE.md).
+
+Scope: box bounds, fixed rho, cold starts (the long-horizon regime —
+direct collocation / full-trajectory optimization — is a cold-start
+batch workload; receding-horizon warm starts live at reference-scale N
+where the resident kernel wins). Extra families, adaptive rho,
+consensus, and warm carries stay on the resident kernel or XLA paths.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import Solution, TinyProblem, matmul_precision_ctx
+
+# Chunk rows streamed per grid step. 8 f32 sublanes is the native tile
+# height; larger chunks buy nothing (the DMA is already contiguous per
+# row-lane plane) and shrink the lane budget.
+DEFAULT_CHUNK = 8
+
+# VMEM budget for the pipelined chunk buffers (2x-buffered by Pallas) +
+# tables; same calibration story as admm_pallas.LANE_VMEM_BUDGET.
+STREAM_VMEM_BUDGET = 30 * 2**20
+
+
+def _bf16x3_helpers(mm_mode):
+    """The hand-rolled 3-pass bf16 scheme of admm_pallas (see its
+    module docstring): hi/lo operand splits stacked along the contraction
+    axis so the 3 passes ride one MXU dot."""
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    if mm_mode == "bf16x3":
+        lo = jax.lax.Precision.DEFAULT
+
+        def prep(M):
+            hi = M.astype(bf16)
+            return jnp.concatenate([hi, hi, (M - hi.astype(f32)).astype(bf16)],
+                                   axis=1)
+
+        def mm(Mp, vv):
+            vhi = vv.astype(bf16)
+            vlo = (vv - vhi.astype(f32)).astype(bf16)
+            vs = jnp.concatenate([vhi, vlo, vhi], axis=0)
+            return jnp.dot(Mp, vs, preferred_element_type=f32, precision=lo)
+    else:
+        prep = lambda M: M
+
+        def mm(M, vv):
+            return jnp.dot(M, vv, preferred_element_type=f32)
+    return prep, mm
+
+
+def _chunk_size(N: int, chunk: int) -> int:
+    """Largest divisor of N that is <= chunk (the streamed grid needs the
+    horizon to split evenly; long-horizon N are powers of two in practice
+    so this is almost always ``chunk`` itself)."""
+    for c in range(min(chunk, N), 0, -1):
+        if N % c == 0:
+            return c
+    return 1
+
+
+def _backward_kernel(C, N, nx, nu, rho, mm_mode):
+    """Grid (T, Jc), chunk index reversed in the index maps. Scratch: the
+    rolling costate p (nx, Bt), persistent across the chunk steps of one
+    tile (the TPU grid is sequential; scratch survives grid steps)."""
+    Jc = N // C
+    prep, mm = _bf16x3_helpers(mm_mode)
+
+    def kernel(vnew_ref, g_ref, znew_ref, y_ref,
+               nxq_ref, nur_ref, Mback_ref, KinfT_ref, Quu_ref,
+               APf_ref, BPf_ref, pterm_ref,
+               d_ref, p_scr):
+        j = pl.program_id(1)               # 0 = chunk Jc-1 (terminal end)
+        Mback = prep(Mback_ref[:])
+        KinfT = prep(KinfT_ref[:])
+        Quu = prep(Quu_ref[:])
+        APf, BPf = APf_ref[:], BPf_ref[:]
+
+        vnew, g = vnew_ref[:], g_ref[:]    # (C, nx, Bt)
+        znew, y = znew_ref[:], y_ref[:]    # (C, nu, Bt)
+
+        # Terminal costate at the tile's first (reverse-order) chunk:
+        # p[N-1] = -Pinf^T Xref[N-1] - rho (vnew[N-1] - g[N-1])
+        # (admm.cpp:292-303). Other chunks continue the rolled scratch.
+        @pl.when(j == 0)
+        def _():
+            p_scr[:] = pterm_ref[:] - rho * (vnew[C - 1] - g[C - 1])
+
+        p = p_scr[:]
+        dvals = [None] * C
+        # Local rows C-1..0 = global rows (Jc-1-j)*C + li. The terminal
+        # row (li = C-1 of the first chunk) only seeds p (handled above);
+        # its d row is dead.
+        for li in range(C - 1, -1, -1):
+            r_i = nur_ref[li] - rho * (znew[li] - y[li])
+            q_i = nxq_ref[li] - rho * (vnew[li] - g[li])
+            pout = mm(Mback, p)
+            bp, ap = pout[:nu], pout[nu:]
+            d_n = mm(Quu, bp + r_i + BPf)
+            p_n = q_i + ap - mm(KinfT, r_i) + APf
+            if li == C - 1:
+                # On the first chunk this row is the terminal: keep p as
+                # seeded and write a dead d row; elsewhere a normal step.
+                first = j == 0
+                dvals[li] = jnp.where(first, jnp.zeros_like(d_n), d_n)
+                p = jnp.where(first, p, p_n)
+            else:
+                dvals[li] = d_n
+                p = p_n
+        p_scr[:] = p
+        d_ref[:] = jnp.stack(dvals)
+
+    return kernel, Jc
+
+
+def _forward_kernel(C, N, nx, nu, rho, check_termination,
+                    abs_pri_tol, abs_dua_tol, mm_mode):
+    """Grid (T, Jc) forward order. Scratch: rolling x (nx, Bt) and the
+    four residual max-accumulators (8, Bt; rows 0-3 used). Bookkeeping
+    (iters/done/res) updates commit at each tile's last chunk."""
+    Jc = N // C
+    prep, mm = _bf16x3_helpers(mm_mode)
+    f32 = jnp.float32
+
+    def kernel(it_ref,                      # scalar prefetch-ish SMEM (1,1)
+               vnew_ref, g_ref, znew_ref, y_ref, d_ref, x0_ref,
+               iters_in, done_in, res_in,
+               xmin_ref, xmax_ref, umin_ref, umax_ref,
+               Mfwd_ref, B_ref, f_ref,
+               vnew_out, g_out, znew_out, y_out,
+               iters_out, done_out, res_out, just_out,
+               x_scr, acc_scr):
+        j = pl.program_id(1)
+        Mfwd = prep(Mfwd_ref[:])
+        Bm = prep(B_ref[:])
+        fvec = f_ref[:]
+
+        @pl.when(j == 0)
+        def _():
+            x_scr[:] = x0_ref[:]
+            acc_scr[:] = jnp.zeros(acc_scr.shape, f32)
+
+        x = x_scr[:]
+        vnew, g = vnew_ref[:], g_ref[:]
+        znew, y = znew_ref[:], y_ref[:]
+        d = d_ref[:]
+        xmin, xmax = xmin_ref[:][:, :, None], xmax_ref[:][:, :, None]
+        umin, umax = umin_ref[:][:, :, None], umax_ref[:][:, :, None]
+
+        pri_s, pri_i, dua_s, dua_i = (acc_scr[0], acc_scr[1],
+                                      acc_scr[2], acc_scr[3])
+        vns, gns, zns, yns = [], [], [], []
+        last_chunk = j == Jc - 1
+        for li in range(C):
+            # State-side slack + dual for global row j*C + li
+            # (admm.cpp:85-98, 219-230), residuals on the fly.
+            vn_i = jnp.minimum(xmax[li], jnp.maximum(xmin[li], x + g[li]))
+            gn_i = g[li] + x - vn_i
+            vns.append(vn_i)
+            gns.append(gn_i)
+            pri_s = jnp.maximum(pri_s, jnp.max(jnp.abs(x - vn_i), axis=0))
+            dua_s = jnp.maximum(dua_s,
+                                jnp.max(jnp.abs(vnew[li] - vn_i), axis=0))
+
+            # Input side: u = -Kinf x - d, roll x (admm.cpp:25-32). The
+            # global last row (li = C-1 of the last chunk) has no input;
+            # its rows are dead (d holds a dead row there) and their
+            # residual contribution is masked out.
+            xout = mm(Mfwd, x)
+            kx, ax = xout[:nu], xout[nu:]
+            u_i = -kx - d[li]
+            zn_i = jnp.minimum(umax[li], jnp.maximum(umin[li], u_i + y[li]))
+            yn_i = y[li] + u_i - zn_i
+            zns.append(zn_i)
+            yns.append(yn_i)
+            ri = jnp.max(jnp.abs(u_i - zn_i), axis=0)
+            rd = jnp.max(jnp.abs(znew[li] - zn_i), axis=0)
+            if li == C - 1:
+                dead = last_chunk
+                ri = jnp.where(dead, 0.0, ri)
+                rd = jnp.where(dead, 0.0, rd)
+            pri_i = jnp.maximum(pri_i, ri)
+            dua_i = jnp.maximum(dua_i, rd)
+            x = ax + mm(Bm, u_i) + fvec
+
+        x_scr[:] = x
+        acc_scr[0], acc_scr[1] = pri_s, pri_i
+        acc_scr[2], acc_scr[3] = dua_s, dua_i
+        vnew_out[:] = jnp.stack(vns)
+        g_out[:] = jnp.stack(gns)
+        znew_out[:] = jnp.stack(zns)
+        y_out[:] = jnp.stack(yns)
+
+        # Bookkeeping at the tile's last chunk (admm.cpp:310-328): commit
+        # residuals every check_termination iterations for active lanes,
+        # flag newly-converged lanes. `just` feeds the host-side solution
+        # snapshot; iters/done/res ride the while_loop carry.
+        @pl.when(last_chunk)
+        def _():
+            it1 = it_ref[0, 0] + 1
+            active = done_in[0] == 0
+            dua_ss = dua_s * rho
+            dua_ii = dua_i * rho
+            checking = (it1 % check_termination) == 0
+            ok = ((pri_s < abs_pri_tol) & (pri_i < abs_pri_tol)
+                  & (dua_ss < abs_dua_tol) & (dua_ii < abs_dua_tol))
+            just = checking & ok & active
+            commit = checking & active
+            iters_out[0] = jnp.where(active, it1, iters_in[0])
+            res_out[0] = jnp.where(commit, pri_s, res_in[0])
+            res_out[1] = jnp.where(commit, pri_i, res_in[1])
+            res_out[2] = jnp.where(commit, dua_ss, res_in[2])
+            res_out[3] = jnp.where(commit, dua_ii, res_in[3])
+            done_out[0] = jnp.where(just, 1, done_in[0])
+            just_out[0] = just.astype(jnp.int32)
+
+    return kernel, Jc
+
+
+def stream_supported(prob: TinyProblem) -> bool:
+    """True when this problem can run on the streamed long-horizon path."""
+    spec = prob.spec
+    return not (spec.any_extra_family or spec.en_consensus
+                or prob.settings.adaptive_rho)
+
+
+def auto_tile_stream(prob: TinyProblem, chunk: int = DEFAULT_CHUNK) -> int:
+    """Widest power-of-two lane tile whose pipelined chunk buffers fit the
+    VMEM budget: 2x-buffered blocked refs — backward 4 in + 1 out,
+    forward 5 in + 4 out — plus the resident tables."""
+    nx, nu, N = prob.spec.nx, prob.spec.nu, prob.spec.N
+    per_lane = 4 * chunk * (2 * (4 * nx + 3 * nu)      # backward bufs
+                            + 2 * (4 * nx + 5 * nu))   # forward bufs
+    tables = 4 * N * (2 * nx + 2 * nu + nx + nu)
+    fit = max(1, (STREAM_VMEM_BUDGET - tables) // per_lane)
+    p = 1
+    while p * 2 <= fit and p < 4096:
+        p *= 2
+    return p
+
+
+def solve_fused_streamed(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
+                         *, tile: Optional[int] = None,
+                         chunk: int = DEFAULT_CHUNK,
+                         interpret: bool = False):
+    """Long-horizon batched solve with HBM-resident trajectories.
+
+    Same contract as :func:`~.admm_pallas.solve_fused` (cold start):
+    returns ``(Solution, residuals (4, B))`` matching the XLA path's
+    iterates. ``tile`` is the lane width per grid step (auto: widest that
+    fits the chunk-buffer budget, <= 4096); ``chunk`` the horizon rows
+    streamed per grid step (N is padded to a multiple).
+    """
+    if not stream_supported(prob):
+        raise ValueError("solve_fused_streamed supports box-bound fixed-rho "
+                         "specs; use solve_fused / tinympc_tpu.solve for "
+                         "extra families, adaptive rho, or consensus")
+    spec, settings = prob.spec, prob.settings
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    dtype = jnp.float32
+    x0s = jnp.asarray(x0s, dtype)
+    B = x0s.shape[0]
+    C = _chunk_size(N, chunk)
+    if tile is None:
+        tile = min(auto_tile_stream(prob, C), B)
+        if B % tile:       # largest power of two that still divides B
+            while tile > 1 and B % tile:
+                tile //= 2
+    if B % tile:
+        raise ValueError(f"batch ({B}) must be divisible by tile ({tile})")
+    T = B // tile
+    Jc = N // C
+    rho = float(prob.cache.rho)
+
+    with matmul_precision_ctx(settings):
+        mm_mode = ("bf16x3" if settings.matmul_precision == "high"
+                   else "ambient")
+
+        # ---- host-side tables (match admm_pallas's load-time prep).
+        # Input-side (N-1)-row tables pad to N rows; the dead last row is
+        # masked out of the residuals by the kernels.
+        def padN(a):
+            pad = N - a.shape[0]
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], axis=0)
+            return a
+
+        Xr = (jnp.zeros((N, nx), dtype) if Xref is None
+              else jnp.broadcast_to(jnp.asarray(Xref, dtype), (N, nx)))
+        Ur = (jnp.zeros((N - 1, nu), dtype) if Uref is None
+              else jnp.broadcast_to(jnp.asarray(Uref, dtype), (N - 1, nu)))
+        cache = prob.cache
+        Qd = jnp.asarray(prob.Qdiag, dtype)
+        Rd = jnp.asarray(prob.Rdiag, dtype)
+        neg_xref_q = (-(Xr * Qd[None]))[:, :, None]             # (N, nx, 1)
+        neg_uref_r = padN(-(Ur * Rd[None]))[:, :, None]         # (N, nu, 1)
+        pterm = (-(jnp.asarray(cache.Pinf, dtype).T @ Xr[N - 1]))[:, None]
+        Mback = jnp.concatenate([jnp.asarray(prob.B, dtype).T,
+                                 jnp.asarray(cache.AmBKt, dtype)], axis=0)
+        Mfwd = jnp.concatenate([jnp.asarray(cache.Kinf, dtype),
+                                jnp.asarray(prob.A, dtype)], axis=0)
+        KinfT = jnp.asarray(cache.Kinf, dtype).T
+        Quu = jnp.asarray(cache.Quu_inv, dtype)
+        col = lambda a: jnp.asarray(a, dtype).reshape(-1, 1)
+        APf, BPf, fvec = col(cache.APf), col(cache.BPf), col(prob.f)
+        Bmat = jnp.asarray(prob.B, dtype)
+
+        fin = jnp.finfo(dtype).max
+        cons = prob.cons
+        xmin = jnp.broadcast_to(jnp.asarray(cons.x_min, dtype)
+                                if spec.en_state_bound else -fin, (N, nx))
+        xmax = jnp.broadcast_to(jnp.asarray(cons.x_max, dtype)
+                                if spec.en_state_bound else fin, (N, nx))
+        umin = padN(jnp.broadcast_to(
+            jnp.asarray(cons.u_min, dtype) if spec.en_input_bound
+            else -fin, (N - 1, nu)))
+        umax = padN(jnp.broadcast_to(
+            jnp.asarray(cons.u_max, dtype) if spec.en_input_bound
+            else fin, (N - 1, nu)))
+        xmin = jnp.clip(xmin, -fin, fin)
+        xmax = jnp.clip(xmax, -fin, fin)
+        umin = jnp.clip(umin, -fin, fin)
+        umax = jnp.clip(umax, -fin, fin)
+
+        x0k = x0s.T                                              # (nx, B)
+
+        bwd_kernel, _ = _backward_kernel(C, N, nx, nu, rho, mm_mode)
+        fwd_kernel, _ = _forward_kernel(
+            C, N, nx, nu, rho, settings.check_termination,
+            float(settings.abs_pri_tol), float(settings.abs_dua_tol),
+            mm_mode)
+
+        # ---- BlockSpecs ----
+        def chunk_spec(F, rev=False):
+            im = ((lambda t, j: (Jc - 1 - j, 0, t)) if rev
+                  else (lambda t, j: (j, 0, t)))
+            return pl.BlockSpec((C, F, tile), im, memory_space=pltpu.VMEM)
+
+        def row_table_spec(F, rev=False):
+            """(C, F, 1) chunk blocks of the per-row tables (no lane axis)."""
+            im = ((lambda t, j: (Jc - 1 - j, 0, 0)) if rev
+                  else (lambda t, j: (j, 0, 0)))
+            return pl.BlockSpec((C, F, 1), im, memory_space=pltpu.VMEM)
+
+        def bound_spec(F):
+            return pl.BlockSpec((C, F), lambda t, j: (j, 0),
+                                memory_space=pltpu.VMEM)
+
+        def const_spec(shape):
+            return pl.BlockSpec(shape, lambda t, j: tuple(0 for _ in shape),
+                                memory_space=pltpu.VMEM)
+
+        def lane_spec(F):
+            return pl.BlockSpec((F, tile), lambda t, j: (0, t),
+                                memory_space=pltpu.VMEM)
+
+        bwd_call = pl.pallas_call(
+            bwd_kernel,
+            grid=(T, Jc),
+            in_specs=[chunk_spec(nx, rev=True), chunk_spec(nx, rev=True),
+                      chunk_spec(nu, rev=True), chunk_spec(nu, rev=True),
+                      row_table_spec(nx, rev=True),
+                      row_table_spec(nu, rev=True),
+                      const_spec(Mback.shape), const_spec(KinfT.shape),
+                      const_spec(Quu.shape), const_spec((nx, 1)),
+                      const_spec((nu, 1)), const_spec((nx, 1))],
+            out_specs=chunk_spec(nu, rev=True),
+            out_shape=jax.ShapeDtypeStruct((N, nu, B), dtype),
+            scratch_shapes=[pltpu.VMEM((nx, tile), dtype)],
+            interpret=interpret,
+        )
+
+        fwd_call = pl.pallas_call(
+            fwd_kernel,
+            grid=(T, Jc),
+            in_specs=[pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      chunk_spec(nx), chunk_spec(nx),
+                      chunk_spec(nu), chunk_spec(nu), chunk_spec(nu),
+                      lane_spec(nx),
+                      lane_spec(1), lane_spec(1), lane_spec(4),
+                      bound_spec(nx), bound_spec(nx),
+                      bound_spec(nu), bound_spec(nu),
+                      const_spec(Mfwd.shape), const_spec(Bmat.shape),
+                      const_spec((nx, 1))],
+            out_specs=[chunk_spec(nx), chunk_spec(nx),
+                       chunk_spec(nu), chunk_spec(nu),
+                       lane_spec(1), lane_spec(1), lane_spec(4),
+                       lane_spec(1)],
+            out_shape=[jax.ShapeDtypeStruct((N, nx, B), dtype),
+                       jax.ShapeDtypeStruct((N, nx, B), dtype),
+                       jax.ShapeDtypeStruct((N, nu, B), dtype),
+                       jax.ShapeDtypeStruct((N, nu, B), dtype),
+                       jax.ShapeDtypeStruct((1, B), jnp.int32),
+                       jax.ShapeDtypeStruct((1, B), jnp.int32),
+                       jax.ShapeDtypeStruct((4, B), dtype),
+                       jax.ShapeDtypeStruct((1, B), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((nx, tile), dtype),
+                            pltpu.VMEM((8, tile), dtype)],
+            interpret=interpret,
+        )
+
+        zx = jnp.zeros((N, nx, B), dtype)
+        zu = jnp.zeros((N, nu, B), dtype)
+        state0 = dict(
+            it=jnp.int32(0),
+            vnew=zx, g=zx, znew=zu, y=zu,
+            iters=jnp.zeros((1, B), jnp.int32),
+            done=jnp.zeros((1, B), jnp.int32),
+            res=jnp.zeros((4, B), dtype),
+            outx=zx, outu=zu,
+        )
+
+        def body(s):
+            d = bwd_call(s["vnew"], s["g"], s["znew"], s["y"],
+                         neg_xref_q, neg_uref_r, Mback, KinfT, Quu,
+                         APf, BPf, pterm)
+            itm = s["it"].reshape(1, 1)
+            (vnew, g, znew, y, iters, done, res, just) = fwd_call(
+                itm, s["vnew"], s["g"], s["znew"], s["y"], d, x0k,
+                s["iters"], s["done"], s["res"],
+                xmin, xmax, umin, umax, Mfwd, Bmat, fvec)
+
+            jm = (just[0] == 1)[None, None, :]
+            outx, outu = jax.lax.cond(
+                jnp.any(just == 1),
+                lambda: (jnp.where(jm, vnew, s["outx"]),
+                         jnp.where(jm, znew, s["outu"])),
+                lambda: (s["outx"], s["outu"]))
+            return dict(it=s["it"] + 1, vnew=vnew, g=g, znew=znew, y=y,
+                        iters=iters, done=done, res=res,
+                        outx=outx, outu=outu)
+
+        def cond(s):
+            return (s["it"] < settings.max_iter) & jnp.logical_not(
+                jnp.all(s["done"] == 1))
+
+        s = jax.lax.while_loop(cond, body, state0)
+
+        # Unconverged lanes report their final iterates (admm.cpp:450-453).
+        am = (s["done"][0] == 0)[None, None, :]
+        outx = jnp.where(am, s["vnew"], s["outx"])            # (N, nx, B)
+        outu = jnp.where(am, s["znew"], s["outu"])[:N - 1]    # drop dead row
+        sol = Solution(iter=s["iters"][0],
+                       solved=(s["done"][0] == 1).astype(jnp.int32),
+                       x=outx.transpose(0, 2, 1),             # (N, B, nx)
+                       u=outu.transpose(0, 2, 1))
+        return sol, s["res"]
