@@ -69,6 +69,20 @@ def bench(name, fn, *args, reps=5, min_rep_s=1.0):
     return out, med, (max(ts) - min(ts)) / med
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def section(name):
+    """Keep the suite alive when one workload fails: record the error in
+    the table instead of losing every subsequent row."""
+    try:
+        yield
+    except Exception as e:                         # noqa: BLE001
+        print(json.dumps({"workload": name, "error": f"{type(e).__name__}: "
+                          f"{str(e)[:200]}"}), flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -188,12 +202,13 @@ def main():
         out, dt, sp = bench("hp_fused", fn, x0s)
         record(f"long horizon N={N} (fused resident)", B, B * 20 / dt,
                "iters*B/s", "auto tile", sp)
-        from tinympc_tpu.kernels import solve_fused_streamed
-        fn = jax.jit(lambda x0s: solve_fused_streamed(prob, Xref, None,
-                                                      x0s)[0].iter)
-        out, dt, sp = bench("hp_stream", fn, x0s)
-        record(f"long horizon N={N} (fused streamed)", B, B * 20 / dt,
-               "iters*B/s", "HBM-resident trajectories", sp)
+        with section(f"streamed N={N}"):
+            from tinympc_tpu.kernels import solve_fused_streamed
+            fn = jax.jit(lambda x0s: solve_fused_streamed(prob, Xref, None,
+                                                          x0s)[0].iter)
+            out, dt, sp = bench("hp_stream", fn, x0s)
+            record(f"long horizon N={N} (fused streamed)", B, B * 20 / dt,
+                   "iters*B/s", "HBM-resident trajectories", sp)
 
     # --- to-convergence: per-tile early exit vs lane compaction ---
     # Uniformly hard workload (the oracle's: nearly every lane runs long):
@@ -217,11 +232,14 @@ def main():
     # value proposition — per-problem rho rescaling should convert
     # unsolved-at-500 lanes into solved ones (rho_benchmark.cpp:175-197).
     pa = tm.with_settings(prob, adaptive_rho=True)
-    ta = jax.jit(lambda x0s: solve_fused(pa, Xref, None, x0s, tile=4096)[0])
-    out, dt, sp = bench("to_conv_hard_adapt", ta, x0h)
-    record("to-convergence 500it hard batch (adaptive rho)", B, B / dt,
-           "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
-           f"iters_to_solved={iters_to_solved(out):.0f}", sp)
+    with section("adaptive hard"):
+        ta = jax.jit(lambda x0s: solve_fused(pa, Xref, None, x0s,
+                                             tile=4096)[0])
+        out, dt, sp = bench("to_conv_hard_adapt", ta, x0h)
+        record("to-convergence 500it hard batch (adaptive rho)", B, B / dt,
+               "solves/s",
+               f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
+               f"iters_to_solved={iters_to_solved(out):.0f}", sp)
 
     B = 262144
     scales = np.linspace(0.05, 0.5, B)[:, None]
@@ -233,11 +251,14 @@ def main():
     record("to-convergence 500it mixed batch (fixed rho)", B, B / dt,
            "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
            f"iters_to_solved={iters_to_solved(out):.0f}", sp)
-    tam = jax.jit(lambda x0s: solve_fused(pa, None, None, x0s, tile=4096)[0])
-    out, dt, sp = bench("to_conv_mixed_adapt", tam, x0m)
-    record("to-convergence 500it mixed batch (adaptive rho)", B, B / dt,
-           "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
-           f"iters_to_solved={iters_to_solved(out):.0f}", sp)
+    with section("adaptive mixed"):
+        tam = jax.jit(lambda x0s: solve_fused(pa, None, None, x0s,
+                                              tile=4096)[0])
+        out, dt, sp = bench("to_conv_mixed_adapt", tam, x0m)
+        record("to-convergence 500it mixed batch (adaptive rho)", B, B / dt,
+               "solves/s",
+               f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
+               f"iters_to_solved={iters_to_solved(out):.0f}", sp)
     solver = make_compact_solver(prob, chunk=[100, 400])
     cm = lambda x0s: solver(x0s)[0]
     out, dt, sp = bench("to_conv_mixed_compact", cm, x0m)
@@ -250,31 +271,34 @@ def main():
     # via compaction (the carry + gather/scatter arrays are the HBM
     # high-water mark). Peak HBM from the device allocator.
     B = 1 << 20
-    x0f = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 12)), f32)
-    p100, _ = _mk("quadrotor_20hz", 20, f32, max_iter=100)
-    p100 = tm.with_bounds(p100, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
-    tf = jax.jit(lambda x0s: solve_fused(p100, Xref, None, x0s,
-                                         tile=4096)[0].iter)
-    out, dt, sp = bench("fleet_1m", tf, x0f)
-    mem = jax.local_devices()[0].memory_stats() or {}
-    peak = mem.get("peak_bytes_in_use", 0) / 2**30
-    record("fleet 1M-instance N=20 100it (fused)", B, B / dt, "solves/s",
-           f"peak_hbm={peak:.1f}GiB", sp)
+    with section("fleet 1M fused"):
+        x0f = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 12)), f32)
+        p100, _ = _mk("quadrotor_20hz", 20, f32, max_iter=100)
+        p100 = tm.with_bounds(p100, x_min=-5.0, x_max=5.0, u_min=-0.5,
+                              u_max=0.5)
+        tf = jax.jit(lambda x0s: solve_fused(p100, Xref, None, x0s,
+                                             tile=4096)[0].iter)
+        out, dt, sp = bench("fleet_1m", tf, x0f)
+        mem = jax.local_devices()[0].memory_stats() or {}
+        peak = mem.get("peak_bytes_in_use", 0) / 2**30
+        record("fleet 1M-instance N=20 100it (fused)", B, B / dt, "solves/s",
+               f"peak_hbm={peak:.1f}GiB", sp)
+        del x0f
 
-    scales = np.linspace(0.05, 0.5, B)[:, None]
-    x0fm = jnp.asarray((rng.uniform(-1, 1, (B, 12)) * scales)[
-        rng.permutation(B)], f32)
-    del x0f
-    solver1m = make_compact_solver(prob, chunk=[100, 400])
-    cm1 = lambda x0s: solver1m(x0s)[0]
-    out, dt, sp = bench("fleet_1m_compact", cm1, x0fm)
-    mem = jax.local_devices()[0].memory_stats() or {}
-    peak = mem.get("peak_bytes_in_use", 0) / 2**30
-    record("fleet 1M-instance N=20 500it mixed (compaction)", B, B / dt,
-           "solves/s",
-           f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
-           f"peak_hbm={peak:.1f}GiB", sp)
-    del x0fm
+    with section("fleet 1M compaction"):
+        scales = np.linspace(0.05, 0.5, B)[:, None]
+        x0fm = jnp.asarray((rng.uniform(-1, 1, (B, 12)) * scales)[
+            rng.permutation(B)], f32)
+        solver1m = make_compact_solver(prob, chunk=[100, 400])
+        cm1 = lambda x0s: solver1m(x0s)[0]
+        out, dt, sp = bench("fleet_1m_compact", cm1, x0fm, min_rep_s=0.0)
+        mem = jax.local_devices()[0].memory_stats() or {}
+        peak = mem.get("peak_bytes_in_use", 0) / 2**30
+        record("fleet 1M-instance N=20 500it mixed (compaction)", B, B / dt,
+               "solves/s",
+               f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
+               f"peak_hbm={peak:.1f}GiB", sp)
+        del x0fm
 
     # --- closed loop (XLA scan), warm-started fleet ---
     B, T = 4096, 50

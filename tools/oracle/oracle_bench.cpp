@@ -16,6 +16,7 @@
 int main(int argc, char** argv) {
     int num_solves = argc > 1 ? atoi(argv[1]) : 2000;
     int max_iter = argc > 2 ? atoi(argv[2]) : 100;
+    int adaptive = argc > 3 ? atoi(argv[3]) : 0;  // adaptive-rho on/off
 
     TinySolver* solver;
     tinyMatrix Adyn = Map<Matrix<tinytype, NSTATES, NSTATES, RowMajor>>(Adyn_data);
@@ -33,6 +34,23 @@ int main(int argc, char** argv) {
                rho_value, NSTATES, NINPUTS, NHORIZON, 0);
     tiny_set_bound_constraints(solver, x_min, x_max, u_min, u_max);
     solver->settings->max_iter = max_iter;
+    if (adaptive) {
+        // The reference's adaptive-rho configuration (IROS-2025 path):
+        // enable before sensitivity init, which loads the hard-coded 12x4
+        // quadrotor tables (tiny_api.cpp:479-540).
+        solver->settings->adaptive_rho = 1;
+        solver->settings->adaptive_rho_min = 1.0;
+        solver->settings->adaptive_rho_max = 100.0;
+        solver->settings->adaptive_rho_enable_clipping = 1;
+        tiny_initialize_sensitivity_matrices(solver);
+    }
+    // Snapshot the cache so each solve cold-starts from the base rho
+    // (adaptive solves Taylor-mutate Kinf/Pinf/C1/C2 and rho in place;
+    // the batched TPU solves being compared give every problem its own
+    // fresh rho).
+    const tinytype rho_base = solver->cache->rho;
+    tinyMatrix Kinf0 = solver->cache->Kinf, Pinf0 = solver->cache->Pinf;
+    tinyMatrix C10 = solver->cache->C1, C20 = solver->cache->C2;
 
     TinyWorkspace* work = solver->work;
     tinyVector xref(NSTATES);
@@ -60,6 +78,11 @@ int main(int argc, char** argv) {
         work->v.setZero(); work->vnew.setZero();
         work->z.setZero(); work->znew.setZero();
         work->g.setZero(); work->y.setZero();
+        if (adaptive) {
+            solver->cache->rho = rho_base;
+            solver->cache->Kinf = Kinf0; solver->cache->Pinf = Pinf0;
+            solver->cache->C1 = C10; solver->cache->C2 = C20;
+        }
         tiny_set_x0(solver, x0s[k]);
         tiny_solve(solver);
         total_iters += solver->solution->iter;
@@ -69,11 +92,12 @@ int main(int argc, char** argv) {
     double secs = std::chrono::duration<double>(t1 - t0).count();
 
     fprintf(stderr,
-            "{\"solves\":%d,\"max_iter\":%d,\"seconds\":%.6f,"
+            "{\"solves\":%d,\"max_iter\":%d,\"adaptive\":%d,\"seconds\":%.6f,"
             "\"solves_per_s\":%.1f,\"total_iters\":%ld,\"iters_per_s\":%.1f,"
             "\"avg_iters\":%.2f,\"solved_frac\":%.4f}\n",
-            num_solves, max_iter, secs, num_solves / secs, total_iters,
-            total_iters / secs, (double)total_iters / num_solves,
+            num_solves, max_iter, adaptive, secs, num_solves / secs,
+            total_iters, total_iters / secs,
+            (double)total_iters / num_solves,
             (double)num_solved / num_solves);
     return 0;
 }
