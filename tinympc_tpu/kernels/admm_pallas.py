@@ -50,6 +50,7 @@ Mosaic v5e pitfalls encoded here (each cost a debugging session):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -62,6 +63,11 @@ from ..types import (Solution, TinyProblem, _pytree_dataclass,
                      matmul_precision_ctx)
 
 DEFAULT_TILE = 1024
+
+# A/B scheduling experiment for the backward sweep's dot emission order
+# (see the block in _make_kernel.iteration); results recorded in
+# docs/DESIGN.md's speed-of-light section.
+SWEEP_HOIST = os.environ.get("TINYMPC_SWEEP_HOIST", "0") == "1"
 
 # Auto tile selection (tile=None): widest power-of-two tile that fits the
 # VMEM budget, capped at the measured sweet spot. Wider tiles chain more
@@ -719,22 +725,40 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                 p_next = p_next - rho_b * (vtv[N - 1] - gtv[N - 1])
 
             dvals = [None] * (N - 1)
-            for i in range(N - 2, -1, -1):          # static unroll
-                r_i = form_r(i)
-                q_i = form_q(i)
-                if stack_sweeps:
+            if stack_sweeps and SWEEP_HOIST:
+                # Scheduling experiment (see docs/DESIGN.md "Speed of
+                # light"): the KinfT@r dots never feed the costate chain,
+                # so emit them (and the r rows) *before* the sweep in
+                # program order — if Mosaic schedules in program order,
+                # the chain shortens from 3 dependent dots per step to 1
+                # (Mback@p) plus a d dot hanging off it. Identical
+                # expressions and operand values as the in-loop order:
+                # bit-identical results either way.
+                rvals = [form_r(i) for i in range(N - 1)]
+                rKs = [mm(KinfT, r_i) for r_i in rvals]
+                for i in range(N - 2, -1, -1):
                     pout = mm(Mback, p_next)
                     bp, ap = pout[:nu], pout[nu:]
-                else:
-                    ps = vsplit(p_next)   # feeds both BT and AmBKt dots
-                    bp, ap = mm(BT, ps), mmAmBKt(ps)
-                if consensus and i == 0:
-                    # Step 0 carries the rho_c*I prox in its dedicated
-                    # gain (admm.backward_pass with consensus=True).
-                    dvals[i] = mm(Quu0, bp + r_i + BPf)
-                else:
-                    dvals[i] = mmQuu(bp + r_i + BPf)
-                p_next = q_i + ap - mmKT(r_i) + APf
+                    Qm = Quu0 if (consensus and i == 0) else Quu
+                    dvals[i] = mm(Qm, bp + rvals[i] + BPf)
+                    p_next = form_q(i) + ap - rKs[i] + APf
+            else:
+                for i in range(N - 2, -1, -1):          # static unroll
+                    r_i = form_r(i)
+                    q_i = form_q(i)
+                    if stack_sweeps:
+                        pout = mm(Mback, p_next)
+                        bp, ap = pout[:nu], pout[nu:]
+                    else:
+                        ps = vsplit(p_next)  # feeds both BT and AmBKt dots
+                        bp, ap = mm(BT, ps), mmAmBKt(ps)
+                    if consensus and i == 0:
+                        # Step 0 carries the rho_c*I prox in its dedicated
+                        # gain (admm.backward_pass with consensus=True).
+                        dvals[i] = mm(Quu0, bp + r_i + BPf)
+                    else:
+                        dvals[i] = mmQuu(bp + r_i + BPf)
+                    p_next = q_i + ap - mmKT(r_i) + APf
 
             # 3. forward rollout (admm.cpp:25-32)
             x_i = x0v
