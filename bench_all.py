@@ -75,12 +75,15 @@ import contextlib
 @contextlib.contextmanager
 def section(name):
     """Keep the suite alive when one workload fails: record the error in
-    the table instead of losing every subsequent row."""
+    the table instead of losing every subsequent row. Drops the failed
+    frames (gc) so an OOM'd workload's buffers don't sink the rest."""
     try:
         yield
     except Exception as e:                         # noqa: BLE001
+        import gc
         print(json.dumps({"workload": name, "error": f"{type(e).__name__}: "
                           f"{str(e)[:200]}"}), flush=True)
+        gc.collect()
 
 
 def main():
@@ -251,6 +254,31 @@ def main():
     record("to-convergence 500it mixed batch (fixed rho)", B, B / dt,
            "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
            f"iters_to_solved={iters_to_solved(out):.0f}", sp)
+    # Mis-tuned rho: the adaptation's actual value proposition. At the
+    # tuned rho0=5 the rescaling hurts (rows above) — but hand a problem a
+    # badly chosen rho and it recovers what fixed rho cannot (docs/
+    # PARITY.md "Adaptive rho: what it buys").
+    B = 32768
+    with section("adaptive mistuned"):
+        for ad in (False, True):
+            s85 = systems.quadrotor_20hz()
+            p85 = tm.setup(s85["A"], s85["B"], s85["Qdiag"], s85["Rdiag"],
+                           rho=85.0, N=20, dtype=f32)
+            p85 = tm.with_bounds(p85, x_min=-5.0, x_max=5.0, u_min=-0.5,
+                                 u_max=0.5)
+            p85 = tm.with_settings(
+                p85, max_iter=500, adaptive_rho=ad,
+                matmul_precision=os.environ.get("BENCH_PRECISION", "high"))
+            t85 = jax.jit(lambda x0s, p=p85: solve_fused(p, Xref, None, x0s,
+                                                         tile=4096)[0])
+            out, dt, sp = bench("mistuned", t85, x0h)
+            label = "adaptive rho" if ad else "fixed rho"
+            record(f"to-convergence 500it hard batch rho0=85 ({label})",
+                   B, B / dt, "solves/s",
+                   f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
+                   f"iters_to_solved={iters_to_solved(out):.0f}", sp)
+
+    B = 262144
     with section("adaptive mixed"):
         tam = jax.jit(lambda x0s: solve_fused(pa, None, None, x0s,
                                               tile=4096)[0])
@@ -268,8 +296,10 @@ def main():
     # --- 1M-instance fleet (BASELINE.json configs[4]) ---
     # One chip, B = 2^20 independent quadrotor N=20 problems. Fixed-work
     # regime via plain tile exit; mixed-difficulty to-convergence regime
-    # via compaction (the carry + gather/scatter arrays are the HBM
-    # high-water mark). Peak HBM from the device allocator.
+    # via compaction (the warm-start carry is the HBM high-water mark:
+    # ~3.7 KiB/problem -> ~3.8 GiB at 2^20, donated across phases so in
+    # and out carries share buffers; the axon backend exposes no
+    # memory_stats, so footprints here are the analytic buffer sums).
     B = 1 << 20
     with section("fleet 1M fused"):
         x0f = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 12)), f32)
@@ -279,46 +309,46 @@ def main():
         tf = jax.jit(lambda x0s: solve_fused(p100, Xref, None, x0s,
                                              tile=4096)[0].iter)
         out, dt, sp = bench("fleet_1m", tf, x0f)
-        mem = jax.local_devices()[0].memory_stats() or {}
-        peak = mem.get("peak_bytes_in_use", 0) / 2**30
         record("fleet 1M-instance N=20 100it (fused)", B, B / dt, "solves/s",
-               f"peak_hbm={peak:.1f}GiB", sp)
-        del x0f
+               "hbm ~1.4GiB (x0+solution)", sp)
+        del x0f, tf
 
     with section("fleet 1M compaction"):
         scales = np.linspace(0.05, 0.5, B)[:, None]
         x0fm = jnp.asarray((rng.uniform(-1, 1, (B, 12)) * scales)[
             rng.permutation(B)], f32)
-        solver1m = make_compact_solver(prob, chunk=[100, 400])
+        solver1m = make_compact_solver(prob, chunk=[100, 400],
+                                       segment=1 << 18)
         cm1 = lambda x0s: solver1m(x0s)[0]
         out, dt, sp = bench("fleet_1m_compact", cm1, x0fm, min_rep_s=0.0)
-        mem = jax.local_devices()[0].memory_stats() or {}
-        peak = mem.get("peak_bytes_in_use", 0) / 2**30
         record("fleet 1M-instance N=20 500it mixed (compaction)", B, B / dt,
                "solves/s",
                f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
-               f"peak_hbm={peak:.1f}GiB", sp)
-        del x0fm
+               "segment=2^18, hbm ~2GiB/segment", sp)
+        del x0fm, solver1m, cm1
 
     # --- closed loop (XLA scan), warm-started fleet ---
-    B, T = 4096, 50
-    prob, _ = _mk("quadrotor_20hz", 10, f32)
-    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
-    Xref = jnp.zeros((10, 12), f32).at[:, 2].set(1.0)
-    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
-    cl = jax.jit(lambda x0s: closed_loop(prob, tm.init_state(prob, (B,)),
-                                         x0s, Xref, T)[2])
-    out, dt, sp = bench("cl", cl, x0s)
-    record("closed-loop MPC steps (XLA scan)", B, B * T / dt, "MPC steps/s",
-           f"T={T} warm-started", sp)
+    with section("closed loop"):
+        B, T = 4096, 50
+        prob, _ = _mk("quadrotor_20hz", 10, f32)
+        prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5,
+                              u_max=0.5)
+        Xref = jnp.zeros((10, 12), f32).at[:, 2].set(1.0)
+        x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
+        cl = jax.jit(lambda x0s: closed_loop(prob, tm.init_state(prob, (B,)),
+                                             x0s, Xref, T)[2])
+        out, dt, sp = bench("cl", cl, x0s)
+        record("closed-loop MPC steps (XLA scan)", B, B * T / dt,
+               "MPC steps/s", f"T={T} warm-started", sp)
 
-    from tinympc_tpu.kernels import closed_loop_fused
-    B = 16384
-    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
-    clf = jax.jit(lambda x0s: closed_loop_fused(prob, Xref, x0s, T)[2])
-    out, dt, sp = bench("clf", clf, x0s)
-    record("closed-loop MPC steps (fused kernel)", B, B * T / dt,
-           "MPC steps/s", f"T={T} warm-started", sp)
+    with section("closed loop fused"):
+        from tinympc_tpu.kernels import closed_loop_fused
+        B = 16384
+        x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
+        clf = jax.jit(lambda x0s: closed_loop_fused(prob, Xref, x0s, T)[2])
+        out, dt, sp = bench("clf", clf, x0s)
+        record("closed-loop MPC steps (fused kernel)", B, B * T / dt,
+               "MPC steps/s", f"T={T} warm-started", sp)
 
     stamp = datetime.date.today().isoformat()
     dev = str(jax.devices()[0])

@@ -172,3 +172,25 @@ def test_compact_phase_schedule():
                                   np.asarray(sol_long.iter))
     np.testing.assert_array_equal(np.asarray(sol_c.x),
                                   np.asarray(sol_long.x))
+
+
+def test_compact_segmented_matches_unsegmented():
+    """segment= caps on-chip residency for fleet-scale batches; results
+    must equal the unsegmented solver's exactly (segments are independent
+    problems)."""
+    from tinympc_tpu.kernels import make_compact_solver
+    prob = _quadrotor(max_iter=40)
+    B = 32
+    x0s = _mixed_x0s(B)
+    # Same tile width in both runs: CPU interpret mode lowers the lane
+    # dots differently per width (vectorization order), which would break
+    # bitwise comparison for reasons unrelated to segmentation.
+    sol_u, res_u = make_compact_solver(prob, chunk=20, tile=8, min_batch=8,
+                                       interpret=True)(x0s)
+    sol_s, res_s = make_compact_solver(prob, chunk=20, tile=8, min_batch=8,
+                                       segment=8, interpret=True)(x0s)
+    np.testing.assert_array_equal(np.asarray(sol_s.x), np.asarray(sol_u.x))
+    np.testing.assert_array_equal(np.asarray(sol_s.u), np.asarray(sol_u.u))
+    np.testing.assert_array_equal(np.asarray(sol_s.iter),
+                                  np.asarray(sol_u.iter))
+    np.testing.assert_array_equal(np.asarray(res_s), np.asarray(res_u))

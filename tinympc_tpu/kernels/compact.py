@@ -47,6 +47,7 @@ amortizes over the group).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -63,6 +64,7 @@ def _next_pow2(n: int) -> int:
 
 def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
                         tile: Optional[int] = None, min_batch: int = 256,
+                        segment: Optional[int] = None,
                         interpret: bool = False):
     """Build a reusable to-convergence compaction solver for ``prob``.
 
@@ -91,6 +93,12 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
       min_batch: stop compacting below this many live lanes — the gather
         bookkeeping outweighs the saved iterations once the tail is
         narrow; the final phases run the stragglers at this width.
+      segment: cap on the lanes resident on-chip at once. Batches larger
+        than this run as sequential independent segments whose results
+        are concatenated — the fleet pattern for batches whose warm-start
+        carry (~3.7 KiB/problem on the box quadrotor N=20) outgrows HBM:
+        B=2^20 needs ~8 GiB peak un-segmented, ~B/segment-th of that
+        segmented. None = whole batch at once.
       interpret: run the kernels in interpreter mode (tests).
     """
     settings = prob.settings
@@ -125,10 +133,16 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
             # final=True: no per-lane carry freeze — the gather below only
             # ever reads unconverged lanes' carries, and dropping the
             # snapshot machinery makes mixed-convergence phases ~2x faster.
+            # The carry argument is donated: its buffers back the carry
+            # outputs, halving the dominant HBM term at large batches
+            # (the carry is ~3.7 KiB/problem for the box quadrotor N=20 —
+            # at B=2^20 donation is the difference between fitting one
+            # chip's HBM and ResourceExhausted).
             phase_fns[iters] = jax.jit(
                 lambda X, U, x0, c: solve_fused_warm(p, X, U, x0, c,
                                                      tile=tile, final=True,
-                                                     interpret=interpret))
+                                                     interpret=interpret),
+                donate_argnums=(3,))
         return phase_fns[iters](Xref, Uref, x0_sub, carry_sub)
 
     @jax.jit
@@ -138,7 +152,7 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
             lambda a: jnp.take(a, local_pad, axis=-1), carry)
         return sub_x0, sub_carry
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def scatter_phase(outs, sel, sol, res, used):
         out_x, out_u, out_iter, out_solved, out_res = outs
         k = sel.shape[0]
@@ -151,6 +165,16 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
     def solve(x0s, Xref=None, Uref=None):
         x0s = jnp.asarray(x0s)
         B = x0s.shape[0]
+        if segment and B > segment:
+            parts = [solve(x0s[o:o + segment], Xref, Uref)
+                     for o in range(0, B, segment)]
+            sols, ress = zip(*parts)
+            cat = jnp.concatenate
+            return (Solution(iter=cat([s.iter for s in sols]),
+                             solved=cat([s.solved for s in sols]),
+                             x=cat([s.x for s in sols], axis=1),
+                             u=cat([s.u for s in sols], axis=1)),
+                    cat(ress, axis=1))
         step = phase_len(0, total)
         phase_idx = 1
         carry = init_carry(prob, B)
