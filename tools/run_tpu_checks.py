@@ -186,6 +186,49 @@ def check_compact_on_chip():
     assert np.array_equal(np.asarray(res_c), np.asarray(res_l))
 
 
+@check("streamed long-horizon kernel: bit-identical to XLA path (N=64)")
+def check_streamed_parity():
+    """kernels/admm_stream keeps trajectories HBM-resident and streams
+    the horizon in pipelined chunks; on-chip it must reproduce the XLA
+    path exactly at 'default' precision, like the resident kernel."""
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import solve_fused_streamed
+    prob = _quadrotor(max_iter=40, N=64, matmul_precision="default")
+    B = 256
+    x0s = _x0s(B, seed=6)
+    sol_ref, st_ref, _ = tm.solve(prob, tm.init_state(prob, (B,)), x0=x0s)
+    sol_s, res = solve_fused_streamed(prob, None, None, x0s)
+    assert np.array_equal(np.asarray(sol_s.iter), np.asarray(sol_ref.iter))
+    assert np.array_equal(np.asarray(sol_s.solved),
+                          np.asarray(sol_ref.solved))
+    assert np.array_equal(np.asarray(sol_s.x), np.asarray(sol_ref.x)), \
+        f"max |dx| = {np.abs(np.asarray(sol_s.x) - np.asarray(sol_ref.x)).max()}"
+    assert np.array_equal(np.asarray(res[0]),
+                          np.asarray(st_ref.pri_res_state))
+
+
+@check("sweep-hoist scheduling variant: bit-identical to baseline order")
+def check_sweep_hoist_parity():
+    """TINYMPC_SWEEP_HOIST reorders the backward sweep's dot emission
+    (admm_pallas._make_kernel); same expressions, same operands — the
+    results must be bit-equal, only the schedule may differ."""
+    from tinympc_tpu.kernels import admm_pallas
+    from tinympc_tpu.kernels import solve_fused
+    prob = _quadrotor(max_iter=60, matmul_precision="high")
+    B = 256
+    x0s = _x0s(B, seed=7)
+    old = admm_pallas.SWEEP_HOIST
+    try:
+        admm_pallas.SWEEP_HOIST = False
+        sol_a, _ = solve_fused(prob, None, None, x0s, tile=B)
+        admm_pallas.SWEEP_HOIST = True
+        sol_b, _ = solve_fused(prob, None, None, x0s, tile=B)
+    finally:
+        admm_pallas.SWEEP_HOIST = old
+    assert np.array_equal(np.asarray(sol_a.x), np.asarray(sol_b.x))
+    assert np.array_equal(np.asarray(sol_a.iter), np.asarray(sol_b.iter))
+
+
 @check("adaptive rho: fused in-kernel subsystem matches XLA path")
 def check_adaptive_parity():
     import tinympc_tpu as tm
