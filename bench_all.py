@@ -260,6 +260,7 @@ def main():
     # PARITY.md "Adaptive rho: what it buys").
     B = 32768
     with section("adaptive mistuned"):
+        from tinympc_tpu import systems
         for ad in (False, True):
             s85 = systems.quadrotor_20hz()
             p85 = tm.setup(s85["A"], s85["B"], s85["Qdiag"], s85["Rdiag"],

@@ -16,3 +16,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """Free each module's compiled executables when it finishes.
+
+    The full suite compiles several hundred XLA:CPU programs in one
+    process; past a cumulative code volume the LLVM JIT segfaults on a
+    later compile (observed deterministically at the same test with two
+    different orderings). Dropping executables at module boundaries keeps
+    the resident code volume bounded; each module's programs are not
+    shared across modules anyway (every file builds its own configs)."""
+    yield
+    jax.clear_caches()
