@@ -170,3 +170,23 @@ def test_sharded_fused_ragged_batch():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(res_sh), np.asarray(res_ref),
                                atol=1e-4)
+
+
+def test_sharded_streamed_long_horizon(prob):
+    """The streamed long-horizon kernel under shard_map: each device
+    streams its shard's horizon; results equal the single-device solve."""
+    from tinympc_tpu.kernels import solve_fused_streamed
+
+    p = tm.with_settings(prob, max_iter=12)
+    mesh = shard.make_mesh()
+    B = 8 * len(jax.devices())
+    rng = np.random.default_rng(11)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), jnp.float32)
+    sol_1, res_1 = solve_fused_streamed(p, None, None, x0s, tile=8,
+                                        interpret=True)
+    sol_sh, res_sh = shard.solve_fused_streamed_sharded(
+        p, None, None, x0s, mesh, tile=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sol_sh.x), np.asarray(sol_1.x))
+    np.testing.assert_array_equal(np.asarray(sol_sh.iter),
+                                  np.asarray(sol_1.iter))
+    np.testing.assert_array_equal(np.asarray(res_sh), np.asarray(res_1))

@@ -207,3 +207,40 @@ def solve_fused_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
         out_specs=(sol_specs, P(None, ax)),
         check_vma=False,
     )(x0s)
+
+
+def solve_fused_streamed_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
+                                 axis: Optional[AxisLike] = None,
+                                 tile: Optional[int] = None,
+                                 chunk: int = 8,
+                                 interpret: bool = False):
+    """Long-horizon streamed solve (:func:`~tinympc_tpu.kernels.
+    solve_fused_streamed`) across a device mesh: the batch axis is
+    shard_map-partitioned and each device streams its local shard's
+    horizon through its own VMEM — zero collectives (the per-shard
+    while_loop predicate replaces the global one). Requires the batch to
+    divide evenly over the mesh axes (the long-horizon regime is a
+    planned fleet, not a ragged serving queue)."""
+    from jax import shard_map
+    from .kernels import solve_fused_streamed
+    from .types import Solution
+
+    ax = _axes(mesh, axis)
+    n = int(np.prod([mesh.shape[a] for a in ax]))
+    if x0s.shape[0] % n:
+        raise ValueError(f"batch {x0s.shape[0]} must divide over the "
+                         f"{n}-device mesh")
+
+    def local(x0s_local):
+        return solve_fused_streamed(prob, Xref, Uref, x0s_local,
+                                    tile=tile, chunk=chunk,
+                                    interpret=interpret)
+
+    sol_specs = Solution(iter=P(ax), solved=P(ax),
+                         x=P(None, ax), u=P(None, ax))
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=P(ax),
+        out_specs=(sol_specs, P(None, ax)),
+        check_vma=False,
+    )(x0s)
