@@ -81,6 +81,59 @@ def test_stream_multiple_tiles():
                                   np.asarray(sol_2.iter))
 
 
+def test_stream_warm_sequence_matches_xla():
+    """Receding-horizon steps with an external plant: the streamed warm
+    path (FusedCarry) must track the XLA path's persistent-state sequence
+    — iteration counts and applied inputs per step — including per-lane
+    convergence freezing and the stale-v dual residual at each solve's
+    first iteration."""
+    from tinympc_tpu.kernels import init_carry, solve_fused_streamed_warm
+
+    prob = _problem(16, max_iter=40)
+    B = 8
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.uniform(-0.2, 0.2, (B, 12)), jnp.float32)
+    A, Bm = jnp.asarray(prob.A), jnp.asarray(prob.B)
+
+    state = tm.init_state(prob, (B,))
+    carry = init_carry(prob, B)
+    xk_ref = xk_s = x0s
+    for step in range(3):
+        sol_r, state, _ = tm.solve(prob, state, x0=xk_ref)
+        sol_s, _, carry = solve_fused_streamed_warm(
+            prob, None, None, xk_s, carry, tile=B, chunk=8, interpret=True)
+        it_r, it_s = np.asarray(sol_r.iter), np.asarray(sol_s.iter)
+        assert np.all(np.abs(it_r - it_s) <= 1), f"step {step}: {it_r} {it_s}"
+        np.testing.assert_allclose(np.asarray(sol_s.u), np.asarray(sol_r.u),
+                                   atol=2e-4, err_msg=f"step {step}")
+        np.testing.assert_allclose(np.asarray(sol_s.x), np.asarray(sol_r.x),
+                                   atol=2e-4, err_msg=f"step {step}")
+        xk_ref = xk_ref @ A.T + sol_r.u[0] @ Bm.T
+        xk_s = xk_s @ A.T + sol_s.u[0] @ Bm.T
+
+
+def test_stream_warm_cold_carry_equals_cold():
+    """A zero carry must reproduce the cold streamed solve exactly (the
+    cold path is the warm path at the zero workspace)."""
+    from tinympc_tpu.kernels import init_carry, solve_fused_streamed_warm
+
+    prob = _problem(16, max_iter=25)
+    B = 8
+    rng = np.random.default_rng(4)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), jnp.float32)
+    sol_c, res_c = solve_fused_streamed(prob, None, None, x0s, tile=B,
+                                        chunk=8, interpret=True)
+    sol_w, res_w, carry = solve_fused_streamed_warm(
+        prob, None, None, x0s, init_carry(prob, B), tile=B, chunk=8,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(sol_w.x), np.asarray(sol_c.x))
+    np.testing.assert_array_equal(np.asarray(sol_w.iter),
+                                  np.asarray(sol_c.iter))
+    np.testing.assert_array_equal(np.asarray(res_w), np.asarray(res_c))
+    assert carry.vnew.shape == (16, 12, B)
+    assert carry.znew.shape == (15, 4, B)
+
+
 def test_stream_unsupported_specs_raise():
     prob = _problem(16)
     with pytest.raises(ValueError):

@@ -37,11 +37,13 @@ on v5e (quadrotor, N=512, B=1024, 20 iterations): 2.6x the XLA
 sequential path end-to-end, vs 1.4x for the resident kernel at its
 VMEM-forced tile of 128 (see BENCH_TABLE.md).
 
-Scope: box bounds, fixed rho, cold starts (the long-horizon regime —
-direct collocation / full-trajectory optimization — is a cold-start
-batch workload; receding-horizon warm starts live at reference-scale N
-where the resident kernel wins). Extra families, adaptive rho,
-consensus, and warm carries stay on the resident kernel or XLA paths.
+Scope: box bounds, fixed rho; cold (:func:`solve_fused_streamed`) and
+warm-started (:func:`solve_fused_streamed_warm`, same
+:class:`~.admm_pallas.FusedCarry` contract — the iterate arrays are
+already HBM-resident, so the carry is just the while-state handed in and
+out, with a stale-aware first iteration and per-lane freeze snapshots).
+Extra families, adaptive rho, and consensus stay on the resident kernel
+or XLA paths.
 """
 from __future__ import annotations
 
@@ -54,6 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..types import Solution, TinyProblem, matmul_precision_ctx
+from .admm_pallas import FusedCarry
 
 # Chunk rows streamed per grid step. 8 f32 sublanes is the native tile
 # height; larger chunks buy nothing (the DMA is already contiguous per
@@ -156,22 +159,35 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode):
 
 
 def _forward_kernel(C, N, nx, nu, rho, check_termination,
-                    abs_pri_tol, abs_dua_tol, mm_mode):
+                    abs_pri_tol, abs_dua_tol, mm_mode, stale=False):
     """Grid (T, Jc) forward order. Scratch: rolling x (nx, Bt) and the
     four residual max-accumulators (8, Bt; rows 0-3 used). Bookkeeping
-    (iters/done/res) updates commit at each tile's last chunk."""
+    (iters/done/res) updates commit at each tile's last chunk.
+
+    ``stale``: the dual residual compares against two extra chunked
+    inputs (the carried one-behind v/z) instead of the incoming
+    vnew/znew — the variant warm solves run for their *first* iteration
+    only (the reference skips the v <- vnew copy on the converging
+    iteration, admm.cpp:444-446, so the carry's previous slack is one
+    iterate behind its vnew)."""
     Jc = N // C
     prep, mm = _bf16x3_helpers(mm_mode)
     f32 = jnp.float32
 
-    def kernel(it_ref,                      # scalar prefetch-ish SMEM (1,1)
-               vnew_ref, g_ref, znew_ref, y_ref, d_ref, x0_ref,
-               iters_in, done_in, res_in,
-               xmin_ref, xmax_ref, umin_ref, umax_ref,
-               Mfwd_ref, B_ref, f_ref,
-               vnew_out, g_out, znew_out, y_out,
-               iters_out, done_out, res_out, just_out,
-               x_scr, acc_scr):
+    def kernel(*refs):
+        it = iter(refs)
+        nxt = lambda: next(it)
+        it_ref = nxt()                      # scalar SMEM (1,1)
+        vnew_ref, g_ref, znew_ref, y_ref, d_ref, x0_ref = (
+            nxt(), nxt(), nxt(), nxt(), nxt(), nxt())
+        vst_ref = nxt() if stale else None
+        zst_ref = nxt() if stale else None
+        iters_in, done_in, res_in = nxt(), nxt(), nxt()
+        xmin_ref, xmax_ref, umin_ref, umax_ref = nxt(), nxt(), nxt(), nxt()
+        Mfwd_ref, B_ref, f_ref = nxt(), nxt(), nxt()
+        vnew_out, g_out, znew_out, y_out = nxt(), nxt(), nxt(), nxt()
+        iters_out, done_out, res_out, just_out = nxt(), nxt(), nxt(), nxt()
+        x_scr, acc_scr = nxt(), nxt()
         j = pl.program_id(1)
         Mfwd = prep(Mfwd_ref[:])
         Bm = prep(B_ref[:])
@@ -185,6 +201,8 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         x = x_scr[:]
         vnew, g = vnew_ref[:], g_ref[:]
         znew, y = znew_ref[:], y_ref[:]
+        vprev = vst_ref[:] if stale else vnew
+        zprev = zst_ref[:] if stale else znew
         d = d_ref[:]
         xmin, xmax = xmin_ref[:][:, :, None], xmax_ref[:][:, :, None]
         umin, umax = umin_ref[:][:, :, None], umax_ref[:][:, :, None]
@@ -202,7 +220,7 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
             gns.append(gn_i)
             pri_s = jnp.maximum(pri_s, jnp.max(jnp.abs(x - vn_i), axis=0))
             dua_s = jnp.maximum(dua_s,
-                                jnp.max(jnp.abs(vnew[li] - vn_i), axis=0))
+                                jnp.max(jnp.abs(vprev[li] - vn_i), axis=0))
 
             # Input side: u = -Kinf x - d, roll x (admm.cpp:25-32). The
             # global last row (li = C-1 of the last chunk) has no input;
@@ -216,7 +234,7 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
             zns.append(zn_i)
             yns.append(yn_i)
             ri = jnp.max(jnp.abs(u_i - zn_i), axis=0)
-            rd = jnp.max(jnp.abs(znew[li] - zn_i), axis=0)
+            rd = jnp.max(jnp.abs(zprev[li] - zn_i), axis=0)
             if li == C - 1:
                 dead = last_chunk
                 ri = jnp.where(dead, 0.0, ri)
@@ -291,8 +309,38 @@ def solve_fused_streamed(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
     returns ``(Solution, residuals (4, B))`` matching the XLA path's
     iterates. ``tile`` is the lane width per grid step (auto: widest that
     fits the chunk-buffer budget, <= 4096); ``chunk`` the horizon rows
-    streamed per grid step (N is padded to a multiple).
+    streamed per grid step (N must split into chunk-sized pieces; a
+    divisor of N is picked automatically).
     """
+    sol, res, _ = _stream_solve(prob, Xref, Uref, x0s, None, tile, chunk,
+                                interpret)
+    return sol, res
+
+
+def solve_fused_streamed_warm(prob: TinyProblem, Xref=None, Uref=None,
+                              x0s=None, carry: FusedCarry = None, *,
+                              tile: Optional[int] = None,
+                              chunk: int = DEFAULT_CHUNK,
+                              interpret: bool = False):
+    """Warm-started streamed solve: ``(Solution, residuals, FusedCarry)``.
+
+    Same carry contract as :func:`~.admm_pallas.solve_fused_warm` for box
+    specs (the carry's extra-family fields stay ``None``): the workspace
+    persists between solves like the reference's ``tiny_solve`` sequence
+    (SURVEY.md §3.3), iteration 0's dual residual reads the carried
+    one-behind v/z, and converged lanes hand over their first-convergence
+    iterate (per-lane freeze). Build the initial carry with
+    :func:`~.admm_pallas.init_carry`. For receding-horizon loops over
+    long previews (N >> 64) where the resident kernel's tile collapses.
+    """
+    if carry is None:
+        raise ValueError("solve_fused_streamed_warm needs a FusedCarry; "
+                         "build one with init_carry(prob, B)")
+    return _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk,
+                         interpret)
+
+
+def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
     if not stream_supported(prob):
         raise ValueError("solve_fused_streamed supports box-bound fixed-rho "
                          "specs; use solve_fused / tinympc_tpu.solve for "
@@ -366,12 +414,18 @@ def solve_fused_streamed(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
         umax = jnp.clip(umax, -fin, fin)
 
         x0k = x0s.T                                              # (nx, B)
+        warm = carry is not None
 
         bwd_kernel, _ = _backward_kernel(C, N, nx, nu, rho, mm_mode)
         fwd_kernel, _ = _forward_kernel(
             C, N, nx, nu, rho, settings.check_termination,
             float(settings.abs_pri_tol), float(settings.abs_dua_tol),
             mm_mode)
+        if warm:
+            fwd_stale_kernel, _ = _forward_kernel(
+                C, N, nx, nu, rho, settings.check_termination,
+                float(settings.abs_pri_tol), float(settings.abs_dua_tol),
+                mm_mode, stale=True)
 
         # ---- BlockSpecs ----
         def chunk_spec(F, rev=False):
@@ -413,72 +467,134 @@ def solve_fused_streamed(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
             interpret=interpret,
         )
 
+        def fwd_specs_shapes(stale):
+            extra = [chunk_spec(nx), chunk_spec(nu)] if stale else []
+            in_specs = ([pl.BlockSpec((1, 1), lambda t, j: (0, 0),
+                                      memory_space=pltpu.SMEM),
+                         chunk_spec(nx), chunk_spec(nx),
+                         chunk_spec(nu), chunk_spec(nu), chunk_spec(nu),
+                         lane_spec(nx)] + extra
+                        + [lane_spec(1), lane_spec(1), lane_spec(4),
+                           bound_spec(nx), bound_spec(nx),
+                           bound_spec(nu), bound_spec(nu),
+                           const_spec(Mfwd.shape), const_spec(Bmat.shape),
+                           const_spec((nx, 1))])
+            out_specs = [chunk_spec(nx), chunk_spec(nx),
+                         chunk_spec(nu), chunk_spec(nu),
+                         lane_spec(1), lane_spec(1), lane_spec(4),
+                         lane_spec(1)]
+            out_shape = [jax.ShapeDtypeStruct((N, nx, B), dtype),
+                         jax.ShapeDtypeStruct((N, nx, B), dtype),
+                         jax.ShapeDtypeStruct((N, nu, B), dtype),
+                         jax.ShapeDtypeStruct((N, nu, B), dtype),
+                         jax.ShapeDtypeStruct((1, B), jnp.int32),
+                         jax.ShapeDtypeStruct((1, B), jnp.int32),
+                         jax.ShapeDtypeStruct((4, B), dtype),
+                         jax.ShapeDtypeStruct((1, B), jnp.int32)]
+            return in_specs, out_specs, out_shape
+
+        in_s, out_s, out_sh = fwd_specs_shapes(False)
         fwd_call = pl.pallas_call(
-            fwd_kernel,
-            grid=(T, Jc),
-            in_specs=[pl.BlockSpec((1, 1), lambda t, j: (0, 0),
-                                   memory_space=pltpu.SMEM),
-                      chunk_spec(nx), chunk_spec(nx),
-                      chunk_spec(nu), chunk_spec(nu), chunk_spec(nu),
-                      lane_spec(nx),
-                      lane_spec(1), lane_spec(1), lane_spec(4),
-                      bound_spec(nx), bound_spec(nx),
-                      bound_spec(nu), bound_spec(nu),
-                      const_spec(Mfwd.shape), const_spec(Bmat.shape),
-                      const_spec((nx, 1))],
-            out_specs=[chunk_spec(nx), chunk_spec(nx),
-                       chunk_spec(nu), chunk_spec(nu),
-                       lane_spec(1), lane_spec(1), lane_spec(4),
-                       lane_spec(1)],
-            out_shape=[jax.ShapeDtypeStruct((N, nx, B), dtype),
-                       jax.ShapeDtypeStruct((N, nx, B), dtype),
-                       jax.ShapeDtypeStruct((N, nu, B), dtype),
-                       jax.ShapeDtypeStruct((N, nu, B), dtype),
-                       jax.ShapeDtypeStruct((1, B), jnp.int32),
-                       jax.ShapeDtypeStruct((1, B), jnp.int32),
-                       jax.ShapeDtypeStruct((4, B), dtype),
-                       jax.ShapeDtypeStruct((1, B), jnp.int32)],
+            fwd_kernel, grid=(T, Jc), in_specs=in_s, out_specs=out_s,
+            out_shape=out_sh,
             scratch_shapes=[pltpu.VMEM((nx, tile), dtype),
                             pltpu.VMEM((8, tile), dtype)],
             interpret=interpret,
         )
+        if warm:
+            in_s, out_s, out_sh = fwd_specs_shapes(True)
+            fwd_stale_call = pl.pallas_call(
+                fwd_stale_kernel, grid=(T, Jc), in_specs=in_s,
+                out_specs=out_s, out_shape=out_sh,
+                scratch_shapes=[pltpu.VMEM((nx, tile), dtype),
+                                pltpu.VMEM((8, tile), dtype)],
+                interpret=interpret,
+            )
 
         zx = jnp.zeros((N, nx, B), dtype)
         zu = jnp.zeros((N, nu, B), dtype)
         state0 = dict(
             it=jnp.int32(0),
-            vnew=zx, g=zx, znew=zu, y=zu,
+            vnew=zx if not warm else jnp.asarray(carry.vnew, dtype),
+            g=zx if not warm else jnp.asarray(carry.g, dtype),
+            znew=zu if not warm else padN(jnp.asarray(carry.znew, dtype)),
+            y=zu if not warm else padN(jnp.asarray(carry.y, dtype)),
             iters=jnp.zeros((1, B), jnp.int32),
             done=jnp.zeros((1, B), jnp.int32),
             res=jnp.zeros((4, B), dtype),
             outx=zx, outu=zu,
         )
+        if warm:
+            # Per-lane carry-freeze snapshots (the resident kernel's snap
+            # machinery, admm_pallas lines around its snap refs): filled at
+            # each lane's first convergence, so the handed-over carry is
+            # the converged iterate, not the tile's last one.
+            state0.update(sv=zx, sz=zu, sg=zx, sy=zu, svst=zx, szst=zu)
 
-        def body(s):
+        def step(s, stale_v=None, stale_z=None):
+            """One ADMM iteration: backward launch, forward launch, and
+            the host-side snapshot blends (solution always; carry shadows
+            on warm solves), paid only on iterations where a lane
+            converged."""
             d = bwd_call(s["vnew"], s["g"], s["znew"], s["y"],
                          neg_xref_q, neg_uref_r, Mback, KinfT, Quu,
                          APf, BPf, pterm)
             itm = s["it"].reshape(1, 1)
-            (vnew, g, znew, y, iters, done, res, just) = fwd_call(
-                itm, s["vnew"], s["g"], s["znew"], s["y"], d, x0k,
-                s["iters"], s["done"], s["res"],
-                xmin, xmax, umin, umax, Mfwd, Bmat, fvec)
+            args = [itm, s["vnew"], s["g"], s["znew"], s["y"], d, x0k]
+            if stale_v is not None:
+                args += [stale_v, stale_z]
+                call = fwd_stale_call
+            else:
+                call = fwd_call
+            args += [s["iters"], s["done"], s["res"],
+                     xmin, xmax, umin, umax, Mfwd, Bmat, fvec]
+            (vnew, g, znew, y, iters, done, res, just) = call(*args)
 
             jm = (just[0] == 1)[None, None, :]
-            outx, outu = jax.lax.cond(
-                jnp.any(just == 1),
-                lambda: (jnp.where(jm, vnew, s["outx"]),
-                         jnp.where(jm, znew, s["outu"])),
-                lambda: (s["outx"], s["outu"]))
-            return dict(it=s["it"] + 1, vnew=vnew, g=g, znew=znew, y=y,
-                        iters=iters, done=done, res=res,
-                        outx=outx, outu=outu)
+            prev_v = stale_v if stale_v is not None else s["vnew"]
+            prev_z = stale_z if stale_z is not None else s["znew"]
+
+            def blend():
+                outs = (jnp.where(jm, vnew, s["outx"]),
+                        jnp.where(jm, znew, s["outu"]))
+                if warm:
+                    outs += (jnp.where(jm, vnew, s["sv"]),
+                             jnp.where(jm, znew, s["sz"]),
+                             jnp.where(jm, g, s["sg"]),
+                             jnp.where(jm, y, s["sy"]),
+                             jnp.where(jm, prev_v, s["svst"]),
+                             jnp.where(jm, prev_z, s["szst"]))
+                return outs
+
+            def keep():
+                outs = (s["outx"], s["outu"])
+                if warm:
+                    outs += (s["sv"], s["sz"], s["sg"], s["sy"],
+                             s["svst"], s["szst"])
+                return outs
+
+            blended = jax.lax.cond(jnp.any(just == 1), blend, keep)
+            out = dict(it=s["it"] + 1, vnew=vnew, g=g, znew=znew, y=y,
+                       iters=iters, done=done, res=res,
+                       outx=blended[0], outu=blended[1])
+            if warm:
+                out.update(sv=blended[2], sz=blended[3], sg=blended[4],
+                           sy=blended[5], svst=blended[6], szst=blended[7])
+            return out
 
         def cond(s):
             return (s["it"] < settings.max_iter) & jnp.logical_not(
                 jnp.all(s["done"] == 1))
 
-        s = jax.lax.while_loop(cond, body, state0)
+        if warm and settings.max_iter >= 1:
+            # Peel iteration 0: its dual residual reads the carried
+            # one-behind v/z (the stale variant); later iterations read
+            # the previous vnew/znew from the arrays themselves.
+            s = step(state0, jnp.asarray(carry.v, dtype),
+                     padN(jnp.asarray(carry.z, dtype)))
+            s = jax.lax.while_loop(cond, step, s)
+        else:
+            s = jax.lax.while_loop(cond, step, state0)
 
         # Unconverged lanes report their final iterates (admm.cpp:450-453).
         am = (s["done"][0] == 0)[None, None, :]
@@ -488,4 +604,20 @@ def solve_fused_streamed(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
                        solved=(s["done"][0] == 1).astype(jnp.int32),
                        x=outx.transpose(0, 2, 1),             # (N, B, nx)
                        u=outu.transpose(0, 2, 1))
-        return sol, s["res"]
+        if not warm:
+            return sol, s["res"], None
+
+        # Carry merge (the resident kernel's end-merge): converged lanes
+        # restore their snapshots; max-iter lanes hand over the final
+        # iterate, for which the reference's last v <- vnew copy ran.
+        cm = jnp.logical_not(am)
+        trim = lambda a: a[:N - 1]
+        carry_out = FusedCarry(
+            vnew=jnp.where(cm, s["sv"], s["vnew"]),
+            znew=trim(jnp.where(cm, s["sz"], s["znew"])),
+            g=jnp.where(cm, s["sg"], s["g"]),
+            y=trim(jnp.where(cm, s["sy"], s["y"])),
+            v=jnp.where(cm, s["svst"], s["vnew"]),
+            z=trim(jnp.where(cm, s["szst"], s["znew"])),
+        )
+        return sol, s["res"], carry_out

@@ -207,6 +207,32 @@ def check_streamed_parity():
                           np.asarray(st_ref.pri_res_state))
 
 
+@check("streamed warm sequence: tracks the XLA persistent-state sequence")
+def check_streamed_warm_sequence():
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import init_carry, solve_fused_streamed_warm
+    prob = _quadrotor(max_iter=50, N=64, matmul_precision="default")
+    B = 128
+    x0s = _x0s(B, scale=0.2, seed=8)
+    A, Bm = jnp.asarray(prob.A), jnp.asarray(prob.B)
+
+    state = tm.init_state(prob, (B,))
+    carry = init_carry(prob, B)
+    xk_ref = xk_s = x0s
+    for step in range(3):
+        sol_r, state, _ = tm.solve(prob, state, x0=xk_ref)
+        sol_s, _, carry = solve_fused_streamed_warm(prob, None, None, xk_s,
+                                                    carry, tile=B)
+        assert np.array_equal(np.asarray(sol_s.iter),
+                              np.asarray(sol_r.iter)), \
+            f"step {step}: iteration counts differ"
+        assert np.array_equal(np.asarray(sol_s.u), np.asarray(sol_r.u)), \
+            f"step {step}"
+        xk_ref = xk_ref @ A.T + sol_r.u[0] @ Bm.T
+        xk_s = xk_s @ A.T + sol_s.u[0] @ Bm.T
+
+
 @check("sweep-hoist scheduling variant: bit-identical to baseline order")
 def check_sweep_hoist_parity():
     """TINYMPC_SWEEP_HOIST reorders the backward sweep's dot emission
