@@ -75,6 +75,28 @@ def main():
                 solve_fused_streamed(prob, Xref, None, x)[0].iter)
     print(f"iterations used: {int(np.asarray(sol).max())}/{iters}")
 
+    # Receding horizon over the long preview: the warm streamed path.
+    # The FusedCarry persists the workspace between solves exactly like
+    # the reference's tiny_solve sequence (SURVEY.md §3.3) — warm solves
+    # converge in a fraction of the cold iterations.
+    from tinympc_tpu.kernels import init_carry, solve_fused_streamed_warm
+    A, Bm = jnp.asarray(prob.A), jnp.asarray(prob.B)
+    warm_prob = tm.with_settings(prob, max_iter=100)
+    carry = init_carry(warm_prob, B)
+    xk = x0s
+    step_fn = jax.jit(lambda x, c: solve_fused_streamed_warm(
+        warm_prob, Xref, None, x, c))
+    t0, total_iters = time.perf_counter(), 0
+    T = 5
+    for k in range(T):
+        sol, _res, carry = step_fn(xk, carry)
+        xk = xk @ A.T + sol.u[0] @ Bm.T
+        total_iters += int(np.asarray(sol.iter).mean())
+    jax.block_until_ready(xk)
+    dt = time.perf_counter() - t0
+    print(f"{'receding horizon (warm streamed)':34s} {B * T / dt:>12,.0f} "
+          f"MPC steps/s  (avg {total_iters / T:.0f} iters/step)")
+
 
 if __name__ == "__main__":
     main()
