@@ -213,6 +213,33 @@ def main():
             record(f"long horizon N={N} (fused streamed)", B, B * 20 / dt,
                    "iters*B/s", "HBM-resident trajectories", sp)
 
+    # --- long-horizon SOC: full-trajectory powered descent ---
+    with section("long horizon SOC"):
+        from tinympc_tpu.kernels import solve_fused_streamed
+        N, B, it20 = 256, 1024, 20
+        prob, s = _mk("rocket_landing_20hz", N, f32, max_iter=it20,
+                      abs_pri_tol=2e-3)
+        prob = tm.with_bounds(
+            prob, x_min=np.tile([-5, -5, -0.5, -10, -10, -20.], (N, 1)),
+            x_max=np.tile([5, 5, 100, 10, 10, 20.], (N, 1)),
+            u_min=-10.0, u_max=105.0)
+        prob = tm.with_cones(prob, state_cones=[(0, 3, 0.25)],
+                             input_cones=[(0, 3, 0.5)])
+        xinit = np.array([4, 2, 20, -3, 2, -4.5])
+        x0s = jnp.asarray(xinit * rng.uniform(0.9, 1.1, (B, 1)), f32)
+        Xref = jnp.asarray(np.linspace(xinit, np.zeros(6), N), f32)
+        Uref = jnp.zeros((N - 1, 3), f32).at[:, 2].set(10.0)
+        fx = jax.jit(lambda x: tm.solve_(prob, tm.init_state(prob, (B,)),
+                                         Xref, Uref, x)[0].iter)
+        out, dt, sp = bench("soc_lh_xla", fx, x0s)
+        record(f"rocket SOC N={N} full-descent (XLA)", B, B * it20 / dt,
+               "iters*B/s", "", sp)
+        fs = jax.jit(lambda x: solve_fused_streamed(prob, Xref, Uref,
+                                                    x)[0].iter)
+        out, dt, sp = bench("soc_lh_stream", fs, x0s)
+        record(f"rocket SOC N={N} full-descent (fused streamed)", B,
+               B * it20 / dt, "iters*B/s", "", sp)
+
     # --- to-convergence: per-tile early exit vs lane compaction ---
     # Uniformly hard workload (the oracle's: nearly every lane runs long):
     # tile exit alone is optimal. Mixed-difficulty workload (easy lanes

@@ -81,6 +81,32 @@ def test_stream_multiple_tiles():
                                   np.asarray(sol_2.iter))
 
 
+def test_stream_soc_matches_xla_interpret():
+    """Long-horizon rocket landing: SOC cones on state and input + box
+    bounds + affine dynamics through the streamed kernel (the
+    full-trajectory powered-descent workload)."""
+    N = 24
+    s = systems.rocket_landing_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, f=s["f"], dtype=jnp.float32)
+    prob = tm.with_bounds(
+        prob, x_min=np.tile([-5, -5, -0.5, -10, -10, -20.], (N, 1)),
+        x_max=np.tile([5, 5, 100, 10, 10, 20.], (N, 1)),
+        u_min=-10.0, u_max=105.0)
+    prob = tm.with_cones(prob, state_cones=[(0, 3, 0.25)],
+                         input_cones=[(0, 3, 0.5)])
+    prob = tm.with_settings(prob, max_iter=15, abs_pri_tol=2e-3)
+
+    B = 8
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(np.array([4, 2, 20, -3, 2, -4.5])
+                      * rng.uniform(0.9, 1.1, (B, 1)), jnp.float32)
+    Xref = jnp.asarray(np.linspace([4, 2, 20, -3, 2, -4.5], np.zeros(6), N),
+                       jnp.float32)
+    Uref = jnp.zeros((N - 1, 3), jnp.float32).at[:, 2].set(10.0)
+    _check(prob, x0s, Xref, Uref, chunk=8, tile=B)
+
+
 def test_stream_warm_sequence_matches_xla():
     """Receding-horizon steps with an external plant: the streamed warm
     path (FusedCarry) must track the XLA path's persistent-state sequence
@@ -139,8 +165,16 @@ def test_stream_unsupported_specs_raise():
     with pytest.raises(ValueError):
         solve_fused_streamed(tm.with_settings(prob, adaptive_rho=True),
                              None, None, jnp.zeros((8, 12)), interpret=True)
-    soc = tm.with_cones(prob, input_cones=[(0, 3, 0.5)])
-    assert not stream_supported(soc)
+    a = np.zeros(12); a[2] = 1.0
+    lin = tm.with_linear_constraints(prob, Alin_x=a[None], blin_x=[3.0])
+    assert not stream_supported(lin)
     with pytest.raises(ValueError):
-        solve_fused_streamed(soc, None, None, jnp.zeros((8, 12)),
+        solve_fused_streamed(lin, None, None, jnp.zeros((8, 12)),
                              interpret=True)
+    # SOC is supported cold but not warm.
+    from tinympc_tpu.kernels import init_carry, solve_fused_streamed_warm
+    soc = tm.with_cones(prob, input_cones=[(0, 3, 0.5)])
+    assert stream_supported(soc)
+    with pytest.raises(ValueError):
+        solve_fused_streamed_warm(soc, None, None, jnp.zeros((8, 12)),
+                                  init_carry(soc, 8), interpret=True)

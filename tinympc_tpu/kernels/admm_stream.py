@@ -37,13 +37,15 @@ on v5e (quadrotor, N=512, B=1024, 20 iterations): 2.6x the XLA
 sequential path end-to-end, vs 1.4x for the resident kernel at its
 VMEM-forced tile of 128 (see BENCH_TABLE.md).
 
-Scope: box bounds, fixed rho; cold (:func:`solve_fused_streamed`) and
-warm-started (:func:`solve_fused_streamed_warm`, same
+Scope: box bounds and SOC cones, fixed rho; cold
+(:func:`solve_fused_streamed` — SOC at long N is the full-trajectory
+powered-descent regime) and warm-started box solves
+(:func:`solve_fused_streamed_warm`, same
 :class:`~.admm_pallas.FusedCarry` contract — the iterate arrays are
 already HBM-resident, so the carry is just the while-state handed in and
 out, with a stale-aware first iteration and per-lane freeze snapshots).
-Extra families, adaptive rho, and consensus stay on the resident kernel
-or XLA paths.
+Hyperplane/tv families, adaptive rho, and consensus stay on the resident
+kernel or XLA paths.
 """
 from __future__ import annotations
 
@@ -56,7 +58,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..types import Solution, TinyProblem, matmul_precision_ctx
-from .admm_pallas import FusedCarry
+from .admm_pallas import FusedCarry, _apply_cones
 
 # Chunk rows streamed per grid step. 8 f32 sublanes is the native tile
 # height; larger chunks buy nothing (the DMA is already contiguous per
@@ -104,17 +106,28 @@ def _chunk_size(N: int, chunk: int) -> int:
     return 1
 
 
-def _backward_kernel(C, N, nx, nu, rho, mm_mode):
+def _backward_kernel(C, N, nx, nu, rho, mm_mode, soc_s=False, soc_i=False):
     """Grid (T, Jc), chunk index reversed in the index maps. Scratch: the
     rolling costate p (nx, Bt), persistent across the chunk steps of one
-    tile (the TPU grid is sequential; scratch survives grid steps)."""
+    tile (the TPU grid is sequential; scratch survives grid steps).
+    ``soc_s``/``soc_i`` stream the SOC family's slack/dual chunks in and
+    fold their -rho(slack - dual) terms into q/r (admm.cpp:268-303)."""
     Jc = N // C
     prep, mm = _bf16x3_helpers(mm_mode)
 
-    def kernel(vnew_ref, g_ref, znew_ref, y_ref,
-               nxq_ref, nur_ref, Mback_ref, KinfT_ref, Quu_ref,
-               APf_ref, BPf_ref, pterm_ref,
-               d_ref, p_scr):
+    def kernel(*refs):
+        it = iter(refs)
+        nxt = lambda: next(it)
+        vnew_ref, g_ref, znew_ref, y_ref = nxt(), nxt(), nxt(), nxt()
+        vc_ref = nxt() if soc_s else None
+        gc_ref = nxt() if soc_s else None
+        zc_ref = nxt() if soc_i else None
+        yc_ref = nxt() if soc_i else None
+        nxq_ref, nur_ref = nxt(), nxt()
+        Mback_ref, KinfT_ref, Quu_ref = nxt(), nxt(), nxt()
+        APf_ref, BPf_ref, pterm_ref = nxt(), nxt(), nxt()
+        d_ref, p_scr = nxt(), nxt()
+
         j = pl.program_id(1)               # 0 = chunk Jc-1 (terminal end)
         Mback = prep(Mback_ref[:])
         KinfT = prep(KinfT_ref[:])
@@ -123,13 +136,18 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode):
 
         vnew, g = vnew_ref[:], g_ref[:]    # (C, nx, Bt)
         znew, y = znew_ref[:], y_ref[:]    # (C, nu, Bt)
+        qx_extra = -rho * (vc_ref[:] - gc_ref[:]) if soc_s else None
+        ru_extra = -rho * (zc_ref[:] - yc_ref[:]) if soc_i else None
 
         # Terminal costate at the tile's first (reverse-order) chunk:
-        # p[N-1] = -Pinf^T Xref[N-1] - rho (vnew[N-1] - g[N-1])
+        # p[N-1] = -Pinf^T Xref[N-1] - rho sum_f (slack[N-1] - dual[N-1])
         # (admm.cpp:292-303). Other chunks continue the rolled scratch.
         @pl.when(j == 0)
         def _():
-            p_scr[:] = pterm_ref[:] - rho * (vnew[C - 1] - g[C - 1])
+            p0 = pterm_ref[:] - rho * (vnew[C - 1] - g[C - 1])
+            if soc_s:
+                p0 = p0 + qx_extra[C - 1]
+            p_scr[:] = p0
 
         p = p_scr[:]
         dvals = [None] * C
@@ -138,7 +156,11 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode):
         # its d row is dead.
         for li in range(C - 1, -1, -1):
             r_i = nur_ref[li] - rho * (znew[li] - y[li])
+            if soc_i:
+                r_i = r_i + ru_extra[li]
             q_i = nxq_ref[li] - rho * (vnew[li] - g[li])
+            if soc_s:
+                q_i = q_i + qx_extra[li]
             pout = mm(Mback, p)
             bp, ap = pout[:nu], pout[nu:]
             d_n = mm(Quu, bp + r_i + BPf)
@@ -159,7 +181,8 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode):
 
 
 def _forward_kernel(C, N, nx, nu, rho, check_termination,
-                    abs_pri_tol, abs_dua_tol, mm_mode, stale=False):
+                    abs_pri_tol, abs_dua_tol, mm_mode, stale=False,
+                    state_cones=(), input_cones=(), mus_x=(), mus_u=()):
     """Grid (T, Jc) forward order. Scratch: rolling x (nx, Bt) and the
     four residual max-accumulators (8, Bt; rows 0-3 used). Bookkeeping
     (iters/done/res) updates commit at each tile's last chunk.
@@ -173,6 +196,7 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
     Jc = N // C
     prep, mm = _bf16x3_helpers(mm_mode)
     f32 = jnp.float32
+    soc_s, soc_i = bool(state_cones), bool(input_cones)
 
     def kernel(*refs):
         it = iter(refs)
@@ -180,12 +204,20 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         it_ref = nxt()                      # scalar SMEM (1,1)
         vnew_ref, g_ref, znew_ref, y_ref, d_ref, x0_ref = (
             nxt(), nxt(), nxt(), nxt(), nxt(), nxt())
+        vc_ref = nxt() if soc_s else None
+        gc_ref = nxt() if soc_s else None
+        zc_ref = nxt() if soc_i else None
+        yc_ref = nxt() if soc_i else None
         vst_ref = nxt() if stale else None
         zst_ref = nxt() if stale else None
         iters_in, done_in, res_in = nxt(), nxt(), nxt()
         xmin_ref, xmax_ref, umin_ref, umax_ref = nxt(), nxt(), nxt(), nxt()
         Mfwd_ref, B_ref, f_ref = nxt(), nxt(), nxt()
         vnew_out, g_out, znew_out, y_out = nxt(), nxt(), nxt(), nxt()
+        vc_out = nxt() if soc_s else None
+        gc_out = nxt() if soc_s else None
+        zc_out = nxt() if soc_i else None
+        yc_out = nxt() if soc_i else None
         iters_out, done_out, res_out, just_out = nxt(), nxt(), nxt(), nxt()
         x_scr, acc_scr = nxt(), nxt()
         j = pl.program_id(1)
@@ -210,6 +242,7 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         pri_s, pri_i, dua_s, dua_i = (acc_scr[0], acc_scr[1],
                                       acc_scr[2], acc_scr[3])
         vns, gns, zns, yns = [], [], [], []
+        xs_rows, us_rows = [], []
         last_chunk = j == Jc - 1
         for li in range(C):
             # State-side slack + dual for global row j*C + li
@@ -218,6 +251,7 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
             gn_i = g[li] + x - vn_i
             vns.append(vn_i)
             gns.append(gn_i)
+            xs_rows.append(x)
             pri_s = jnp.maximum(pri_s, jnp.max(jnp.abs(x - vn_i), axis=0))
             dua_s = jnp.maximum(dua_s,
                                 jnp.max(jnp.abs(vprev[li] - vn_i), axis=0))
@@ -229,6 +263,7 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
             xout = mm(Mfwd, x)
             kx, ax = xout[:nu], xout[nu:]
             u_i = -kx - d[li]
+            us_rows.append(u_i)
             zn_i = jnp.minimum(umax[li], jnp.maximum(umin[li], u_i + y[li]))
             yn_i = y[li] + u_i - zn_i
             zns.append(zn_i)
@@ -250,6 +285,22 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         g_out[:] = jnp.stack(gns)
         znew_out[:] = jnp.stack(zns)
         y_out[:] = jnp.stack(yns)
+
+        # SOC family updates, whole-chunk (the reference's per-timestep
+        # cone loops, admm.cpp:112-135, vectorised over the chunk rows —
+        # identical math to the resident kernel's _apply_cones). The dead
+        # input-side row projects garbage harmlessly; it is never read as
+        # a real row.
+        if soc_s:
+            xs_c = jnp.stack(xs_rows)                    # (C, nx, Bt)
+            vcn = _apply_cones(xs_c + gc_ref[:], state_cones, mus_x)
+            vc_out[:] = vcn
+            gc_out[:] = gc_ref[:] + xs_c - vcn
+        if soc_i:
+            us_c = jnp.stack(us_rows)                    # (C, nu, Bt)
+            zcn = _apply_cones(us_c + yc_ref[:], input_cones, mus_u)
+            zc_out[:] = zcn
+            yc_out[:] = yc_ref[:] + us_c - zcn
 
         # Bookkeeping at the tile's last chunk (admm.cpp:310-328): commit
         # residuals every check_termination iterations for active lanes,
@@ -278,10 +329,13 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
 
 
 def stream_supported(prob: TinyProblem) -> bool:
-    """True when this problem can run on the streamed long-horizon path."""
+    """True when this problem can run on the streamed long-horizon path:
+    box bounds and SOC cones, fixed rho (hyperplane/tv families,
+    consensus, and adaptive rho stay on the resident kernel / XLA)."""
     spec = prob.spec
-    return not (spec.any_extra_family or spec.en_consensus
-                or prob.settings.adaptive_rho)
+    return not (spec.n_state_lin or spec.n_input_lin
+                or spec.n_tv_state_lin or spec.n_tv_input_lin
+                or spec.en_consensus or prob.settings.adaptive_rho)
 
 
 def auto_tile_stream(prob: TinyProblem, chunk: int = DEFAULT_CHUNK) -> int:
@@ -342,9 +396,17 @@ def solve_fused_streamed_warm(prob: TinyProblem, Xref=None, Uref=None,
 
 def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
     if not stream_supported(prob):
-        raise ValueError("solve_fused_streamed supports box-bound fixed-rho "
-                         "specs; use solve_fused / tinympc_tpu.solve for "
-                         "extra families, adaptive rho, or consensus")
+        raise ValueError("solve_fused_streamed supports box + SOC "
+                         "fixed-rho specs; use solve_fused / "
+                         "tinympc_tpu.solve for hyperplane/tv families, "
+                         "adaptive rho, or consensus")
+    soc_s = bool(prob.spec.enabled_state_cones)
+    soc_i = bool(prob.spec.enabled_input_cones)
+    if carry is not None and (soc_s or soc_i):
+        raise ValueError("solve_fused_streamed_warm is box-only (the SOC "
+                         "long-horizon regime — full-trajectory "
+                         "optimization — is cold-start; use "
+                         "solve_fused_warm at resident-kernel horizons)")
     spec, settings = prob.spec, prob.settings
     N, nx, nu = spec.N, spec.nx, spec.nu
     dtype = jnp.float32
@@ -415,12 +477,22 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
 
         x0k = x0s.T                                              # (nx, B)
         warm = carry is not None
+        scones = tuple(spec.enabled_state_cones)
+        icones = tuple(spec.enabled_input_cones)
+        mus_x = tuple(float(v) for v in
+                      jax.device_get(jnp.asarray(cons.cx)).ravel()) \
+            if soc_s else ()
+        mus_u = tuple(float(v) for v in
+                      jax.device_get(jnp.asarray(cons.cu)).ravel()) \
+            if soc_i else ()
 
-        bwd_kernel, _ = _backward_kernel(C, N, nx, nu, rho, mm_mode)
+        bwd_kernel, _ = _backward_kernel(C, N, nx, nu, rho, mm_mode,
+                                         soc_s=soc_s, soc_i=soc_i)
         fwd_kernel, _ = _forward_kernel(
             C, N, nx, nu, rho, settings.check_termination,
             float(settings.abs_pri_tol), float(settings.abs_dua_tol),
-            mm_mode)
+            mm_mode, state_cones=scones, input_cones=icones,
+            mus_x=mus_x, mus_u=mus_u)
         if warm:
             fwd_stale_kernel, _ = _forward_kernel(
                 C, N, nx, nu, rho, settings.check_termination,
@@ -451,16 +523,19 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             return pl.BlockSpec((F, tile), lambda t, j: (0, t),
                                 memory_space=pltpu.VMEM)
 
+        soc_s_specs = ([chunk_spec(nx, rev=True)] * 2 if soc_s else [])
+        soc_i_specs = ([chunk_spec(nu, rev=True)] * 2 if soc_i else [])
         bwd_call = pl.pallas_call(
             bwd_kernel,
             grid=(T, Jc),
-            in_specs=[chunk_spec(nx, rev=True), chunk_spec(nx, rev=True),
-                      chunk_spec(nu, rev=True), chunk_spec(nu, rev=True),
-                      row_table_spec(nx, rev=True),
-                      row_table_spec(nu, rev=True),
-                      const_spec(Mback.shape), const_spec(KinfT.shape),
-                      const_spec(Quu.shape), const_spec((nx, 1)),
-                      const_spec((nu, 1)), const_spec((nx, 1))],
+            in_specs=([chunk_spec(nx, rev=True), chunk_spec(nx, rev=True),
+                       chunk_spec(nu, rev=True), chunk_spec(nu, rev=True)]
+                      + soc_s_specs + soc_i_specs
+                      + [row_table_spec(nx, rev=True),
+                         row_table_spec(nu, rev=True),
+                         const_spec(Mback.shape), const_spec(KinfT.shape),
+                         const_spec(Quu.shape), const_spec((nx, 1)),
+                         const_spec((nu, 1)), const_spec((nx, 1))]),
             out_specs=chunk_spec(nu, rev=True),
             out_shape=jax.ShapeDtypeStruct((N, nu, B), dtype),
             scratch_shapes=[pltpu.VMEM((nx, tile), dtype)],
@@ -468,29 +543,34 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
         )
 
         def fwd_specs_shapes(stale):
-            extra = [chunk_spec(nx), chunk_spec(nu)] if stale else []
+            soc_in = (([chunk_spec(nx)] * 2 if soc_s else [])
+                      + ([chunk_spec(nu)] * 2 if soc_i else []))
+            stale_in = [chunk_spec(nx), chunk_spec(nu)] if stale else []
             in_specs = ([pl.BlockSpec((1, 1), lambda t, j: (0, 0),
                                       memory_space=pltpu.SMEM),
                          chunk_spec(nx), chunk_spec(nx),
                          chunk_spec(nu), chunk_spec(nu), chunk_spec(nu),
-                         lane_spec(nx)] + extra
+                         lane_spec(nx)] + soc_in + stale_in
                         + [lane_spec(1), lane_spec(1), lane_spec(4),
                            bound_spec(nx), bound_spec(nx),
                            bound_spec(nu), bound_spec(nu),
                            const_spec(Mfwd.shape), const_spec(Bmat.shape),
                            const_spec((nx, 1))])
-            out_specs = [chunk_spec(nx), chunk_spec(nx),
-                         chunk_spec(nu), chunk_spec(nu),
-                         lane_spec(1), lane_spec(1), lane_spec(4),
-                         lane_spec(1)]
-            out_shape = [jax.ShapeDtypeStruct((N, nx, B), dtype),
-                         jax.ShapeDtypeStruct((N, nx, B), dtype),
-                         jax.ShapeDtypeStruct((N, nu, B), dtype),
-                         jax.ShapeDtypeStruct((N, nu, B), dtype),
-                         jax.ShapeDtypeStruct((1, B), jnp.int32),
-                         jax.ShapeDtypeStruct((1, B), jnp.int32),
-                         jax.ShapeDtypeStruct((4, B), dtype),
-                         jax.ShapeDtypeStruct((1, B), jnp.int32)]
+            zxs = jax.ShapeDtypeStruct((N, nx, B), dtype)
+            zus = jax.ShapeDtypeStruct((N, nu, B), dtype)
+            soc_out_specs = (([chunk_spec(nx)] * 2 if soc_s else [])
+                             + ([chunk_spec(nu)] * 2 if soc_i else []))
+            soc_out_shape = (([zxs] * 2 if soc_s else [])
+                             + ([zus] * 2 if soc_i else []))
+            out_specs = ([chunk_spec(nx), chunk_spec(nx),
+                          chunk_spec(nu), chunk_spec(nu)] + soc_out_specs
+                         + [lane_spec(1), lane_spec(1), lane_spec(4),
+                            lane_spec(1)])
+            out_shape = ([zxs, zxs, zus, zus] + soc_out_shape
+                         + [jax.ShapeDtypeStruct((1, B), jnp.int32),
+                            jax.ShapeDtypeStruct((1, B), jnp.int32),
+                            jax.ShapeDtypeStruct((4, B), dtype),
+                            jax.ShapeDtypeStruct((1, B), jnp.int32)])
             return in_specs, out_specs, out_shape
 
         in_s, out_s, out_sh = fwd_specs_shapes(False)
@@ -524,6 +604,12 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             res=jnp.zeros((4, B), dtype),
             outx=zx, outu=zu,
         )
+        if soc_s:
+            # Cold SOC slack seeds from the workspace x — zeros with the
+            # new x0 in row 0 (admm.cpp:352-376 / admm.seed_extra_slacks).
+            state0.update(vc=zx.at[0].set(x0k), gc=zx)
+        if soc_i:
+            state0.update(zc=zu, yc=zu)
         if warm:
             # Per-lane carry-freeze snapshots (the resident kernel's snap
             # machinery, admm_pallas lines around its snap refs): filled at
@@ -536,11 +622,14 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             the host-side snapshot blends (solution always; carry shadows
             on warm solves), paid only on iterations where a lane
             converged."""
-            d = bwd_call(s["vnew"], s["g"], s["znew"], s["y"],
+            soc_args = ([s["vc"], s["gc"]] if soc_s else []) \
+                + ([s["zc"], s["yc"]] if soc_i else [])
+            d = bwd_call(s["vnew"], s["g"], s["znew"], s["y"], *soc_args,
                          neg_xref_q, neg_uref_r, Mback, KinfT, Quu,
                          APf, BPf, pterm)
             itm = s["it"].reshape(1, 1)
             args = [itm, s["vnew"], s["g"], s["znew"], s["y"], d, x0k]
+            args += soc_args
             if stale_v is not None:
                 args += [stale_v, stale_z]
                 call = fwd_stale_call
@@ -548,7 +637,15 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                 call = fwd_call
             args += [s["iters"], s["done"], s["res"],
                      xmin, xmax, umin, umax, Mfwd, Bmat, fvec]
-            (vnew, g, znew, y, iters, done, res, just) = call(*args)
+            outs = call(*args)
+            o = iter(outs)
+            vnew, g, znew, y = next(o), next(o), next(o), next(o)
+            soc_new = {}
+            if soc_s:
+                soc_new["vc"], soc_new["gc"] = next(o), next(o)
+            if soc_i:
+                soc_new["zc"], soc_new["yc"] = next(o), next(o)
+            iters, done, res, just = next(o), next(o), next(o), next(o)
 
             jm = (just[0] == 1)[None, None, :]
             prev_v = stale_v if stale_v is not None else s["vnew"]
@@ -576,7 +673,7 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             blended = jax.lax.cond(jnp.any(just == 1), blend, keep)
             out = dict(it=s["it"] + 1, vnew=vnew, g=g, znew=znew, y=y,
                        iters=iters, done=done, res=res,
-                       outx=blended[0], outu=blended[1])
+                       outx=blended[0], outu=blended[1], **soc_new)
             if warm:
                 out.update(sv=blended[2], sz=blended[3], sg=blended[4],
                            sy=blended[5], svst=blended[6], szst=blended[7])

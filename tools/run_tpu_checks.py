@@ -207,6 +207,41 @@ def check_streamed_parity():
                           np.asarray(st_ref.pri_res_state))
 
 
+@check("streamed kernel SOC family: bit-identical to XLA path (rocket)")
+def check_streamed_soc_parity():
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu import systems
+    from tinympc_tpu.kernels import solve_fused_streamed
+    N = 64
+    s = systems.rocket_landing_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, f=s["f"], dtype=jnp.float32)
+    prob = tm.with_bounds(
+        prob, x_min=np.tile([-5.0, -5.0, -0.5, -10, -10, -20.0], (N, 1)),
+        x_max=np.tile([5.0, 5.0, 100.0, 10, 10, 20.0], (N, 1)),
+        u_min=-10.0, u_max=105.0)
+    prob = tm.with_cones(prob, state_cones=[(0, 3, 0.25)],
+                         input_cones=[(0, 3, 0.5)])
+    prob = tm.with_settings(prob, max_iter=30, abs_pri_tol=2e-3,
+                            matmul_precision="default")
+    B = 128
+    rng = np.random.default_rng(9)
+    x0s = jnp.asarray(np.array([4, 2, 20, -3, 2, -4.5])
+                      * rng.uniform(0.9, 1.1, (B, 1)), jnp.float32)
+    Xref = jnp.asarray(np.linspace([4, 2, 20, -3, 2, -4.5], np.zeros(6), N),
+                       jnp.float32)
+    Uref = jnp.zeros((N - 1, 3), jnp.float32).at[:, 2].set(10.0)
+    sol_r, _, _ = tm.solve(prob, tm.init_state(prob, (B,)), Xref=Xref,
+                           Uref=Uref, x0=x0s)
+    sol_s, _ = solve_fused_streamed(prob, Xref, Uref, x0s)
+    assert np.array_equal(np.asarray(sol_s.iter), np.asarray(sol_r.iter))
+    dx = np.abs(np.asarray(sol_s.x) - np.asarray(sol_r.x)).max()
+    # SOC sqrt/divide chains may round differently between Mosaic and XLA
+    # (same tolerance story as the resident kernel's SOC check).
+    assert dx < 1e-4, f"max |dx| = {dx}"
+
+
 @check("streamed warm sequence: tracks the XLA persistent-state sequence")
 def check_streamed_warm_sequence():
     import jax.numpy as jnp
