@@ -106,12 +106,14 @@ def _chunk_size(N: int, chunk: int) -> int:
     return 1
 
 
-def _backward_kernel(C, N, nx, nu, rho, mm_mode, soc_s=False, soc_i=False):
+def _backward_kernel(C, N, nx, nu, rho, mm_mode, n_fx=0, n_fu=0):
     """Grid (T, Jc), chunk index reversed in the index maps. Scratch: the
     rolling costate p (nx, Bt), persistent across the chunk steps of one
     tile (the TPU grid is sequential; scratch survives grid steps).
-    ``soc_s``/``soc_i`` stream the SOC family's slack/dual chunks in and
-    fold their -rho(slack - dual) terms into q/r (admm.cpp:268-303)."""
+    ``n_fx``/``n_fu`` extra slack families per side stream their
+    (slack, dual) chunk pairs in and fold their -rho(slack - dual) terms
+    into q/r (admm.cpp:268-303) — the backward sweep only needs the
+    terms, not the projections, so families are anonymous here."""
     Jc = N // C
     prep, mm = _bf16x3_helpers(mm_mode)
 
@@ -119,10 +121,8 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, soc_s=False, soc_i=False):
         it = iter(refs)
         nxt = lambda: next(it)
         vnew_ref, g_ref, znew_ref, y_ref = nxt(), nxt(), nxt(), nxt()
-        vc_ref = nxt() if soc_s else None
-        gc_ref = nxt() if soc_s else None
-        zc_ref = nxt() if soc_i else None
-        yc_ref = nxt() if soc_i else None
+        fx_refs = [(nxt(), nxt()) for _ in range(n_fx)]
+        fu_refs = [(nxt(), nxt()) for _ in range(n_fu)]
         nxq_ref, nur_ref = nxt(), nxt()
         Mback_ref, KinfT_ref, Quu_ref = nxt(), nxt(), nxt()
         APf_ref, BPf_ref, pterm_ref = nxt(), nxt(), nxt()
@@ -136,8 +136,11 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, soc_s=False, soc_i=False):
 
         vnew, g = vnew_ref[:], g_ref[:]    # (C, nx, Bt)
         znew, y = znew_ref[:], y_ref[:]    # (C, nu, Bt)
-        qx_extra = -rho * (vc_ref[:] - gc_ref[:]) if soc_s else None
-        ru_extra = -rho * (zc_ref[:] - yc_ref[:]) if soc_i else None
+        # One chunk term per family, accumulated sequentially in family
+        # order (matching the XLA path's per-family subtraction order so
+        # floating-point association is identical).
+        fx_terms = [-rho * (s[:] - d[:]) for s, d in fx_refs]
+        fu_terms = [-rho * (s[:] - d[:]) for s, d in fu_refs]
 
         # Terminal costate at the tile's first (reverse-order) chunk:
         # p[N-1] = -Pinf^T Xref[N-1] - rho sum_f (slack[N-1] - dual[N-1])
@@ -145,8 +148,8 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, soc_s=False, soc_i=False):
         @pl.when(j == 0)
         def _():
             p0 = pterm_ref[:] - rho * (vnew[C - 1] - g[C - 1])
-            if soc_s:
-                p0 = p0 + qx_extra[C - 1]
+            for t in fx_terms:
+                p0 = p0 + t[C - 1]
             p_scr[:] = p0
 
         p = p_scr[:]
@@ -156,11 +159,11 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, soc_s=False, soc_i=False):
         # its d row is dead.
         for li in range(C - 1, -1, -1):
             r_i = nur_ref[li] - rho * (znew[li] - y[li])
-            if soc_i:
-                r_i = r_i + ru_extra[li]
+            for t in fu_terms:
+                r_i = r_i + t[li]
             q_i = nxq_ref[li] - rho * (vnew[li] - g[li])
-            if soc_s:
-                q_i = q_i + qx_extra[li]
+            for t in fx_terms:
+                q_i = q_i + t[li]
             pout = mm(Mback, p)
             bp, ap = pout[:nu], pout[nu:]
             d_n = mm(Quu, bp + r_i + BPf)
@@ -182,7 +185,9 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, soc_s=False, soc_i=False):
 
 def _forward_kernel(C, N, nx, nu, rho, check_termination,
                     abs_pri_tol, abs_dua_tol, mm_mode, stale=False,
-                    state_cones=(), input_cones=(), mus_x=(), mus_u=()):
+                    fams_x=(), fams_u=(), state_cones=(), input_cones=(),
+                    mus_x=(), mus_u=(), n_lin_x=0, n_lin_u=0,
+                    n_tv_x=0, n_tv_u=0):
     """Grid (T, Jc) forward order. Scratch: rolling x (nx, Bt) and the
     four residual max-accumulators (8, Bt; rows 0-3 used). Bookkeeping
     (iters/done/res) updates commit at each tile's last chunk.
@@ -192,11 +197,15 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
     vnew/znew — the variant warm solves run for their *first* iteration
     only (the reference skips the v <- vnew copy on the converging
     iteration, admm.cpp:444-446, so the carry's previous slack is one
-    iterate behind its vnew)."""
+    iterate behind its vnew).
+
+    ``fams_x``/``fams_u``: ordered extra-family kinds per side (subsets
+    of ("soc", "lin", "tv")); each contributes a (slack, dual) chunked
+    in/out pair and applies its projection whole-chunk with the resident
+    kernel's exact helpers."""
     Jc = N // C
     prep, mm = _bf16x3_helpers(mm_mode)
     f32 = jnp.float32
-    soc_s, soc_i = bool(state_cones), bool(input_cones)
 
     def kernel(*refs):
         it = iter(refs)
@@ -204,23 +213,44 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         it_ref = nxt()                      # scalar SMEM (1,1)
         vnew_ref, g_ref, znew_ref, y_ref, d_ref, x0_ref = (
             nxt(), nxt(), nxt(), nxt(), nxt(), nxt())
-        vc_ref = nxt() if soc_s else None
-        gc_ref = nxt() if soc_s else None
-        zc_ref = nxt() if soc_i else None
-        yc_ref = nxt() if soc_i else None
+        fx_in = [(nxt(), nxt()) for _ in fams_x]
+        fu_in = [(nxt(), nxt()) for _ in fams_u]
         vst_ref = nxt() if stale else None
         zst_ref = nxt() if stale else None
+        Alx_ref = nxt() if n_lin_x else None
+        blx_ref = nxt() if n_lin_x else None
+        Alu_ref = nxt() if n_lin_u else None
+        blu_ref = nxt() if n_lin_u else None
+        tvAx_ref = nxt() if n_tv_x else None
+        tvbx_ref = nxt() if n_tv_x else None
+        tvAu_ref = nxt() if n_tv_u else None
+        tvbu_ref = nxt() if n_tv_u else None
         iters_in, done_in, res_in = nxt(), nxt(), nxt()
         xmin_ref, xmax_ref, umin_ref, umax_ref = nxt(), nxt(), nxt(), nxt()
         Mfwd_ref, B_ref, f_ref = nxt(), nxt(), nxt()
         vnew_out, g_out, znew_out, y_out = nxt(), nxt(), nxt(), nxt()
-        vc_out = nxt() if soc_s else None
-        gc_out = nxt() if soc_s else None
-        zc_out = nxt() if soc_i else None
-        yc_out = nxt() if soc_i else None
+        fx_out = [(nxt(), nxt()) for _ in fams_x]
+        fu_out = [(nxt(), nxt()) for _ in fams_u]
         iters_out, done_out, res_out, just_out = nxt(), nxt(), nxt(), nxt()
         x_scr, acc_scr = nxt(), nxt()
         j = pl.program_id(1)
+
+        from .admm_pallas import _apply_hyperplanes, _apply_tv_hyperplanes
+
+        def proj_fn(kind, side):
+            if kind == "soc":
+                cones = state_cones if side == "x" else input_cones
+                mus = mus_x if side == "x" else mus_u
+                return lambda cand: _apply_cones(cand, cones, mus)
+            if kind == "lin":
+                A, b = ((Alx_ref, blx_ref) if side == "x"
+                        else (Alu_ref, blu_ref))
+                n = n_lin_x if side == "x" else n_lin_u
+                return lambda cand: _apply_hyperplanes(cand, A, b, n)
+            A, b = (tvAx_ref, tvbx_ref) if side == "x" \
+                else (tvAu_ref, tvbu_ref)
+            n = n_tv_x if side == "x" else n_tv_u
+            return lambda cand: _apply_tv_hyperplanes(cand, A, b, n)
         Mfwd = prep(Mfwd_ref[:])
         Bm = prep(B_ref[:])
         fvec = f_ref[:]
@@ -286,21 +316,25 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         znew_out[:] = jnp.stack(zns)
         y_out[:] = jnp.stack(yns)
 
-        # SOC family updates, whole-chunk (the reference's per-timestep
-        # cone loops, admm.cpp:112-135, vectorised over the chunk rows —
-        # identical math to the resident kernel's _apply_cones). The dead
+        # Extra-family updates, whole-chunk (the reference's per-timestep
+        # loops, admm.cpp:112-211, vectorised over the chunk rows with
+        # the resident kernel's exact projection helpers). The dead
         # input-side row projects garbage harmlessly; it is never read as
         # a real row.
-        if soc_s:
+        if fams_x:
             xs_c = jnp.stack(xs_rows)                    # (C, nx, Bt)
-            vcn = _apply_cones(xs_c + gc_ref[:], state_cones, mus_x)
-            vc_out[:] = vcn
-            gc_out[:] = gc_ref[:] + xs_c - vcn
-        if soc_i:
+            for kind, (s_in, d_in), (s_out, d_out) in zip(fams_x, fx_in,
+                                                          fx_out):
+                sn = proj_fn(kind, "x")(xs_c + d_in[:])
+                s_out[:] = sn
+                d_out[:] = d_in[:] + xs_c - sn
+        if fams_u:
             us_c = jnp.stack(us_rows)                    # (C, nu, Bt)
-            zcn = _apply_cones(us_c + yc_ref[:], input_cones, mus_u)
-            zc_out[:] = zcn
-            yc_out[:] = yc_ref[:] + us_c - zcn
+            for kind, (s_in, d_in), (s_out, d_out) in zip(fams_u, fu_in,
+                                                          fu_out):
+                sn = proj_fn(kind, "u")(us_c + d_in[:])
+                s_out[:] = sn
+                d_out[:] = d_in[:] + us_c - sn
 
         # Bookkeeping at the tile's last chunk (admm.cpp:310-328): commit
         # residuals every check_termination iterations for active lanes,
@@ -330,12 +364,11 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
 
 def stream_supported(prob: TinyProblem) -> bool:
     """True when this problem can run on the streamed long-horizon path:
-    box bounds and SOC cones, fixed rho (hyperplane/tv families,
-    consensus, and adaptive rho stay on the resident kernel / XLA)."""
+    every projection family (box / SOC / hyperplane / tv-hyperplane) at
+    fixed rho; consensus and adaptive rho stay on the resident kernel /
+    XLA paths."""
     spec = prob.spec
-    return not (spec.n_state_lin or spec.n_input_lin
-                or spec.n_tv_state_lin or spec.n_tv_input_lin
-                or spec.en_consensus or prob.settings.adaptive_rho)
+    return not (spec.en_consensus or prob.settings.adaptive_rho)
 
 
 def auto_tile_stream(prob: TinyProblem, chunk: int = DEFAULT_CHUNK) -> int:
@@ -396,15 +429,21 @@ def solve_fused_streamed_warm(prob: TinyProblem, Xref=None, Uref=None,
 
 def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
     if not stream_supported(prob):
-        raise ValueError("solve_fused_streamed supports box + SOC "
-                         "fixed-rho specs; use solve_fused / "
-                         "tinympc_tpu.solve for hyperplane/tv families, "
-                         "adaptive rho, or consensus")
-    soc_s = bool(prob.spec.enabled_state_cones)
-    soc_i = bool(prob.spec.enabled_input_cones)
-    if carry is not None and (soc_s or soc_i):
-        raise ValueError("solve_fused_streamed_warm is box-only (the SOC "
-                         "long-horizon regime — full-trajectory "
+        raise ValueError("solve_fused_streamed supports fixed-rho "
+                         "non-consensus specs; use solve_fused / "
+                         "tinympc_tpu.solve for adaptive rho or consensus")
+    spec0 = prob.spec
+    fams_x = tuple(k for k, on in (
+        ("soc", bool(spec0.enabled_state_cones)),
+        ("lin", bool(spec0.n_state_lin)),
+        ("tv", bool(spec0.n_tv_state_lin))) if on)
+    fams_u = tuple(k for k, on in (
+        ("soc", bool(spec0.enabled_input_cones)),
+        ("lin", bool(spec0.n_input_lin)),
+        ("tv", bool(spec0.n_tv_input_lin))) if on)
+    if carry is not None and (fams_x or fams_u):
+        raise ValueError("solve_fused_streamed_warm is box-only (the "
+                         "conic long-horizon regime — full-trajectory "
                          "optimization — is cold-start; use "
                          "solve_fused_warm at resident-kernel horizons)")
     spec, settings = prob.spec, prob.settings
@@ -481,18 +520,23 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
         icones = tuple(spec.enabled_input_cones)
         mus_x = tuple(float(v) for v in
                       jax.device_get(jnp.asarray(cons.cx)).ravel()) \
-            if soc_s else ()
+            if "soc" in fams_x else ()
         mus_u = tuple(float(v) for v in
                       jax.device_get(jnp.asarray(cons.cu)).ravel()) \
-            if soc_i else ()
+            if "soc" in fams_u else ()
+        n_lin_x, n_lin_u = spec.n_state_lin, spec.n_input_lin
+        n_tv_x, n_tv_u = spec.n_tv_state_lin, spec.n_tv_input_lin
 
         bwd_kernel, _ = _backward_kernel(C, N, nx, nu, rho, mm_mode,
-                                         soc_s=soc_s, soc_i=soc_i)
+                                         n_fx=len(fams_x),
+                                         n_fu=len(fams_u))
         fwd_kernel, _ = _forward_kernel(
             C, N, nx, nu, rho, settings.check_termination,
             float(settings.abs_pri_tol), float(settings.abs_dua_tol),
-            mm_mode, state_cones=scones, input_cones=icones,
-            mus_x=mus_x, mus_u=mus_u)
+            mm_mode, fams_x=fams_x, fams_u=fams_u,
+            state_cones=scones, input_cones=icones,
+            mus_x=mus_x, mus_u=mus_u, n_lin_x=n_lin_x, n_lin_u=n_lin_u,
+            n_tv_x=n_tv_x, n_tv_u=n_tv_u)
         if warm:
             fwd_stale_kernel, _ = _forward_kernel(
                 C, N, nx, nu, rho, settings.check_termination,
@@ -523,14 +567,14 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             return pl.BlockSpec((F, tile), lambda t, j: (0, t),
                                 memory_space=pltpu.VMEM)
 
-        soc_s_specs = ([chunk_spec(nx, rev=True)] * 2 if soc_s else [])
-        soc_i_specs = ([chunk_spec(nu, rev=True)] * 2 if soc_i else [])
+        fam_x_specs = [chunk_spec(nx, rev=True)] * (2 * len(fams_x))
+        fam_u_specs = [chunk_spec(nu, rev=True)] * (2 * len(fams_u))
         bwd_call = pl.pallas_call(
             bwd_kernel,
             grid=(T, Jc),
             in_specs=([chunk_spec(nx, rev=True), chunk_spec(nx, rev=True),
                        chunk_spec(nu, rev=True), chunk_spec(nu, rev=True)]
-                      + soc_s_specs + soc_i_specs
+                      + fam_x_specs + fam_u_specs
                       + [row_table_spec(nx, rev=True),
                          row_table_spec(nu, rev=True),
                          const_spec(Mback.shape), const_spec(KinfT.shape),
@@ -543,14 +587,40 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
         )
 
         def fwd_specs_shapes(stale):
-            soc_in = (([chunk_spec(nx)] * 2 if soc_s else [])
-                      + ([chunk_spec(nu)] * 2 if soc_i else []))
+            # Warm (stale) solves are box-only, so the stale variant has
+            # no family refs.
+            fx = () if stale else fams_x
+            fu = () if stale else fams_u
+            fam_in = ([chunk_spec(nx)] * (2 * len(fx))
+                      + [chunk_spec(nu)] * (2 * len(fu)))
             stale_in = [chunk_spec(nx), chunk_spec(nu)] if stale else []
+            proj_in = []
+            if not stale:
+                if n_lin_x:
+                    proj_in += [const_spec((n_lin_x, nx)),
+                                const_spec((n_lin_x, 1))]
+                if n_lin_u:
+                    proj_in += [const_spec((n_lin_u, nu)),
+                                const_spec((n_lin_u, 1))]
+                if n_tv_x:
+                    proj_in += [
+                        pl.BlockSpec((C, n_tv_x, nx),
+                                     lambda t, j: (j, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((C, n_tv_x), lambda t, j: (j, 0),
+                                     memory_space=pltpu.VMEM)]
+                if n_tv_u:
+                    proj_in += [
+                        pl.BlockSpec((C, n_tv_u, nu),
+                                     lambda t, j: (j, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((C, n_tv_u), lambda t, j: (j, 0),
+                                     memory_space=pltpu.VMEM)]
             in_specs = ([pl.BlockSpec((1, 1), lambda t, j: (0, 0),
                                       memory_space=pltpu.SMEM),
                          chunk_spec(nx), chunk_spec(nx),
                          chunk_spec(nu), chunk_spec(nu), chunk_spec(nu),
-                         lane_spec(nx)] + soc_in + stale_in
+                         lane_spec(nx)] + fam_in + stale_in + proj_in
                         + [lane_spec(1), lane_spec(1), lane_spec(4),
                            bound_spec(nx), bound_spec(nx),
                            bound_spec(nu), bound_spec(nu),
@@ -558,15 +628,14 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                            const_spec((nx, 1))])
             zxs = jax.ShapeDtypeStruct((N, nx, B), dtype)
             zus = jax.ShapeDtypeStruct((N, nu, B), dtype)
-            soc_out_specs = (([chunk_spec(nx)] * 2 if soc_s else [])
-                             + ([chunk_spec(nu)] * 2 if soc_i else []))
-            soc_out_shape = (([zxs] * 2 if soc_s else [])
-                             + ([zus] * 2 if soc_i else []))
+            fam_out_specs = ([chunk_spec(nx)] * (2 * len(fx))
+                             + [chunk_spec(nu)] * (2 * len(fu)))
+            fam_out_shape = [zxs] * (2 * len(fx)) + [zus] * (2 * len(fu))
             out_specs = ([chunk_spec(nx), chunk_spec(nx),
-                          chunk_spec(nu), chunk_spec(nu)] + soc_out_specs
+                          chunk_spec(nu), chunk_spec(nu)] + fam_out_specs
                          + [lane_spec(1), lane_spec(1), lane_spec(4),
                             lane_spec(1)])
-            out_shape = ([zxs, zxs, zus, zus] + soc_out_shape
+            out_shape = ([zxs, zxs, zus, zus] + fam_out_shape
                          + [jax.ShapeDtypeStruct((1, B), jnp.int32),
                             jax.ShapeDtypeStruct((1, B), jnp.int32),
                             jax.ShapeDtypeStruct((4, B), dtype),
@@ -604,12 +673,27 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             res=jnp.zeros((4, B), dtype),
             outx=zx, outu=zu,
         )
-        if soc_s:
-            # Cold SOC slack seeds from the workspace x — zeros with the
-            # new x0 in row 0 (admm.cpp:352-376 / admm.seed_extra_slacks).
-            state0.update(vc=zx.at[0].set(x0k), gc=zx)
-        if soc_i:
-            state0.update(zc=zu, yc=zu)
+        # Cold extra-family slack seeds from the workspace x — zeros with
+        # the new x0 in row 0 (admm.cpp:352-376 / admm.seed_extra_slacks);
+        # input-side from the (zero) cold u. Duals start zero. One
+        # (slack, dual) pair per family, canonical [soc, lin, tv] order.
+        state0["fx"] = [(zx.at[0].set(x0k), zx) for _ in fams_x]
+        state0["fu"] = [(zu, zu) for _ in fams_u]
+
+        # Projection data (constant operands of the forward launch).
+        proj_data = []
+        if n_lin_x:
+            proj_data += [jnp.asarray(cons.Alin_x, dtype),
+                          jnp.asarray(cons.blin_x, dtype).reshape(-1, 1)]
+        if n_lin_u:
+            proj_data += [jnp.asarray(cons.Alin_u, dtype),
+                          jnp.asarray(cons.blin_u, dtype).reshape(-1, 1)]
+        if n_tv_x:
+            proj_data += [jnp.asarray(cons.tv_Alin_x, dtype),
+                          jnp.asarray(cons.tv_blin_x, dtype)]
+        if n_tv_u:
+            proj_data += [padN(jnp.asarray(cons.tv_Alin_u, dtype)),
+                          padN(jnp.asarray(cons.tv_blin_u, dtype))]
         if warm:
             # Per-lane carry-freeze snapshots (the resident kernel's snap
             # machinery, admm_pallas lines around its snap refs): filled at
@@ -622,29 +706,26 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             the host-side snapshot blends (solution always; carry shadows
             on warm solves), paid only on iterations where a lane
             converged."""
-            soc_args = ([s["vc"], s["gc"]] if soc_s else []) \
-                + ([s["zc"], s["yc"]] if soc_i else [])
-            d = bwd_call(s["vnew"], s["g"], s["znew"], s["y"], *soc_args,
+            fam_args = [a for pair in s["fx"] + s["fu"] for a in pair]
+            d = bwd_call(s["vnew"], s["g"], s["znew"], s["y"], *fam_args,
                          neg_xref_q, neg_uref_r, Mback, KinfT, Quu,
                          APf, BPf, pterm)
             itm = s["it"].reshape(1, 1)
             args = [itm, s["vnew"], s["g"], s["znew"], s["y"], d, x0k]
-            args += soc_args
+            args += fam_args
             if stale_v is not None:
                 args += [stale_v, stale_z]
                 call = fwd_stale_call
             else:
+                args += proj_data
                 call = fwd_call
             args += [s["iters"], s["done"], s["res"],
                      xmin, xmax, umin, umax, Mfwd, Bmat, fvec]
             outs = call(*args)
             o = iter(outs)
             vnew, g, znew, y = next(o), next(o), next(o), next(o)
-            soc_new = {}
-            if soc_s:
-                soc_new["vc"], soc_new["gc"] = next(o), next(o)
-            if soc_i:
-                soc_new["zc"], soc_new["yc"] = next(o), next(o)
+            fx_new = [(next(o), next(o)) for _ in fams_x]
+            fu_new = [(next(o), next(o)) for _ in fams_u]
             iters, done, res, just = next(o), next(o), next(o), next(o)
 
             jm = (just[0] == 1)[None, None, :]
@@ -673,7 +754,8 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             blended = jax.lax.cond(jnp.any(just == 1), blend, keep)
             out = dict(it=s["it"] + 1, vnew=vnew, g=g, znew=znew, y=y,
                        iters=iters, done=done, res=res,
-                       outx=blended[0], outu=blended[1], **soc_new)
+                       outx=blended[0], outu=blended[1],
+                       fx=fx_new, fu=fu_new)
             if warm:
                 out.update(sv=blended[2], sz=blended[3], sg=blended[4],
                            sy=blended[5], svst=blended[6], szst=blended[7])

@@ -242,6 +242,31 @@ def check_streamed_soc_parity():
     assert dx < 1e-4, f"max |dx| = {dx}"
 
 
+@check("streamed kernel hyperplane families: bit-identical to XLA path")
+def check_streamed_hyperplanes():
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import solve_fused_streamed
+    N = 64
+    prob = _quadrotor(max_iter=30, N=N, matmul_precision="default")
+    a = np.zeros(12); a[2] = 1.0
+    prob = tm.with_linear_constraints(prob, Alin_x=a[None], blin_x=[0.4],
+                                      Alin_u=np.ones((1, 4)), blin_u=[1.2])
+    Atv = np.tile(a, (N, 1, 1))
+    btv = np.linspace(0.6, 0.3, N)[:, None]
+    prob = tm.with_tv_linear_constraints(prob, tv_Alin_x=Atv, tv_blin_x=btv)
+    B = 128
+    x0s = _x0s(B, scale=0.3, seed=10)
+    Xref = jnp.tile(jnp.asarray([0, 0, 1.0] + [0.0] * 9, jnp.float32),
+                    (N, 1))
+    sol_r, _, _ = tm.solve(prob, tm.init_state(prob, (B,)), Xref=Xref,
+                           x0=x0s)
+    sol_s, _ = solve_fused_streamed(prob, Xref, None, x0s)
+    assert np.array_equal(np.asarray(sol_s.iter), np.asarray(sol_r.iter))
+    assert np.array_equal(np.asarray(sol_s.x), np.asarray(sol_r.x)), \
+        f"max |dx| = {np.abs(np.asarray(sol_s.x) - np.asarray(sol_r.x)).max()}"
+
+
 @check("streamed warm sequence: tracks the XLA persistent-state sequence")
 def check_streamed_warm_sequence():
     import jax.numpy as jnp
