@@ -321,6 +321,32 @@ def main():
     record("to-convergence 500it mixed batch (compaction)", B, B / dt,
            "solves/s", "schedule=[100,400], bitwise == fixed-rho tile exit", sp)
 
+    # --- long-horizon to-convergence: streamed-backend compaction ---
+    with section("long-horizon compaction"):
+        N = 256
+        plh, _ = _mk("quadrotor_20hz", N, f32, max_iter=500)
+        plh = tm.with_bounds(plh, x_min=-5.0, x_max=5.0, u_min=-0.5,
+                             u_max=0.5)
+        B = 4096
+        scales = np.linspace(0.05, 0.5, B)[:, None]
+        x0lh = jnp.asarray((rng.uniform(-1, 1, (B, 12)) * scales)[
+            rng.permutation(B)], f32)
+        from tinympc_tpu.kernels import solve_fused_streamed
+        tlh = jax.jit(lambda x0s: solve_fused_streamed(plh, None, None,
+                                                       x0s)[0])
+        out, dt, sp = bench("lh_conv_stream", tlh, x0lh)
+        record(f"to-convergence 500it N={N} mixed (streamed)", B, B / dt,
+               "solves/s",
+               f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}",
+               sp)
+        slh = make_compact_solver(plh, chunk=[100, 400], backend="streamed")
+        clh = lambda x0s: slh(x0s)[0]
+        out, dt, sp = bench("lh_conv_compact", clh, x0lh, min_rep_s=0.0)
+        record(f"to-convergence 500it N={N} mixed (streamed compaction)",
+               B, B / dt, "solves/s",
+               f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}",
+               sp)
+
     # --- 1M-instance fleet (BASELINE.json configs[4]) ---
     # One chip, B = 2^20 independent quadrotor N=20 problems. Fixed-work
     # regime via plain tile exit; mixed-difficulty to-convergence regime

@@ -194,3 +194,46 @@ def test_compact_segmented_matches_unsegmented():
     np.testing.assert_array_equal(np.asarray(sol_s.iter),
                                   np.asarray(sol_u.iter))
     np.testing.assert_array_equal(np.asarray(res_s), np.asarray(res_u))
+
+
+def test_compact_streamed_backend_bitwise():
+    """backend='streamed' phases: the chunked long-horizon solve must be
+    bitwise identical to one long streamed solve (same chunk-boundary
+    hand-over argument as the resident backend)."""
+    from tinympc_tpu.kernels import make_compact_solver, solve_fused_streamed
+    s = systems.quadrotor_20hz()
+    N = 24
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, dtype=jnp.float32)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    prob = tm.with_settings(prob, max_iter=60)
+    B = 16
+    x0s = _mixed_x0s(B)
+    sol_l, res_l = jax.jit(lambda x: solve_fused_streamed(
+        prob, None, None, x, tile=B, chunk=8, interpret=True))(x0s)
+    solver = make_compact_solver(prob, chunk=20, tile=B, min_batch=B,
+                                 backend="streamed", interpret=True)
+    sol_c, res_c = solver(x0s)
+    np.testing.assert_array_equal(np.asarray(sol_c.iter),
+                                  np.asarray(sol_l.iter))
+    np.testing.assert_array_equal(np.asarray(sol_c.x), np.asarray(sol_l.x))
+    np.testing.assert_array_equal(np.asarray(res_c), np.asarray(res_l))
+
+
+def test_compact_auto_backend_picks_streamed_at_long_n():
+    from tinympc_tpu.kernels import make_compact_solver
+    from tinympc_tpu.kernels.admm_pallas import max_tile
+    s = systems.quadrotor_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=256, dtype=jnp.float32)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    prob = tm.with_settings(prob, max_iter=40)
+    assert max_tile(prob, warm=True, final=True) < 1024, \
+        "test premise: the resident tile must collapse at this N"
+    # auto resolves to streamed without raising; a single phase runs.
+    solver = make_compact_solver(prob, chunk=20, tile=8, min_batch=8,
+                                 backend="auto", interpret=True)
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.uniform(-0.1, 0.1, (8, 12)), jnp.float32)
+    sol, res = solver(x0s)
+    assert sol.x.shape == (256, 8, 12)

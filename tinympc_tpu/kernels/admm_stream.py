@@ -780,7 +780,9 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
         outx = jnp.where(am, s["vnew"], s["outx"])            # (N, nx, B)
         outu = jnp.where(am, s["znew"], s["outu"])[:N - 1]    # drop dead row
         sol = Solution(iter=s["iters"][0],
-                       solved=(s["done"][0] == 1).astype(jnp.int32),
+                       solved=(s["done"][0] == 1),            # bool, like
+                       # the resident kernel and XLA path (the compaction
+                       # driver negates this with ~ on the host)
                        x=outx.transpose(0, 2, 1),             # (N, B, nx)
                        u=outu.transpose(0, 2, 1))
         if not warm:

@@ -65,6 +65,7 @@ def _next_pow2(n: int) -> int:
 def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
                         tile: Optional[int] = None, min_batch: int = 256,
                         segment: Optional[int] = None,
+                        backend: str = "auto",
                         interpret: bool = False):
     """Build a reusable to-convergence compaction solver for ``prob``.
 
@@ -99,6 +100,14 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
         carry (~3.7 KiB/problem on the box quadrotor N=20) outgrows HBM:
         B=2^20 needs ~8 GiB peak un-segmented, ~B/segment-th of that
         segmented. None = whole batch at once.
+      backend: which warm fused solver runs the phases. "resident"
+        (whole trajectories in VMEM, the default regime), "streamed"
+        (HBM-resident trajectories, kernels/admm_stream — box specs
+        only, for horizons past the VMEM wall where the resident tile
+        collapses), or "auto": streamed when the spec allows it and the
+        resident auto tile would drop below 1024 lanes. Both backends
+        hand chunk boundaries over exactly, so the chunked solve stays
+        bitwise equal to one long solve of the same backend.
       interpret: run the kernels in interpreter mode (tests).
     """
     settings = prob.settings
@@ -112,6 +121,19 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
         # non-power-of-two tile would fail the divisibility check inside a
         # later phase launch instead of here at factory time.
         raise ValueError(f"explicit tile ({tile}) must be a power of two")
+    if backend not in ("auto", "resident", "streamed"):
+        raise ValueError(f"unknown backend {backend!r}")
+    stream_ok = not (prob.spec.any_extra_family or prob.spec.en_consensus
+                     or settings.adaptive_rho)
+    if backend == "streamed" and not stream_ok:
+        raise ValueError("backend='streamed' phases are box-only (the "
+                         "streamed warm kernel's scope)")
+    if backend == "auto":
+        from .admm_pallas import max_tile
+        backend = "streamed" if (
+            stream_ok and max_tile(prob, warm=True, final=True) < 1024) \
+            else "resident"
+    use_stream = backend == "streamed"
     schedule = [chunk] if isinstance(chunk, int) else [int(c) for c in chunk]
     for c in schedule:
         if c < 1 or c % settings.check_termination:
@@ -138,11 +160,19 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
             # (the carry is ~3.7 KiB/problem for the box quadrotor N=20 —
             # at B=2^20 donation is the difference between fitting one
             # chip's HBM and ResourceExhausted).
-            phase_fns[iters] = jax.jit(
-                lambda X, U, x0, c: solve_fused_warm(p, X, U, x0, c,
-                                                     tile=tile, final=True,
-                                                     interpret=interpret),
-                donate_argnums=(3,))
+            if use_stream:
+                from .admm_stream import solve_fused_streamed_warm
+                phase_fns[iters] = jax.jit(
+                    lambda X, U, x0, c: solve_fused_streamed_warm(
+                        p, X, U, x0, c, tile=tile, interpret=interpret),
+                    donate_argnums=(3,))
+            else:
+                phase_fns[iters] = jax.jit(
+                    lambda X, U, x0, c: solve_fused_warm(p, X, U, x0, c,
+                                                         tile=tile,
+                                                         final=True,
+                                                         interpret=interpret),
+                    donate_argnums=(3,))
         return phase_fns[iters](Xref, Uref, x0_sub, carry_sub)
 
     @jax.jit
