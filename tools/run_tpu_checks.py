@@ -315,6 +315,26 @@ def check_sweep_hoist_parity():
     assert np.array_equal(np.asarray(sol_a.iter), np.asarray(sol_b.iter))
 
 
+@check("streamed compaction: bitwise == one long streamed solve (N=64)")
+def check_streamed_compaction():
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import make_compact_solver, solve_fused_streamed
+    prob = _quadrotor(max_iter=200, N=64)
+    B = 512
+    rng = np.random.default_rng(12)
+    scales = np.linspace(0.05, 0.5, B)[:, None]
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, 12)) * scales, jnp.float32)
+    sol_l, res_l = solve_fused_streamed(prob, None, None, x0s, tile=B)
+    solver = make_compact_solver(prob, chunk=50, tile=B, min_batch=B,
+                                 backend="streamed")
+    sol_c, res_c = solver(x0s)
+    assert np.array_equal(np.asarray(sol_c.iter), np.asarray(sol_l.iter))
+    assert np.array_equal(np.asarray(sol_c.solved), np.asarray(sol_l.solved))
+    assert np.array_equal(np.asarray(sol_c.x), np.asarray(sol_l.x))
+    assert np.array_equal(np.asarray(res_c), np.asarray(res_l))
+
+
 @check("adaptive rho: fused in-kernel subsystem matches XLA path")
 def check_adaptive_parity():
     import tinympc_tpu as tm
