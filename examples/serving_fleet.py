@@ -10,6 +10,11 @@ Three serving patterns on a quadrotor fleet:
      hardware-in-the-loop — apply u0 to *your* plant, feed back x0;
   3. model-in-the-loop closed loops (closed_loop_fused): entire
      receding-horizon rollouts on-chip, zero HBM traffic between steps.
+
+For to-convergence fleets, kernels.make_compact_solver adds per-problem
+early exit via lane compaction (segment= caps on-chip residency for
+B=2^20-scale batches; backend="streamed" keeps it working past the VMEM
+wall at long horizons) — see BENCH_TABLE.md's fleet rows.
 """
 import sys
 import time
