@@ -197,8 +197,13 @@ def test_stream_unsupported_specs_raise():
     with pytest.raises(ValueError):
         solve_fused_streamed(tm.with_settings(prob, adaptive_rho=True),
                              None, None, jnp.zeros((8, 12)), interpret=True)
+    # Local consensus is supported cold; x0s must carry the
+    # (n_groups, group, nx) structure.
     cons = tm.with_consensus(prob)
-    assert not stream_supported(cons)
+    assert stream_supported(cons)
+    with pytest.raises(ValueError):
+        solve_fused_streamed(cons, None, None, jnp.zeros((8, 12)),
+                             interpret=True)
     # Extra families are supported cold but not warm.
     from tinympc_tpu.kernels import init_carry, solve_fused_streamed_warm
     soc = tm.with_cones(prob, input_cones=[(0, 3, 0.5)])
@@ -206,3 +211,33 @@ def test_stream_unsupported_specs_raise():
     with pytest.raises(ValueError):
         solve_fused_streamed_warm(soc, None, None, jnp.zeros((8, 12)),
                                   init_carry(soc, 8), interpret=True)
+
+
+def test_stream_consensus_matches_xla_interpret():
+    """Scenario-consensus groups through the streamed kernel: u[0] shared
+    within each group via the in-kernel one-hot segment mean, step-0
+    exact-prox gains, and the consensus residual gating convergence —
+    matching the XLA path like the resident kernel's consensus tests."""
+    ng, G, N = 2, 4, 16
+    prob = tm.with_consensus(_problem(N, max_iter=80))
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (ng, G, 12)), jnp.float32)
+    Xref = jnp.tile(jnp.asarray([0, 0, 0.5, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                                jnp.float32), (N, 1))
+    sol_ref, st_ref, _ = tm.solve(prob, tm.init_state(prob, (ng, G)),
+                                  Xref=Xref, x0=x0s)
+    sol_s, res = solve_fused_streamed(prob, Xref, None, x0s, tile=ng * G,
+                                      chunk=8, interpret=True)
+    assert sol_s.x.shape == (N, ng, G, 12)
+    np.testing.assert_allclose(np.asarray(sol_s.x), np.asarray(sol_ref.x),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sol_s.u), np.asarray(sol_ref.u),
+                               atol=2e-4)
+    it_s, it_r = np.asarray(sol_s.iter), np.asarray(sol_ref.iter)
+    assert np.all(np.abs(it_s - it_r) <= 1), (it_s, it_r)
+    # Converged groups share u[0] to within the consensus gate.
+    u0 = np.asarray(sol_s.u[0])
+    solved = np.asarray(sol_s.solved)
+    for gi in range(ng):
+        if solved[gi].all():
+            assert np.ptp(u0[gi], axis=0).max() < 2 * 1e-3

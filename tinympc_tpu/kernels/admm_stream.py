@@ -37,15 +37,16 @@ on v5e (quadrotor, N=512, B=1024, 20 iterations): 2.6x the XLA
 sequential path end-to-end, vs 1.4x for the resident kernel at its
 VMEM-forced tile of 128 (see BENCH_TABLE.md).
 
-Scope: box bounds and SOC cones, fixed rho; cold
-(:func:`solve_fused_streamed` — SOC at long N is the full-trajectory
-powered-descent regime) and warm-started box solves
+Scope: every projection family (box / SOC / hyperplane / tv-hyperplane)
+and local consensus groups at fixed rho, cold
+(:func:`solve_fused_streamed` — conic long-N is the full-trajectory
+powered-descent regime); warm-started box solves
 (:func:`solve_fused_streamed_warm`, same
 :class:`~.admm_pallas.FusedCarry` contract — the iterate arrays are
 already HBM-resident, so the carry is just the while-state handed in and
 out, with a stale-aware first iteration and per-lane freeze snapshots).
-Hyperplane/tv families, adaptive rho, and consensus stay on the resident
-kernel or XLA paths.
+Only adaptive rho (and consensus over a named mesh axis) stays on the
+resident kernel / XLA paths.
 """
 from __future__ import annotations
 
@@ -106,14 +107,17 @@ def _chunk_size(N: int, chunk: int) -> int:
     return 1
 
 
-def _backward_kernel(C, N, nx, nu, rho, mm_mode, n_fx=0, n_fu=0):
+def _backward_kernel(C, N, nx, nu, rho, mm_mode, n_fx=0, n_fu=0,
+                     consensus=False, rho_c=0.0):
     """Grid (T, Jc), chunk index reversed in the index maps. Scratch: the
     rolling costate p (nx, Bt), persistent across the chunk steps of one
     tile (the TPU grid is sequential; scratch survives grid steps).
     ``n_fx``/``n_fu`` extra slack families per side stream their
     (slack, dual) chunk pairs in and fold their -rho(slack - dual) terms
     into q/r (admm.cpp:268-303) — the backward sweep only needs the
-    terms, not the projections, so families are anonymous here."""
+    terms, not the projections, so families are anonymous here.
+    ``consensus`` adds the u[0] prox: r[0] gains -rho_c (zc0 - yc0) and
+    d[0] uses the baked exact-prox gain Quu0 (admm.backward_pass)."""
     Jc = N // C
     prep, mm = _bf16x3_helpers(mm_mode)
 
@@ -123,8 +127,11 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, n_fx=0, n_fu=0):
         vnew_ref, g_ref, znew_ref, y_ref = nxt(), nxt(), nxt(), nxt()
         fx_refs = [(nxt(), nxt()) for _ in range(n_fx)]
         fu_refs = [(nxt(), nxt()) for _ in range(n_fu)]
+        zc0_ref = nxt() if consensus else None
+        yc0_ref = nxt() if consensus else None
         nxq_ref, nur_ref = nxt(), nxt()
         Mback_ref, KinfT_ref, Quu_ref = nxt(), nxt(), nxt()
+        Quu0_ref = nxt() if consensus else None
         APf_ref, BPf_ref, pterm_ref = nxt(), nxt(), nxt()
         d_ref, p_scr = nxt(), nxt()
 
@@ -132,6 +139,7 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, n_fx=0, n_fu=0):
         Mback = prep(Mback_ref[:])
         KinfT = prep(KinfT_ref[:])
         Quu = prep(Quu_ref[:])
+        Quu0 = prep(Quu0_ref[:]) if consensus else None
         APf, BPf = APf_ref[:], BPf_ref[:]
 
         vnew, g = vnew_ref[:], g_ref[:]    # (C, nx, Bt)
@@ -166,8 +174,20 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, n_fx=0, n_fu=0):
                 q_i = q_i + t[li]
             pout = mm(Mback, p)
             bp, ap = pout[:nu], pout[nu:]
-            d_n = mm(Quu, bp + r_i + BPf)
-            p_n = q_i + ap - mm(KinfT, r_i) + APf
+            if consensus and li == 0:
+                # Global row 0 lives in the last reverse-order chunk: the
+                # u[0] consensus prox term rides r[0] with its own weight
+                # and d[0] takes the Quu0 gain (admm.backward_pass with
+                # consensus=True). Other chunks' row 0 is a normal step.
+                is_r0 = j == Jc - 1
+                r_0 = r_i - rho_c * (zc0_ref[:] - yc0_ref[:])
+                d_0 = mm(Quu0, bp + r_0 + BPf)
+                d_n = jnp.where(is_r0, d_0, mm(Quu, bp + r_i + BPf))
+                r_sel = jnp.where(is_r0, r_0, r_i)
+                p_n = q_i + ap - mm(KinfT, r_sel) + APf
+            else:
+                d_n = mm(Quu, bp + r_i + BPf)
+                p_n = q_i + ap - mm(KinfT, r_i) + APf
             if li == C - 1:
                 # On the first chunk this row is the terminal: keep p as
                 # seeded and write a dead d row; elsewhere a normal step.
@@ -187,7 +207,7 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
                     abs_pri_tol, abs_dua_tol, mm_mode, stale=False,
                     fams_x=(), fams_u=(), state_cones=(), input_cones=(),
                     mus_x=(), mus_u=(), n_lin_x=0, n_lin_u=0,
-                    n_tv_x=0, n_tv_u=0):
+                    n_tv_x=0, n_tv_u=0, consensus=False, group=0):
     """Grid (T, Jc) forward order. Scratch: rolling x (nx, Bt) and the
     four residual max-accumulators (8, Bt; rows 0-3 used). Bookkeeping
     (iters/done/res) updates commit at each tile's last chunk.
@@ -215,6 +235,11 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
             nxt(), nxt(), nxt(), nxt(), nxt(), nxt())
         fx_in = [(nxt(), nxt()) for _ in fams_x]
         fu_in = [(nxt(), nxt()) for _ in fams_u]
+        zc0_in = nxt() if consensus else None
+        yc0_in = nxt() if consensus else None
+        Kinf0s_ref = nxt() if consensus else None     # stacked [Kinf0; A]
+        Sseg_ref = nxt() if consensus else None
+        STseg_ref = nxt() if consensus else None
         vst_ref = nxt() if stale else None
         zst_ref = nxt() if stale else None
         Alx_ref = nxt() if n_lin_x else None
@@ -231,6 +256,8 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         vnew_out, g_out, znew_out, y_out = nxt(), nxt(), nxt(), nxt()
         fx_out = [(nxt(), nxt()) for _ in fams_x]
         fu_out = [(nxt(), nxt()) for _ in fams_u]
+        zc0_out = nxt() if consensus else None
+        yc0_out = nxt() if consensus else None
         iters_out, done_out, res_out, just_out = nxt(), nxt(), nxt(), nxt()
         x_scr, acc_scr = nxt(), nxt()
         j = pl.program_id(1)
@@ -252,6 +279,7 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
             n = n_tv_x if side == "x" else n_tv_u
             return lambda cand: _apply_tv_hyperplanes(cand, A, b, n)
         Mfwd = prep(Mfwd_ref[:])
+        Mfwd0 = prep(Kinf0s_ref[:]) if consensus else None
         Bm = prep(B_ref[:])
         fvec = f_ref[:]
 
@@ -291,6 +319,10 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
             # its rows are dead (d holds a dead row there) and their
             # residual contribution is masked out.
             xout = mm(Mfwd, x)
+            if consensus and li == 0:
+                # Global row 0 (first chunk): the exact-prox gain pair
+                # replaces Kinf in u[0] (admm.forward_pass consensus).
+                xout = jnp.where(j == 0, mm(Mfwd0, x), xout)
             kx, ax = xout[:nu], xout[nu:]
             u_i = -kx - d[li]
             us_rows.append(u_i)
@@ -336,6 +368,25 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
                 s_out[:] = sn
                 d_out[:] = d_in[:] + us_c - sn
 
+        if consensus:
+            # u[0] scenario-consensus slack/dual (admm.update_slack /
+            # update_dual en_consensus): projection onto the all-equal
+            # subspace = the group mean over `group` aligned lanes, as
+            # two thin one-hot matmuls (see admm_pallas.
+            # _segment_mean_lanes — lane-axis reshapes scalarise under
+            # Mosaic). Row 0 lives in chunk 0 only.
+            @pl.when(j == 0)
+            def _():
+                u0 = us_rows[0]                          # (nu, Bt)
+                cand0 = u0 + yc0_in[:]
+                sums = jnp.dot(jnp.dot(cand0, Sseg_ref[:],
+                                       preferred_element_type=f32),
+                               STseg_ref[:], preferred_element_type=f32)
+                zc0n = sums / group
+                zc0_out[:] = zc0n
+                yc0_out[:] = yc0_in[:] + u0 - zc0n
+                acc_scr[4] = jnp.max(jnp.abs(u0 - zc0n), axis=0)
+
         # Bookkeeping at the tile's last chunk (admm.cpp:310-328): commit
         # residuals every check_termination iterations for active lanes,
         # flag newly-converged lanes. `just` feeds the host-side solution
@@ -349,6 +400,10 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
             checking = (it1 % check_termination) == 0
             ok = ((pri_s < abs_pri_tol) & (pri_i < abs_pri_tol)
                   & (dua_ss < abs_dua_tol) & (dua_ii < abs_dua_tol))
+            if consensus:
+                # Consensus residual gates convergence like the XLA path
+                # (admm._solve_impl's cres check); not recorded in res.
+                ok = ok & (acc_scr[4] < abs_pri_tol)
             just = checking & ok & active
             commit = checking & active
             iters_out[0] = jnp.where(active, it1, iters_in[0])
@@ -364,11 +419,10 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
 
 def stream_supported(prob: TinyProblem) -> bool:
     """True when this problem can run on the streamed long-horizon path:
-    every projection family (box / SOC / hyperplane / tv-hyperplane) at
-    fixed rho; consensus and adaptive rho stay on the resident kernel /
-    XLA paths."""
-    spec = prob.spec
-    return not (spec.en_consensus or prob.settings.adaptive_rho)
+    every projection family (box / SOC / hyperplane / tv-hyperplane) and
+    local consensus groups at fixed rho; only adaptive rho stays on the
+    resident kernel / XLA paths."""
+    return not prob.settings.adaptive_rho
 
 
 def auto_tile_stream(prob: TinyProblem, chunk: int = DEFAULT_CHUNK) -> int:
@@ -429,9 +483,9 @@ def solve_fused_streamed_warm(prob: TinyProblem, Xref=None, Uref=None,
 
 def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
     if not stream_supported(prob):
-        raise ValueError("solve_fused_streamed supports fixed-rho "
-                         "non-consensus specs; use solve_fused / "
-                         "tinympc_tpu.solve for adaptive rho or consensus")
+        raise ValueError("solve_fused_streamed supports fixed-rho specs; "
+                         "use solve_fused / tinympc_tpu.solve for "
+                         "adaptive rho")
     spec0 = prob.spec
     fams_x = tuple(k for k, on in (
         ("soc", bool(spec0.enabled_state_cones)),
@@ -441,11 +495,29 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
         ("soc", bool(spec0.enabled_input_cones)),
         ("lin", bool(spec0.n_input_lin)),
         ("tv", bool(spec0.n_tv_input_lin))) if on)
-    if carry is not None and (fams_x or fams_u):
+    consensus = spec0.en_consensus
+    if carry is not None and (fams_x or fams_u or consensus):
         raise ValueError("solve_fused_streamed_warm is box-only (the "
-                         "conic long-horizon regime — full-trajectory "
-                         "optimization — is cold-start; use "
-                         "solve_fused_warm at resident-kernel horizons)")
+                         "conic/consensus long-horizon regime — "
+                         "full-trajectory optimization — is cold-start; "
+                         "use solve_fused_warm at resident-kernel "
+                         "horizons)")
+    group_shape = None
+    group = 0
+    if consensus:
+        import jax.numpy as _jnp
+        x0s = _jnp.asarray(x0s)
+        if x0s.ndim != 3:
+            raise ValueError(
+                "consensus solve_fused_streamed takes x0s as "
+                "(n_groups, group, nx) — the scenario group on the last "
+                "batch axis, like tinympc_tpu.solve")
+        group_shape = x0s.shape[:2]
+        group = int(group_shape[1])
+        if group & (group - 1):
+            raise ValueError(f"scenario group size {group} must be a "
+                             "power of two")
+        x0s = x0s.reshape(-1, spec0.nx)
     spec, settings = prob.spec, prob.settings
     N, nx, nu = spec.N, spec.nx, spec.nu
     dtype = jnp.float32
@@ -459,6 +531,14 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                 tile //= 2
     if B % tile:
         raise ValueError(f"batch ({B}) must be divisible by tile ({tile})")
+    if consensus:
+        if group > tile:
+            raise ValueError(f"scenario group {group} exceeds tile {tile}; "
+                             "raise tile=")
+        if tile % group:
+            raise ValueError(f"tile ({tile}) must be a multiple of the "
+                             f"scenario group ({group}) so groups stay "
+                             "whole within a lane block")
     T = B // tile
     Jc = N // C
     rho = float(prob.cache.rho)
@@ -526,17 +606,20 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             if "soc" in fams_u else ()
         n_lin_x, n_lin_u = spec.n_state_lin, spec.n_input_lin
         n_tv_x, n_tv_u = spec.n_tv_state_lin, spec.n_tv_input_lin
+        rho_c = ((float(cache.rho) if settings.consensus_rho is None
+                  else float(settings.consensus_rho)) if consensus else 0.0)
 
         bwd_kernel, _ = _backward_kernel(C, N, nx, nu, rho, mm_mode,
                                          n_fx=len(fams_x),
-                                         n_fu=len(fams_u))
+                                         n_fu=len(fams_u),
+                                         consensus=consensus, rho_c=rho_c)
         fwd_kernel, _ = _forward_kernel(
             C, N, nx, nu, rho, settings.check_termination,
             float(settings.abs_pri_tol), float(settings.abs_dua_tol),
             mm_mode, fams_x=fams_x, fams_u=fams_u,
             state_cones=scones, input_cones=icones,
             mus_x=mus_x, mus_u=mus_u, n_lin_x=n_lin_x, n_lin_u=n_lin_u,
-            n_tv_x=n_tv_x, n_tv_u=n_tv_u)
+            n_tv_x=n_tv_x, n_tv_u=n_tv_u, consensus=consensus, group=group)
         if warm:
             fwd_stale_kernel, _ = _forward_kernel(
                 C, N, nx, nu, rho, settings.check_termination,
@@ -569,16 +652,19 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
 
         fam_x_specs = [chunk_spec(nx, rev=True)] * (2 * len(fams_x))
         fam_u_specs = [chunk_spec(nu, rev=True)] * (2 * len(fams_u))
+        cons_bwd_in = ([lane_spec(nu), lane_spec(nu)] if consensus else [])
+        cons_bwd_const = ([const_spec((nu, nu))] if consensus else [])
         bwd_call = pl.pallas_call(
             bwd_kernel,
             grid=(T, Jc),
             in_specs=([chunk_spec(nx, rev=True), chunk_spec(nx, rev=True),
                        chunk_spec(nu, rev=True), chunk_spec(nu, rev=True)]
-                      + fam_x_specs + fam_u_specs
+                      + fam_x_specs + fam_u_specs + cons_bwd_in
                       + [row_table_spec(nx, rev=True),
                          row_table_spec(nu, rev=True),
                          const_spec(Mback.shape), const_spec(KinfT.shape),
-                         const_spec(Quu.shape), const_spec((nx, 1)),
+                         const_spec(Quu.shape)] + cons_bwd_const
+                      + [const_spec((nx, 1)),
                          const_spec((nu, 1)), const_spec((nx, 1))]),
             out_specs=chunk_spec(nu, rev=True),
             out_shape=jax.ShapeDtypeStruct((N, nu, B), dtype),
@@ -593,6 +679,11 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             fu = () if stale else fams_u
             fam_in = ([chunk_spec(nx)] * (2 * len(fx))
                       + [chunk_spec(nu)] * (2 * len(fu)))
+            cons_in = ([lane_spec(nu), lane_spec(nu),
+                        const_spec((nu + nx, nx)),
+                        const_spec((tile, tile // max(group, 1))),
+                        const_spec((tile // max(group, 1), tile))]
+                       if (consensus and not stale) else [])
             stale_in = [chunk_spec(nx), chunk_spec(nu)] if stale else []
             proj_in = []
             if not stale:
@@ -620,7 +711,8 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                                       memory_space=pltpu.SMEM),
                          chunk_spec(nx), chunk_spec(nx),
                          chunk_spec(nu), chunk_spec(nu), chunk_spec(nu),
-                         lane_spec(nx)] + fam_in + stale_in + proj_in
+                         lane_spec(nx)] + fam_in + cons_in + stale_in
+                        + proj_in
                         + [lane_spec(1), lane_spec(1), lane_spec(4),
                            bound_spec(nx), bound_spec(nx),
                            bound_spec(nu), bound_spec(nu),
@@ -631,11 +723,17 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             fam_out_specs = ([chunk_spec(nx)] * (2 * len(fx))
                              + [chunk_spec(nu)] * (2 * len(fu)))
             fam_out_shape = [zxs] * (2 * len(fx)) + [zus] * (2 * len(fu))
+            cons_out_specs = ([lane_spec(nu), lane_spec(nu)]
+                              if (consensus and not stale) else [])
+            cons_out_shape = ([jax.ShapeDtypeStruct((nu, B), dtype)] * 2
+                              if (consensus and not stale) else [])
             out_specs = ([chunk_spec(nx), chunk_spec(nx),
                           chunk_spec(nu), chunk_spec(nu)] + fam_out_specs
+                         + cons_out_specs
                          + [lane_spec(1), lane_spec(1), lane_spec(4),
                             lane_spec(1)])
             out_shape = ([zxs, zxs, zus, zus] + fam_out_shape
+                         + cons_out_shape
                          + [jax.ShapeDtypeStruct((1, B), jnp.int32),
                             jax.ShapeDtypeStruct((1, B), jnp.int32),
                             jax.ShapeDtypeStruct((4, B), dtype),
@@ -694,6 +792,17 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
         if n_tv_u:
             proj_data += [padN(jnp.asarray(cons.tv_Alin_u, dtype)),
                           padN(jnp.asarray(cons.tv_blin_u, dtype))]
+
+        if consensus:
+            from .admm_pallas import _segment_matrices
+            Quu0 = jnp.asarray(cache.Quu0_inv, dtype)
+            Kinf0s = jnp.concatenate([jnp.asarray(cache.Kinf0, dtype),
+                                      jnp.asarray(prob.A, dtype)], axis=0)
+            Sseg, STseg = _segment_matrices(tile, group)
+            # Cold consensus slack/dual seeds (admm.seed_extra_slacks:
+            # zc0 from the zero cold u, dual zero).
+            state0.update(zc0=jnp.zeros((nu, B), dtype),
+                          yc0=jnp.zeros((nu, B), dtype))
         if warm:
             # Per-lane carry-freeze snapshots (the resident kernel's snap
             # machinery, admm_pallas lines around its snap refs): filled at
@@ -707,8 +816,10 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             on warm solves), paid only on iterations where a lane
             converged."""
             fam_args = [a for pair in s["fx"] + s["fu"] for a in pair]
+            cons_lane = [s["zc0"], s["yc0"]] if consensus else []
             d = bwd_call(s["vnew"], s["g"], s["znew"], s["y"], *fam_args,
-                         neg_xref_q, neg_uref_r, Mback, KinfT, Quu,
+                         *cons_lane, neg_xref_q, neg_uref_r, Mback, KinfT,
+                         Quu, *([Quu0] if consensus else []),
                          APf, BPf, pterm)
             itm = s["it"].reshape(1, 1)
             args = [itm, s["vnew"], s["g"], s["znew"], s["y"], d, x0k]
@@ -717,6 +828,8 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                 args += [stale_v, stale_z]
                 call = fwd_stale_call
             else:
+                if consensus:
+                    args += [s["zc0"], s["yc0"], Kinf0s, Sseg, STseg]
                 args += proj_data
                 call = fwd_call
             args += [s["iters"], s["done"], s["res"],
@@ -726,6 +839,8 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             vnew, g, znew, y = next(o), next(o), next(o), next(o)
             fx_new = [(next(o), next(o)) for _ in fams_x]
             fu_new = [(next(o), next(o)) for _ in fams_u]
+            cons_new = ({"zc0": next(o), "yc0": next(o)}
+                        if consensus else {})
             iters, done, res, just = next(o), next(o), next(o), next(o)
 
             jm = (just[0] == 1)[None, None, :]
@@ -755,7 +870,7 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             out = dict(it=s["it"] + 1, vnew=vnew, g=g, znew=znew, y=y,
                        iters=iters, done=done, res=res,
                        outx=blended[0], outu=blended[1],
-                       fx=fx_new, fu=fu_new)
+                       fx=fx_new, fu=fu_new, **cons_new)
             if warm:
                 out.update(sv=blended[2], sz=blended[3], sg=blended[4],
                            sy=blended[5], svst=blended[6], szst=blended[7])
@@ -785,8 +900,18 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                        # driver negates this with ~ on the host)
                        x=outx.transpose(0, 2, 1),             # (N, B, nx)
                        u=outu.transpose(0, 2, 1))
+        res_out = s["res"]
+        if group_shape is not None:
+            # Consensus batches go back to (n_groups, group) axes like
+            # tinympc_tpu.solve's batch shape.
+            ng, G = group_shape
+            sol = Solution(iter=sol.iter.reshape(ng, G),
+                           solved=sol.solved.reshape(ng, G),
+                           x=sol.x.reshape(N, ng, G, nx),
+                           u=sol.u.reshape(N - 1, ng, G, nu))
+            res_out = res_out.reshape(4, ng, G)
         if not warm:
-            return sol, s["res"], None
+            return sol, res_out, None
 
         # Carry merge (the resident kernel's end-merge): converged lanes
         # restore their snapshots; max-iter lanes hand over the final

@@ -267,6 +267,29 @@ def check_streamed_hyperplanes():
         f"max |dx| = {np.abs(np.asarray(sol_s.x) - np.asarray(sol_r.x)).max()}"
 
 
+@check("streamed kernel consensus groups: matches XLA path (N=64)")
+def check_streamed_consensus():
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import solve_fused_streamed
+    N, ng, G = 64, 16, 8
+    prob = tm.with_consensus(_quadrotor(max_iter=100, N=N,
+                                        matmul_precision="highest"))
+    rng = np.random.default_rng(13)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (ng, G, 12)), jnp.float32)
+    Xref = jnp.tile(jnp.asarray([0, 0, 0.5] + [0.0] * 9, jnp.float32),
+                    (N, 1))
+    sol_r, _, _ = tm.solve(prob, tm.init_state(prob, (ng, G)), Xref=Xref,
+                           x0=x0s)
+    sol_s, _ = solve_fused_streamed(prob, Xref, None, x0s, tile=ng * G)
+    du = np.abs(np.asarray(sol_s.u) - np.asarray(sol_r.u)).max()
+    # The in-kernel one-hot segment mean sums lanes in a different order
+    # than XLA's group-axis mean; round-off level differences only.
+    assert du < 1e-4, f"max |du| = {du}"
+    it_s, it_r = np.asarray(sol_s.iter), np.asarray(sol_r.iter)
+    assert np.mean(np.abs(it_s - it_r) <= 1) >= 0.99
+
+
 @check("streamed warm sequence: tracks the XLA persistent-state sequence")
 def check_streamed_warm_sequence():
     import jax.numpy as jnp
