@@ -253,6 +253,32 @@ def main():
         record(f"rocket SOC N={N} full-descent (fused streamed)", B,
                B * it20 / dt, "iters*B/s", "", sp)
 
+    # --- long-horizon adaptive rho through the streamed kernel ---
+    # Round 3: adaptive fleets past the VMEM wall previously had only the
+    # XLA path (the resident tile collapses at N=256). The streamed
+    # kernel's chunk-streamed OSQP reductions keep the tile wide.
+    with section("long horizon adaptive"):
+        from tinympc_tpu.kernels import solve_fused_streamed
+        N, B, it20 = 256, 1024, 20
+        plha, _ = _mk("quadrotor_20hz", N, f32, max_iter=it20,
+                      adaptive_rho=True)
+        plha = tm.with_bounds(plha, x_min=-5.0, x_max=5.0, u_min=-0.5,
+                              u_max=0.5)
+        Xlh = jnp.zeros((N, 12), f32).at[:, 2].set(1.0)
+        x0lh = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
+        fax = jax.jit(lambda x: tm.solve_(plha, tm.init_state(plha, (B,)),
+                                          Xlh, None, x)[0].iter)
+        out, dt, sp = bench("lh_adapt_xla", fax, x0lh)
+        record(f"long horizon N={N} adaptive rho (XLA)", B, B * it20 / dt,
+               "iters*B/s", "", sp)
+        fas = jax.jit(lambda x: solve_fused_streamed(plha, Xlh, None,
+                                                     x)[0].iter)
+        out, dt, sp = bench("lh_adapt_stream", fas, x0lh)
+        record(f"long horizon N={N} adaptive rho (fused streamed)", B,
+               B * it20 / dt, "iters*B/s",
+               "telescoped Taylor caches, chunk-streamed OSQP reductions",
+               sp)
+
     # --- to-convergence: per-tile early exit vs lane compaction ---
     # Uniformly hard workload (the oracle's: nearly every lane runs long):
     # tile exit alone is optimal. Mixed-difficulty workload (easy lanes

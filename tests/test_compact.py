@@ -237,3 +237,31 @@ def test_compact_auto_backend_picks_streamed_at_long_n():
     x0s = jnp.asarray(rng.uniform(-0.1, 0.1, (8, 12)), jnp.float32)
     sol, res = solver(x0s)
     assert sol.x.shape == (256, 8, 12)
+
+
+def test_compact_streamed_adaptive_matches_resident():
+    """Adaptive-rho compaction through the streamed backend (round 3):
+    per-phase the streamed and resident kernels share every association
+    order, so the whole chunked adaptive solve must agree across
+    backends — identical per-problem iteration counts and solved masks,
+    iterates to jit-compilation round-off (XLA:CPU fuses FMAs
+    differently per program; on real hardware both kernels lower through
+    Mosaic and agree bitwise, pinned by tools/run_tpu_checks.py's
+    streamed-adaptive check), including the final-rho residual row and
+    the restarted per-chunk adaptation clock."""
+    from tinympc_tpu.kernels import make_compact_solver
+    prob = _quadrotor(max_iter=40, adaptive_rho=True)
+    B = 16
+    x0s = _mixed_x0s(B)
+    kw = dict(chunk=20, tile=B, min_batch=B, interpret=True)
+    sol_r, res_r = make_compact_solver(prob, backend="resident", **kw)(x0s)
+    sol_s, res_s = make_compact_solver(prob, backend="streamed", **kw)(x0s)
+    assert res_s.shape[0] == 5
+    np.testing.assert_array_equal(np.asarray(sol_s.iter),
+                                  np.asarray(sol_r.iter))
+    np.testing.assert_array_equal(np.asarray(sol_s.solved),
+                                  np.asarray(sol_r.solved))
+    np.testing.assert_allclose(np.asarray(sol_s.x), np.asarray(sol_r.x),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_s[4]), np.asarray(res_r[4]),
+                               rtol=1e-4)

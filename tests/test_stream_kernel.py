@@ -194,9 +194,9 @@ def test_stream_hyperplanes_match_xla_interpret():
 
 def test_stream_unsupported_specs_raise():
     prob = _problem(16)
-    with pytest.raises(ValueError):
-        solve_fused_streamed(tm.with_settings(prob, adaptive_rho=True),
-                             None, None, jnp.zeros((8, 12)), interpret=True)
+    # Adaptive rho is supported (round 3) — the builders auto-attach the
+    # sensitivity matrices, so the spec passes the gate.
+    assert stream_supported(tm.with_settings(prob, adaptive_rho=True))
     # Local consensus is supported cold; x0s must carry the
     # (n_groups, group, nx) structure.
     cons = tm.with_consensus(prob)
@@ -241,3 +241,119 @@ def test_stream_consensus_matches_xla_interpret():
     for gi in range(ng):
         if solved[gi].all():
             assert np.ptp(u0[gi], axis=0).max() < 2 * 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Adaptive rho on the streamed path (round 3): the telescoped Taylor
+# subsystem with the OSQP reductions streamed across horizon chunks.
+# The streamed kernel reproduces the *resident* kernel's association
+# orders exactly, so those comparisons are bitwise; vs the XLA path the
+# comparison is tolerance-based like tests/test_fused_adaptive.py.
+# ---------------------------------------------------------------------------
+
+def _adaptive_problem(N=16, max_iter=40, apply_c=False, soc=False):
+    prob = _problem(N, max_iter=max_iter, adaptive_rho=True,
+                    adaptive_rho_apply_c=apply_c)
+    if soc:
+        prob = tm.with_cones(prob, input_cones=[(0, 3, 0.6)])
+        prob = tm.with_settings(prob, max_iter=max_iter, adaptive_rho=True,
+                                adaptive_rho_apply_c=apply_c)
+    return tm.with_sensitivities(prob,
+                                 systems.crazyflie_sensitivity_tables())
+
+
+def _xref(N):
+    return jnp.tile(jnp.asarray([0, 0, 0.5, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                                jnp.float32), (N, 1))
+
+
+@pytest.mark.parametrize("apply_c", [False, True])
+def test_stream_adaptive_bitwise_vs_resident(apply_c):
+    """Box adaptive solves: streamed == resident fused kernel *bitwise*
+    (identical mm scheme and association orders; the chunk-streamed
+    pending-row reductions reproduce the whole-trajectory OSQP block
+    exactly), and within tolerance of the XLA path with identical
+    iteration counts."""
+    from tinympc_tpu.kernels import solve_fused
+    prob = _adaptive_problem(apply_c=apply_c)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.uniform(-0.4, 0.4, (8, 12)), jnp.float32)
+    Xref = _xref(16)
+    sol_f, res_f = solve_fused(prob, Xref, None, x0s, tile=8,
+                               interpret=True)
+    sol_s, res_s = solve_fused_streamed(prob, Xref, None, x0s, tile=8,
+                                        chunk=4, interpret=True)
+    assert res_s.shape[0] == 5, "adaptive res must carry the final-rho row"
+    np.testing.assert_array_equal(np.asarray(sol_s.x), np.asarray(sol_f.x))
+    np.testing.assert_array_equal(np.asarray(sol_s.u), np.asarray(sol_f.u))
+    np.testing.assert_array_equal(np.asarray(res_s[4]), np.asarray(res_f[4]))
+    np.testing.assert_array_equal(np.asarray(sol_s.iter),
+                                  np.asarray(sol_f.iter))
+    # rho must actually have moved for the test to mean anything.
+    assert np.any(np.abs(np.asarray(res_s[4]) - float(prob.cache.rho))
+                  > 1e-3)
+    # And the XLA path agrees to tolerance (association differs).
+    sol_r, st_r, cache_r = tm.solve(prob, tm.init_state(prob, (8,)),
+                                    Xref=Xref, x0=x0s)
+    np.testing.assert_allclose(np.asarray(sol_s.x), np.asarray(sol_r.x),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(res_s[4]), np.asarray(cache_r.rho),
+                               rtol=1e-3)
+    assert np.all(np.abs(np.asarray(sol_s.iter)
+                         - np.asarray(sol_r.iter)) <= 2)
+
+
+def test_stream_adaptive_soc_matches_xla():
+    """Adaptive rho composes with extra projection families on the
+    streamed path (the backward sweep folds family terms with the
+    per-lane rho row)."""
+    prob = _adaptive_problem(soc=True)
+    rng = np.random.default_rng(4)
+    x0s = jnp.asarray(rng.uniform(-0.4, 0.4, (8, 12)), jnp.float32)
+    Xref = _xref(16)
+    sol_r, st_r, cache_r = tm.solve(prob, tm.init_state(prob, (8,)),
+                                    Xref=Xref, x0=x0s)
+    sol_s, res_s = solve_fused_streamed(prob, Xref, None, x0s, tile=8,
+                                        chunk=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(sol_s.x), np.asarray(sol_r.x),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(sol_s.u), np.asarray(sol_r.u),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(res_s[4]), np.asarray(cache_r.rho),
+                               rtol=1e-3)
+    assert np.all(np.abs(np.asarray(sol_s.iter)
+                         - np.asarray(sol_r.iter)) <= 2)
+
+
+def test_stream_adaptive_warm_sequence_bitwise_vs_resident():
+    """Warm-started adaptive streamed solves: rho rides the FusedCarry,
+    bitwise-equal to a resident solve_fused_warm sequence (per-lane
+    freeze incl. the frozen rho of converged lanes)."""
+    from tinympc_tpu.kernels import init_carry, solve_fused_warm
+    from tinympc_tpu.kernels import solve_fused_streamed_warm
+    prob = _adaptive_problem(max_iter=25)
+    B, T = 8, 3
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.uniform(-0.4, 0.4, (B, 12)), jnp.float32)
+    Xref = _xref(16)
+    carry_f = init_carry(prob, B)
+    carry_s = init_carry(prob, B)
+    for t in range(T):
+        sol_f, _, carry_f = solve_fused_warm(prob, Xref, None, x0, carry_f,
+                                             tile=B, interpret=True)
+        sol_s, res_s, carry_s = solve_fused_streamed_warm(
+            prob, Xref, None, x0, carry_s, tile=B, chunk=4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(sol_s.u),
+                                      np.asarray(sol_f.u))
+        np.testing.assert_array_equal(np.asarray(carry_s.rho),
+                                      np.asarray(carry_f.rho))
+        np.testing.assert_array_equal(np.asarray(sol_s.iter),
+                                      np.asarray(sol_f.iter))
+        u0 = sol_s.u[0]
+        x0 = (jnp.einsum('ij,bj->bi', prob.A, x0)
+              + jnp.einsum('ij,bj->bi', prob.B, u0) + prob.f)
+    # Carry contract: rho present exactly when adaptive.
+    fixed = _problem(16)
+    with pytest.raises(ValueError):
+        solve_fused_streamed_warm(fixed, None, None, x0, carry_s,
+                                  interpret=True)

@@ -37,16 +37,18 @@ on v5e (quadrotor, N=512, B=1024, 20 iterations): 2.6x the XLA
 sequential path end-to-end, vs 1.4x for the resident kernel at its
 VMEM-forced tile of 128 (see BENCH_TABLE.md).
 
-Scope: every projection family (box / SOC / hyperplane / tv-hyperplane)
-and local consensus groups at fixed rho, cold
+Scope: every projection family (box / SOC / hyperplane / tv-hyperplane),
+local consensus groups, and adaptive rho (the IROS-2025 subsystem:
+telescoped per-lane Taylor caches exactly as in the resident kernel, with
+the matrix-free OSQP residual reductions *streamed across horizon chunks*
+via pending-row scratch — see _forward_kernel), cold
 (:func:`solve_fused_streamed` — conic long-N is the full-trajectory
-powered-descent regime); warm-started box solves
+powered-descent regime); warm-started box solves, fixed or adaptive rho
 (:func:`solve_fused_streamed_warm`, same
 :class:`~.admm_pallas.FusedCarry` contract — the iterate arrays are
 already HBM-resident, so the carry is just the while-state handed in and
 out, with a stale-aware first iteration and per-lane freeze snapshots).
-Only adaptive rho (and consensus over a named mesh axis) stays on the
-resident kernel / XLA paths.
+Only consensus over a named mesh axis stays on the XLA path.
 """
 from __future__ import annotations
 
@@ -108,7 +110,8 @@ def _chunk_size(N: int, chunk: int) -> int:
 
 
 def _backward_kernel(C, N, nx, nu, rho, mm_mode, n_fx=0, n_fu=0,
-                     consensus=False, rho_c=0.0):
+                     consensus=False, rho_c=0.0, adaptive=False,
+                     apply_c=False):
     """Grid (T, Jc), chunk index reversed in the index maps. Scratch: the
     rolling costate p (nx, Bt), persistent across the chunk steps of one
     tile (the TPU grid is sequential; scratch survives grid steps).
@@ -117,13 +120,24 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, n_fx=0, n_fu=0,
     into q/r (admm.cpp:268-303) — the backward sweep only needs the
     terms, not the projections, so families are anonymous here.
     ``consensus`` adds the u[0] prox: r[0] gains -rho_c (zc0 - yc0) and
-    d[0] uses the baked exact-prox gain Quu0 (admm.backward_pass)."""
+    d[0] uses the baked exact-prox gain Quu0 (admm.backward_pass).
+
+    ``adaptive`` telescopes the per-lane Taylor caches exactly like the
+    resident kernel (admm_pallas._make_kernel docstring): a (1, Bt) rho
+    row rides the while-state, and each matvec against a Taylor-updated
+    matrix is the base dot plus a drho-scaled sensitivity dot — KinfT
+    pairs with dKinf^T, the terminal reference row gains
+    drho * (-dPinf^T Xref[N-1]), and with ``apply_c``
+    (Settings.adaptive_rho_apply_c) Quu_inv/AmBKt pair with dC1/dC2
+    (the AmBKt delta stacked under a zero block so the fused Mback dot
+    stays a single launch-wide matmul)."""
     Jc = N // C
     prep, mm = _bf16x3_helpers(mm_mode)
 
     def kernel(*refs):
         it = iter(refs)
         nxt = lambda: next(it)
+        rho_ref = nxt() if adaptive else None
         vnew_ref, g_ref, znew_ref, y_ref = nxt(), nxt(), nxt(), nxt()
         fx_refs = [(nxt(), nxt()) for _ in range(n_fx)]
         fu_refs = [(nxt(), nxt()) for _ in range(n_fu)]
@@ -133,6 +147,10 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, n_fx=0, n_fu=0,
         Mback_ref, KinfT_ref, Quu_ref = nxt(), nxt(), nxt()
         Quu0_ref = nxt() if consensus else None
         APf_ref, BPf_ref, pterm_ref = nxt(), nxt(), nxt()
+        dKT_ref = nxt() if adaptive else None
+        ptermdP_ref = nxt() if adaptive else None
+        dC1_ref = nxt() if (adaptive and apply_c) else None
+        dMb_ref = nxt() if (adaptive and apply_c) else None
         d_ref, p_scr = nxt(), nxt()
 
         j = pl.program_id(1)               # 0 = chunk Jc-1 (terminal end)
@@ -142,20 +160,45 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, n_fx=0, n_fu=0,
         Quu0 = prep(Quu0_ref[:]) if consensus else None
         APf, BPf = APf_ref[:], BPf_ref[:]
 
+        if adaptive:
+            rho_b = rho_ref[:]             # (1, Bt) per-lane rho
+            drho = rho_b - rho
+            dKT = prep(dKT_ref[:])
+            dC1 = prep(dC1_ref[:]) if apply_c else None
+            dMb = prep(dMb_ref[:]) if apply_c else None
+        else:
+            rho_b = rho
+
+        def mmKT(vv):
+            o = mm(KinfT, vv)
+            return o + drho * mm(dKT, vv) if adaptive else o
+
+        def mmQuu(vv):
+            o = mm(Quu, vv)
+            return o + drho * mm(dC1, vv) if (adaptive and apply_c) else o
+
+        def mmMback(vv):
+            o = mm(Mback, vv)
+            return o + drho * mm(dMb, vv) if (adaptive and apply_c) else o
+
         vnew, g = vnew_ref[:], g_ref[:]    # (C, nx, Bt)
         znew, y = znew_ref[:], y_ref[:]    # (C, nu, Bt)
         # One chunk term per family, accumulated sequentially in family
         # order (matching the XLA path's per-family subtraction order so
         # floating-point association is identical).
-        fx_terms = [-rho * (s[:] - d[:]) for s, d in fx_refs]
-        fu_terms = [-rho * (s[:] - d[:]) for s, d in fu_refs]
+        fx_terms = [-rho_b * (s[:] - d[:]) for s, d in fx_refs]
+        fu_terms = [-rho_b * (s[:] - d[:]) for s, d in fu_refs]
 
         # Terminal costate at the tile's first (reverse-order) chunk:
         # p[N-1] = -Pinf^T Xref[N-1] - rho sum_f (slack[N-1] - dual[N-1])
-        # (admm.cpp:292-303). Other chunks continue the rolled scratch.
+        # (admm.cpp:292-303); with adaptive rho the reference row first
+        # gains its Taylor term drho * (-dPinf^T Xref[N-1]) (the resident
+        # kernel's pN_ref_dP). Other chunks continue the rolled scratch.
         @pl.when(j == 0)
         def _():
-            p0 = pterm_ref[:] - rho * (vnew[C - 1] - g[C - 1])
+            pterm = (pterm_ref[:] + drho * ptermdP_ref[:] if adaptive
+                     else pterm_ref[:])
+            p0 = pterm - rho_b * (vnew[C - 1] - g[C - 1])
             for t in fx_terms:
                 p0 = p0 + t[C - 1]
             p_scr[:] = p0
@@ -166,13 +209,13 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, n_fx=0, n_fu=0,
         # row (li = C-1 of the first chunk) only seeds p (handled above);
         # its d row is dead.
         for li in range(C - 1, -1, -1):
-            r_i = nur_ref[li] - rho * (znew[li] - y[li])
+            r_i = nur_ref[li] - rho_b * (znew[li] - y[li])
             for t in fu_terms:
                 r_i = r_i + t[li]
-            q_i = nxq_ref[li] - rho * (vnew[li] - g[li])
+            q_i = nxq_ref[li] - rho_b * (vnew[li] - g[li])
             for t in fx_terms:
                 q_i = q_i + t[li]
-            pout = mm(Mback, p)
+            pout = mmMback(p)
             bp, ap = pout[:nu], pout[nu:]
             if consensus and li == 0:
                 # Global row 0 lives in the last reverse-order chunk: the
@@ -182,12 +225,12 @@ def _backward_kernel(C, N, nx, nu, rho, mm_mode, n_fx=0, n_fu=0,
                 is_r0 = j == Jc - 1
                 r_0 = r_i - rho_c * (zc0_ref[:] - yc0_ref[:])
                 d_0 = mm(Quu0, bp + r_0 + BPf)
-                d_n = jnp.where(is_r0, d_0, mm(Quu, bp + r_i + BPf))
+                d_n = jnp.where(is_r0, d_0, mmQuu(bp + r_i + BPf))
                 r_sel = jnp.where(is_r0, r_0, r_i)
-                p_n = q_i + ap - mm(KinfT, r_sel) + APf
+                p_n = q_i + ap - mmKT(r_sel) + APf
             else:
-                d_n = mm(Quu, bp + r_i + BPf)
-                p_n = q_i + ap - mm(KinfT, r_i) + APf
+                d_n = mmQuu(bp + r_i + BPf)
+                p_n = q_i + ap - mmKT(r_i) + APf
             if li == C - 1:
                 # On the first chunk this row is the terminal: keep p as
                 # seeded and write a dead d row; elsewhere a normal step.
@@ -207,7 +250,9 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
                     abs_pri_tol, abs_dua_tol, mm_mode, stale=False,
                     fams_x=(), fams_u=(), state_cones=(), input_cones=(),
                     mus_x=(), mus_u=(), n_lin_x=0, n_lin_u=0,
-                    n_tv_x=0, n_tv_u=0, consensus=False, group=0):
+                    n_tv_x=0, n_tv_u=0, consensus=False, group=0,
+                    adaptive=False, adapt_period=5, rho_min=1.0,
+                    rho_max=100.0, rho_clip=True):
     """Grid (T, Jc) forward order. Scratch: rolling x (nx, Bt) and the
     four residual max-accumulators (8, Bt; rows 0-3 used). Bookkeeping
     (iters/done/res) updates commit at each tile's last chunk.
@@ -222,7 +267,21 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
     ``fams_x``/``fams_u``: ordered extra-family kinds per side (subsets
     of ("soc", "lin", "tv")); each contributes a (slack, dual) chunked
     in/out pair and applies its projection whole-chunk with the resident
-    kernel's exact helpers."""
+    kernel's exact helpers.
+
+    ``adaptive`` (the IROS-2025 subsystem): per-lane rho rides a (1, Bt)
+    row through the while-state; the rollout gain telescopes via a
+    stacked [dKinf; 0] sensitivity dot, and every ``adapt_period``
+    iterations the matrix-free OSQP residuals (rho_benchmark.cpp:127-197,
+    same association orders as the resident kernel's in-kernel block) are
+    accumulated *across the streamed chunks*: per-row terms that couple
+    row i to row i+1 (the dynamics residual A x_i + B u_i - x_{i+1}, and
+    the dual-residual rows A^T g_{i+1} / B^T g_{i+1}) are held as
+    "pending" VMEM scratch rows and finished when the next row's dual is
+    in hand, so one streamed pass produces exactly the resident kernel's
+    whole-trajectory reductions. The rho row updates at the tile's last
+    chunk, before the termination check (which scales dual residuals with
+    the post-adaptation rho, like admm.solve)."""
     Jc = N // C
     prep, mm = _bf16x3_helpers(mm_mode)
     f32 = jnp.float32
@@ -231,6 +290,7 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         it = iter(refs)
         nxt = lambda: next(it)
         it_ref = nxt()                      # scalar SMEM (1,1)
+        rho_in_ref = nxt() if adaptive else None
         vnew_ref, g_ref, znew_ref, y_ref, d_ref, x0_ref = (
             nxt(), nxt(), nxt(), nxt(), nxt(), nxt())
         fx_in = [(nxt(), nxt()) for _ in fams_x]
@@ -253,13 +313,23 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         iters_in, done_in, res_in = nxt(), nxt(), nxt()
         xmin_ref, xmax_ref, umin_ref, umax_ref = nxt(), nxt(), nxt(), nxt()
         Mfwd_ref, B_ref, f_ref = nxt(), nxt(), nxt()
+        if adaptive:
+            dMf_ref, AT_ref, BTc_ref = nxt(), nxt(), nxt()
+            Pinf_ref, dP_ref, qx_ref, ru_ref = nxt(), nxt(), nxt(), nxt()
         vnew_out, g_out, znew_out, y_out = nxt(), nxt(), nxt(), nxt()
         fx_out = [(nxt(), nxt()) for _ in fams_x]
         fu_out = [(nxt(), nxt()) for _ in fams_u]
         zc0_out = nxt() if consensus else None
         yc0_out = nxt() if consensus else None
         iters_out, done_out, res_out, just_out = nxt(), nxt(), nxt(), nxt()
+        rho_out = nxt() if adaptive else None
         x_scr, acc_scr = nxt(), nxt()
+        if adaptive:
+            # Pending rows of the chunk-streamed OSQP reductions (see
+            # docstring): s_i = A x_i + B u_i, px_i + q_i, masked g_i,
+            # 2 R u_i, y_i — each finished at row i+1.
+            ps_scr, ppxq_scr, pg_scr, pt_scr, py_scr = (
+                nxt(), nxt(), nxt(), nxt(), nxt())
         j = pl.program_id(1)
 
         from .admm_pallas import _apply_hyperplanes, _apply_tv_hyperplanes
@@ -282,6 +352,16 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         Mfwd0 = prep(Kinf0s_ref[:]) if consensus else None
         Bm = prep(B_ref[:])
         fvec = f_ref[:]
+        if adaptive:
+            rho_b = rho_in_ref[:]              # (1, Bt)
+            drho = rho_b - rho
+            dMf = prep(dMf_ref[:])
+            ATp = prep(AT_ref[:])
+            BTp = prep(BTc_ref[:])
+            Pinfp = prep(Pinf_ref[:])
+            dPp = prep(dP_ref[:])
+            it0 = it_ref[0, 0]
+            adapt_now = (it0 > 0) & (it0 % adapt_period == 0)
 
         @pl.when(j == 0)
         def _():
@@ -302,6 +382,81 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         vns, gns, zns, yns = [], [], [], []
         xs_rows, us_rows = [], []
         last_chunk = j == Jc - 1
+
+        def adapt_row(li, xi, vn_i, gn_i, u_i, zn_i, yn_i, s_i):
+            """OSQP-residual contributions of global row i = j*C + li (see
+            docstring): finish row i-1's pending cross terms against this
+            row's dual/state, accumulate this row's own terms, and leave
+            this row's pendings for row i+1. Association orders match the
+            resident kernel's whole-trajectory block exactly; max-merging
+            across chunks is order-invariant."""
+            @pl.when(adapt_now)
+            def _():
+                mab = lambda a: jnp.max(jnp.abs(a), axis=0)
+                if li == 0:
+                    sel = lambda v: jnp.where(j > 0, v, 0.0)
+                else:
+                    sel = lambda v: v
+                # finish row i-1 (real when i >= 1; row 0 reads garbage
+                # scratch from the previous tile, masked out by sel)
+                aty_prev = mm(ATp, gn_i) - pg_scr[:]
+                D_prev = ppxq_scr[:] + aty_prev
+                aty_in_prev = py_scr[:] + mm(BTp, gn_i)
+                E_prev = pt_scr[:] + aty_in_prev
+                ax_dyn_prev = ps_scr[:] - xi
+                acc_scr[5] = jnp.maximum(
+                    acc_scr[5], sel(mab(ax_dyn_prev - vn_i)))
+                acc_scr[7] = jnp.maximum(acc_scr[7], sel(mab(D_prev)))
+                acc_scr[8] = jnp.maximum(acc_scr[8], sel(mab(E_prev)))
+                acc_scr[11] = jnp.maximum(acc_scr[11], sel(mab(aty_prev)))
+                acc_scr[12] = jnp.maximum(acc_scr[12],
+                                          sel(mab(aty_in_prev)))
+                pn_prev = sel(mab(ax_dyn_prev))
+                # current row terms
+                qrow = qx_ref[:] * xi
+                ruu = ru_ref[:] * u_i
+                if li == C - 1:
+                    # Terminal candidate: px[N-1] = Pinf_b x[N-1]
+                    # (telescoped); its D finishes immediately with
+                    # aty[N-1] = 0 - g[N-1]. Non-last chunks' row C-1 is
+                    # a normal row.
+                    pxN = mm(Pinfp, xi) + drho * mm(dPp, xi)
+                    pxq_t = pxN + qrow
+                    pxq = jnp.where(last_chunk, pxq_t, qrow + qrow)
+                    px_abs = jnp.where(last_chunk, jnp.abs(pxN),
+                                       jnp.abs(qrow))
+                    aty_t = 0.0 - gn_i
+                    zsel = lambda v: jnp.where(last_chunk, v, 0.0)
+                    acc_scr[7] = jnp.maximum(acc_scr[7],
+                                             zsel(mab(pxq_t + aty_t)))
+                    acc_scr[11] = jnp.maximum(acc_scr[11],
+                                              zsel(mab(aty_t)))
+                else:
+                    pxq = qrow + qrow
+                    px_abs = jnp.abs(qrow)
+                acc_scr[9] = jnp.maximum(acc_scr[9],
+                                         jnp.max(px_abs, axis=0))
+                acc_scr[13] = jnp.maximum(acc_scr[13], mab(qrow))
+                ru_m, u_m, z_m = mab(ruu), mab(u_i), mab(zn_i)
+                if li == C - 1:          # the global last row has no input
+                    ru_m = jnp.where(last_chunk, 0.0, ru_m)
+                    u_m = jnp.where(last_chunk, 0.0, u_m)
+                    z_m = jnp.where(last_chunk, 0.0, z_m)
+                acc_scr[10] = jnp.maximum(acc_scr[10], ru_m)
+                v_m = mab(vn_i)
+                if li == 0:              # vn[1:] excludes the first row
+                    v_m = jnp.where(j > 0, v_m, 0.0)
+                acc_scr[6] = jnp.maximum(
+                    acc_scr[6], jnp.maximum(jnp.maximum(pn_prev, u_m),
+                                            jnp.maximum(z_m, v_m)))
+                # pendings for row i+1
+                ps_scr[:] = s_i
+                ppxq_scr[:] = pxq
+                pg_scr[:] = (jnp.where(j > 0, gn_i, jnp.zeros_like(gn_i))
+                             if li == 0 else gn_i)
+                pt_scr[:] = 2.0 * ruu
+                py_scr[:] = yn_i
+
         for li in range(C):
             # State-side slack + dual for global row j*C + li
             # (admm.cpp:85-98, 219-230), residuals on the fly.
@@ -319,6 +474,11 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
             # its rows are dead (d holds a dead row there) and their
             # residual contribution is masked out.
             xout = mm(Mfwd, x)
+            if adaptive:
+                # Telescoped rollout gain: the dKinf block of the stacked
+                # [dKinf; 0] sensitivity pairs the kx rows with their
+                # Taylor delta (the zero block leaves ax untouched).
+                xout = xout + drho * mm(dMf, x)
             if consensus and li == 0:
                 # Global row 0 (first chunk): the exact-prox gain pair
                 # replaces Kinf in u[0] (admm.forward_pass consensus).
@@ -338,7 +498,10 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
                 rd = jnp.where(dead, 0.0, rd)
             pri_i = jnp.maximum(pri_i, ri)
             dua_i = jnp.maximum(dua_i, rd)
-            x = ax + mm(Bm, u_i) + fvec
+            s_i = ax + mm(Bm, u_i)
+            if adaptive:
+                adapt_row(li, x, vn_i, gn_i, u_i, zn_i, yn_i, s_i)
+            x = s_i + fvec
 
         x_scr[:] = x
         acc_scr[0], acc_scr[1] = pri_s, pri_i
@@ -395,8 +558,35 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         def _():
             it1 = it_ref[0, 0] + 1
             active = done_in[0] == 0
-            dua_ss = dua_s * rho
-            dua_ii = dua_i * rho
+            if adaptive:
+                # Commit the rho update from the streamed OSQP reductions
+                # (rho_benchmark.cpp:175-197; association as in the
+                # resident kernel). On non-adapt iterations the where
+                # passes the incoming row through; converged lanes freeze
+                # their rho (active mask), like admm.solve's masked
+                # adaptation. Termination below scales dual residuals
+                # with the *post*-adaptation rho (admm.solve computes
+                # residuals with the adapted cache).
+                eps = 1e-10                     # rho_benchmark.cpp:183
+                pri_res = jnp.maximum(pri_i, acc_scr[5])
+                pri_norm = acc_scr[6]
+                dual_res = jnp.maximum(acc_scr[7], acc_scr[8])
+                dual_norm = jnp.maximum(
+                    jnp.maximum(jnp.maximum(acc_scr[9], acc_scr[10]),
+                                jnp.maximum(acc_scr[11], acc_scr[12])),
+                    jnp.maximum(acc_scr[13], acc_scr[10]))
+                ratio = (pri_res / (pri_norm + eps)) / (
+                    dual_res / (dual_norm + eps) + eps)
+                new_rho = rho_in_ref[0] * jnp.sqrt(ratio)
+                if rho_clip:
+                    new_rho = jnp.clip(new_rho, rho_min, rho_max)
+                rho_t = jnp.where(adapt_now & active, new_rho,
+                                  rho_in_ref[0])
+                rho_out[0] = rho_t
+            else:
+                rho_t = rho
+            dua_ss = dua_s * rho_t
+            dua_ii = dua_i * rho_t
             checking = (it1 % check_termination) == 0
             ok = ((pri_s < abs_pri_tol) & (pri_i < abs_pri_tol)
                   & (dua_ss < abs_dua_tol) & (dua_ii < abs_dua_tol))
@@ -419,10 +609,12 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
 
 def stream_supported(prob: TinyProblem) -> bool:
     """True when this problem can run on the streamed long-horizon path:
-    every projection family (box / SOC / hyperplane / tv-hyperplane) and
-    local consensus groups at fixed rho; only adaptive rho stays on the
-    resident kernel / XLA paths."""
-    return not prob.settings.adaptive_rho
+    every projection family (box / SOC / hyperplane / tv-hyperplane),
+    local consensus groups, and adaptive rho (telescoped, with the OSQP
+    residual reductions streamed across horizon chunks). Only consensus
+    over a named mesh axis stays on the XLA path."""
+    return not (prob.settings.adaptive_rho
+                and prob.cache.dKinf_drho is None)
 
 
 def auto_tile_stream(prob: TinyProblem, chunk: int = DEFAULT_CHUNK) -> int:
@@ -432,6 +624,10 @@ def auto_tile_stream(prob: TinyProblem, chunk: int = DEFAULT_CHUNK) -> int:
     nx, nu, N = prob.spec.nx, prob.spec.nu, prob.spec.N
     per_lane = 4 * chunk * (2 * (4 * nx + 3 * nu)      # backward bufs
                             + 2 * (4 * nx + 5 * nu))   # forward bufs
+    if prob.settings.adaptive_rho:
+        # rho rows + the pending/accumulator scratch of the streamed
+        # OSQP reductions (not double-buffered).
+        per_lane += 4 * (3 * nx + 2 * nu + 8 + 4)
     tables = 4 * N * (2 * nx + 2 * nu + nx + nu)
     fit = max(1, (STREAM_VMEM_BUDGET - tables) // per_lane)
     p = 1
@@ -448,10 +644,12 @@ def solve_fused_streamed(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
 
     Same contract as :func:`~.admm_pallas.solve_fused` (cold start):
     returns ``(Solution, residuals (4, B))`` matching the XLA path's
-    iterates. ``tile`` is the lane width per grid step (auto: widest that
-    fits the chunk-buffer budget, <= 4096); ``chunk`` the horizon rows
-    streamed per grid step (N must split into chunk-sized pieces; a
-    divisor of N is picked automatically).
+    iterates — with adaptive rho the residual array gains a 5th row
+    holding each problem's final rho, like the resident kernel. ``tile``
+    is the lane width per grid step (auto: widest that fits the
+    chunk-buffer budget, <= 4096); ``chunk`` the horizon rows streamed
+    per grid step (N must split into chunk-sized pieces; a divisor of N
+    is picked automatically).
     """
     sol, res, _ = _stream_solve(prob, Xref, Uref, x0s, None, tile, chunk,
                                 interpret)
@@ -466,13 +664,15 @@ def solve_fused_streamed_warm(prob: TinyProblem, Xref=None, Uref=None,
     """Warm-started streamed solve: ``(Solution, residuals, FusedCarry)``.
 
     Same carry contract as :func:`~.admm_pallas.solve_fused_warm` for box
-    specs (the carry's extra-family fields stay ``None``): the workspace
-    persists between solves like the reference's ``tiny_solve`` sequence
-    (SURVEY.md §3.3), iteration 0's dual residual reads the carried
-    one-behind v/z, and converged lanes hand over their first-convergence
-    iterate (per-lane freeze). Build the initial carry with
-    :func:`~.admm_pallas.init_carry`. For receding-horizon loops over
-    long previews (N >> 64) where the resident kernel's tile collapses.
+    specs (the carry's extra-family fields stay ``None``; with adaptive
+    rho the per-lane rho row rides ``carry.rho``, frozen at each lane's
+    convergence): the workspace persists between solves like the
+    reference's ``tiny_solve`` sequence (SURVEY.md §3.3), iteration 0's
+    dual residual reads the carried one-behind v/z, and converged lanes
+    hand over their first-convergence iterate (per-lane freeze). Build
+    the initial carry with :func:`~.admm_pallas.init_carry`. For
+    receding-horizon loops over long previews (N >> 64) where the
+    resident kernel's tile collapses.
     """
     if carry is None:
         raise ValueError("solve_fused_streamed_warm needs a FusedCarry; "
@@ -483,9 +683,11 @@ def solve_fused_streamed_warm(prob: TinyProblem, Xref=None, Uref=None,
 
 def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
     if not stream_supported(prob):
-        raise ValueError("solve_fused_streamed supports fixed-rho specs; "
-                         "use solve_fused / tinympc_tpu.solve for "
-                         "adaptive rho")
+        raise ValueError("adaptive rho on the streamed path needs the "
+                         "sensitivity matrices; configure the problem "
+                         "with with_sensitivities")
+    adaptive = prob.settings.adaptive_rho
+    apply_c = prob.settings.adaptive_rho_apply_c
     spec0 = prob.spec
     fams_x = tuple(k for k, on in (
         ("soc", bool(spec0.enabled_state_cones)),
@@ -502,6 +704,10 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                          "full-trajectory optimization — is cold-start; "
                          "use solve_fused_warm at resident-kernel "
                          "horizons)")
+    if carry is not None and bool(adaptive) != (carry.rho is not None):
+        raise ValueError("carry.rho must be present exactly when "
+                         "adaptive_rho is enabled; build the carry with "
+                         "init_carry(prob, B) for the same problem")
     group_shape = None
     group = 0
     if consensus:
@@ -576,6 +782,25 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
         col = lambda a: jnp.asarray(a, dtype).reshape(-1, 1)
         APf, BPf, fvec = col(cache.APf), col(cache.BPf), col(prob.f)
         Bmat = jnp.asarray(prob.B, dtype)
+        if adaptive:
+            dK = jnp.asarray(cache.dKinf_drho, dtype)
+            dKT = dK.T
+            dP = jnp.asarray(cache.dPinf_drho, dtype)
+            # Taylor term of the terminal reference row (the resident
+            # kernel's pN_ref_dP): drho * (-dPinf^T Xref[N-1]).
+            pterm_dP = (-(dP.T @ Xr[N - 1]))[:, None]
+            dMfwd = jnp.concatenate([dK, jnp.zeros((nx, nx), dtype)],
+                                    axis=0)
+            ATc = jnp.asarray(prob.A, dtype).T
+            BTc = Bmat.T
+            Pinfm = jnp.asarray(cache.Pinf, dtype)
+            qx_col = col(prob.Qdiag)
+            ru_col = col(prob.Rdiag)
+            if apply_c:
+                dC1 = jnp.asarray(cache.dC1_drho, dtype)
+                dMback = jnp.concatenate(
+                    [jnp.zeros((nu, nx), dtype),
+                     jnp.asarray(cache.dC2_drho, dtype)], axis=0)
 
         fin = jnp.finfo(dtype).max
         cons = prob.cons
@@ -609,22 +834,30 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
         rho_c = ((float(cache.rho) if settings.consensus_rho is None
                   else float(settings.consensus_rho)) if consensus else 0.0)
 
+        from ..admm import ADAPTIVE_RHO_PERIOD
+        adapt_kw = dict(adaptive=adaptive,
+                        adapt_period=ADAPTIVE_RHO_PERIOD,
+                        rho_min=float(settings.adaptive_rho_min),
+                        rho_max=float(settings.adaptive_rho_max),
+                        rho_clip=bool(settings.adaptive_rho_clip))
         bwd_kernel, _ = _backward_kernel(C, N, nx, nu, rho, mm_mode,
                                          n_fx=len(fams_x),
                                          n_fu=len(fams_u),
-                                         consensus=consensus, rho_c=rho_c)
+                                         consensus=consensus, rho_c=rho_c,
+                                         adaptive=adaptive, apply_c=apply_c)
         fwd_kernel, _ = _forward_kernel(
             C, N, nx, nu, rho, settings.check_termination,
             float(settings.abs_pri_tol), float(settings.abs_dua_tol),
             mm_mode, fams_x=fams_x, fams_u=fams_u,
             state_cones=scones, input_cones=icones,
             mus_x=mus_x, mus_u=mus_u, n_lin_x=n_lin_x, n_lin_u=n_lin_u,
-            n_tv_x=n_tv_x, n_tv_u=n_tv_u, consensus=consensus, group=group)
+            n_tv_x=n_tv_x, n_tv_u=n_tv_u, consensus=consensus, group=group,
+            **adapt_kw)
         if warm:
             fwd_stale_kernel, _ = _forward_kernel(
                 C, N, nx, nu, rho, settings.check_termination,
                 float(settings.abs_pri_tol), float(settings.abs_dua_tol),
-                mm_mode, stale=True)
+                mm_mode, stale=True, **adapt_kw)
 
         # ---- BlockSpecs ----
         def chunk_spec(F, rev=False):
@@ -654,18 +887,25 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
         fam_u_specs = [chunk_spec(nu, rev=True)] * (2 * len(fams_u))
         cons_bwd_in = ([lane_spec(nu), lane_spec(nu)] if consensus else [])
         cons_bwd_const = ([const_spec((nu, nu))] if consensus else [])
+        adapt_bwd_lane = [lane_spec(1)] if adaptive else []
+        adapt_bwd_const = ([const_spec((nx, nu)), const_spec((nx, 1))]
+                           + ([const_spec((nu, nu)),
+                               const_spec((nu + nx, nx))] if apply_c else [])
+                           ) if adaptive else []
         bwd_call = pl.pallas_call(
             bwd_kernel,
             grid=(T, Jc),
-            in_specs=([chunk_spec(nx, rev=True), chunk_spec(nx, rev=True),
-                       chunk_spec(nu, rev=True), chunk_spec(nu, rev=True)]
+            in_specs=(adapt_bwd_lane
+                      + [chunk_spec(nx, rev=True), chunk_spec(nx, rev=True),
+                         chunk_spec(nu, rev=True), chunk_spec(nu, rev=True)]
                       + fam_x_specs + fam_u_specs + cons_bwd_in
                       + [row_table_spec(nx, rev=True),
                          row_table_spec(nu, rev=True),
                          const_spec(Mback.shape), const_spec(KinfT.shape),
                          const_spec(Quu.shape)] + cons_bwd_const
                       + [const_spec((nx, 1)),
-                         const_spec((nu, 1)), const_spec((nx, 1))]),
+                         const_spec((nu, 1)), const_spec((nx, 1))]
+                      + adapt_bwd_const),
             out_specs=chunk_spec(nu, rev=True),
             out_shape=jax.ShapeDtypeStruct((N, nu, B), dtype),
             scratch_shapes=[pltpu.VMEM((nx, tile), dtype)],
@@ -707,17 +947,23 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((C, n_tv_u), lambda t, j: (j, 0),
                                      memory_space=pltpu.VMEM)]
+            adapt_lane = [lane_spec(1)] if adaptive else []
+            adapt_const = ([const_spec(dMfwd.shape), const_spec((nx, nx)),
+                            const_spec((nu, nx)), const_spec((nx, nx)),
+                            const_spec((nx, nx)), const_spec((nx, 1)),
+                            const_spec((nu, 1))] if adaptive else [])
             in_specs = ([pl.BlockSpec((1, 1), lambda t, j: (0, 0),
-                                      memory_space=pltpu.SMEM),
-                         chunk_spec(nx), chunk_spec(nx),
-                         chunk_spec(nu), chunk_spec(nu), chunk_spec(nu),
-                         lane_spec(nx)] + fam_in + cons_in + stale_in
+                                      memory_space=pltpu.SMEM)]
+                        + adapt_lane
+                        + [chunk_spec(nx), chunk_spec(nx),
+                           chunk_spec(nu), chunk_spec(nu), chunk_spec(nu),
+                           lane_spec(nx)] + fam_in + cons_in + stale_in
                         + proj_in
                         + [lane_spec(1), lane_spec(1), lane_spec(4),
                            bound_spec(nx), bound_spec(nx),
                            bound_spec(nu), bound_spec(nu),
                            const_spec(Mfwd.shape), const_spec(Bmat.shape),
-                           const_spec((nx, 1))])
+                           const_spec((nx, 1))] + adapt_const)
             zxs = jax.ShapeDtypeStruct((N, nx, B), dtype)
             zus = jax.ShapeDtypeStruct((N, nu, B), dtype)
             fam_out_specs = ([chunk_spec(nx)] * (2 * len(fx))
@@ -727,25 +973,36 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                               if (consensus and not stale) else [])
             cons_out_shape = ([jax.ShapeDtypeStruct((nu, B), dtype)] * 2
                               if (consensus and not stale) else [])
+            adapt_out_specs = [lane_spec(1)] if adaptive else []
+            adapt_out_shape = ([jax.ShapeDtypeStruct((1, B), dtype)]
+                               if adaptive else [])
             out_specs = ([chunk_spec(nx), chunk_spec(nx),
                           chunk_spec(nu), chunk_spec(nu)] + fam_out_specs
                          + cons_out_specs
                          + [lane_spec(1), lane_spec(1), lane_spec(4),
-                            lane_spec(1)])
+                            lane_spec(1)] + adapt_out_specs)
             out_shape = ([zxs, zxs, zus, zus] + fam_out_shape
                          + cons_out_shape
                          + [jax.ShapeDtypeStruct((1, B), jnp.int32),
                             jax.ShapeDtypeStruct((1, B), jnp.int32),
                             jax.ShapeDtypeStruct((4, B), dtype),
-                            jax.ShapeDtypeStruct((1, B), jnp.int32)])
+                            jax.ShapeDtypeStruct((1, B), jnp.int32)]
+                         + adapt_out_shape)
             return in_specs, out_specs, out_shape
 
+        fwd_scratch = [pltpu.VMEM((nx, tile), dtype),
+                       pltpu.VMEM((16 if adaptive else 8, tile), dtype)]
+        if adaptive:
+            fwd_scratch += [pltpu.VMEM((nx, tile), dtype),   # pending s
+                            pltpu.VMEM((nx, tile), dtype),   # pending px+q
+                            pltpu.VMEM((nx, tile), dtype),   # pending g
+                            pltpu.VMEM((nu, tile), dtype),   # pending 2Ru
+                            pltpu.VMEM((nu, tile), dtype)]   # pending y
         in_s, out_s, out_sh = fwd_specs_shapes(False)
         fwd_call = pl.pallas_call(
             fwd_kernel, grid=(T, Jc), in_specs=in_s, out_specs=out_s,
             out_shape=out_sh,
-            scratch_shapes=[pltpu.VMEM((nx, tile), dtype),
-                            pltpu.VMEM((8, tile), dtype)],
+            scratch_shapes=list(fwd_scratch),
             interpret=interpret,
         )
         if warm:
@@ -753,8 +1010,7 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             fwd_stale_call = pl.pallas_call(
                 fwd_stale_kernel, grid=(T, Jc), in_specs=in_s,
                 out_specs=out_s, out_shape=out_sh,
-                scratch_shapes=[pltpu.VMEM((nx, tile), dtype),
-                                pltpu.VMEM((8, tile), dtype)],
+                scratch_shapes=list(fwd_scratch),
                 interpret=interpret,
             )
 
@@ -771,6 +1027,11 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             res=jnp.zeros((4, B), dtype),
             outx=zx, outu=zu,
         )
+        if adaptive:
+            # Per-lane rho row (the reference's persistent cache->rho);
+            # warm solves continue the carried row.
+            state0["rho"] = (jnp.asarray(carry.rho, dtype) if warm
+                             else jnp.full((1, B), rho, dtype))
         # Cold extra-family slack seeds from the workspace x — zeros with
         # the new x0 in row 0 (admm.cpp:352-376 / admm.seed_extra_slacks);
         # input-side from the (zero) cold u. Duals start zero. One
@@ -817,12 +1078,17 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             converged."""
             fam_args = [a for pair in s["fx"] + s["fu"] for a in pair]
             cons_lane = [s["zc0"], s["yc0"]] if consensus else []
-            d = bwd_call(s["vnew"], s["g"], s["znew"], s["y"], *fam_args,
-                         *cons_lane, neg_xref_q, neg_uref_r, Mback, KinfT,
-                         Quu, *([Quu0] if consensus else []),
-                         APf, BPf, pterm)
+            rho_lane = [s["rho"]] if adaptive else []
+            adapt_bwd = ([dKT, pterm_dP]
+                         + ([dC1, dMback] if apply_c else [])
+                         ) if adaptive else []
+            d = bwd_call(*rho_lane, s["vnew"], s["g"], s["znew"], s["y"],
+                         *fam_args, *cons_lane, neg_xref_q, neg_uref_r,
+                         Mback, KinfT, Quu, *([Quu0] if consensus else []),
+                         APf, BPf, pterm, *adapt_bwd)
             itm = s["it"].reshape(1, 1)
-            args = [itm, s["vnew"], s["g"], s["znew"], s["y"], d, x0k]
+            args = [itm] + rho_lane + [s["vnew"], s["g"], s["znew"],
+                                       s["y"], d, x0k]
             args += fam_args
             if stale_v is not None:
                 args += [stale_v, stale_z]
@@ -834,6 +1100,8 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                 call = fwd_call
             args += [s["iters"], s["done"], s["res"],
                      xmin, xmax, umin, umax, Mfwd, Bmat, fvec]
+            if adaptive:
+                args += [dMfwd, ATc, BTc, Pinfm, dP, qx_col, ru_col]
             outs = call(*args)
             o = iter(outs)
             vnew, g, znew, y = next(o), next(o), next(o), next(o)
@@ -842,6 +1110,7 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             cons_new = ({"zc0": next(o), "yc0": next(o)}
                         if consensus else {})
             iters, done, res, just = next(o), next(o), next(o), next(o)
+            rho_new = next(o) if adaptive else None
 
             jm = (just[0] == 1)[None, None, :]
             prev_v = stale_v if stale_v is not None else s["vnew"]
@@ -871,6 +1140,8 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                        iters=iters, done=done, res=res,
                        outx=blended[0], outu=blended[1],
                        fx=fx_new, fu=fu_new, **cons_new)
+            if adaptive:
+                out["rho"] = rho_new
             if warm:
                 out.update(sv=blended[2], sz=blended[3], sg=blended[4],
                            sy=blended[5], svst=blended[6], szst=blended[7])
@@ -901,6 +1172,10 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                        x=outx.transpose(0, 2, 1),             # (N, B, nx)
                        u=outu.transpose(0, 2, 1))
         res_out = s["res"]
+        if adaptive:
+            # 5th row: per-problem final rho, like solve_fused (feed to
+            # kernels.adapted_cache for the full per-problem cache).
+            res_out = jnp.concatenate([res_out, s["rho"]], axis=0)
         if group_shape is not None:
             # Consensus batches go back to (n_groups, group) axes like
             # tinympc_tpu.solve's batch shape.
@@ -909,7 +1184,7 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                            solved=sol.solved.reshape(ng, G),
                            x=sol.x.reshape(N, ng, G, nx),
                            u=sol.u.reshape(N - 1, ng, G, nu))
-            res_out = res_out.reshape(4, ng, G)
+            res_out = res_out.reshape(res_out.shape[0], ng, G)
         if not warm:
             return sol, res_out, None
 
@@ -925,5 +1200,8 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             y=trim(jnp.where(cm, s["sy"], s["y"])),
             v=jnp.where(cm, s["svst"], s["vnew"]),
             z=trim(jnp.where(cm, s["szst"], s["znew"])),
+            # rho was already frozen per-lane at convergence (the in-kernel
+            # active mask), so the final row is the carry row.
+            rho=s["rho"] if adaptive else None,
         )
-        return sol, s["res"], carry_out
+        return sol, res_out, carry_out

@@ -102,10 +102,11 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
         segmented. None = whole batch at once.
       backend: which warm fused solver runs the phases. "resident"
         (whole trajectories in VMEM, the default regime), "streamed"
-        (HBM-resident trajectories, kernels/admm_stream — box specs
-        only, for horizons past the VMEM wall where the resident tile
-        collapses), or "auto": streamed when the spec allows it and the
-        resident auto tile would drop below 1024 lanes. Both backends
+        (HBM-resident trajectories, kernels/admm_stream — box specs,
+        fixed or adaptive rho, for horizons past the VMEM wall where the
+        resident tile collapses), or "auto": streamed when the spec
+        allows it and the resident auto tile would drop below 1024
+        lanes. Both backends
         hand chunk boundaries over exactly, so the chunked solve stays
         bitwise equal to one long solve of the same backend.
       interpret: run the kernels in interpreter mode (tests).
@@ -123,8 +124,7 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
         raise ValueError(f"explicit tile ({tile}) must be a power of two")
     if backend not in ("auto", "resident", "streamed"):
         raise ValueError(f"unknown backend {backend!r}")
-    stream_ok = not (prob.spec.any_extra_family or prob.spec.en_consensus
-                     or settings.adaptive_rho)
+    stream_ok = not (prob.spec.any_extra_family or prob.spec.en_consensus)
     if backend == "streamed" and not stream_ok:
         raise ValueError("backend='streamed' phases are box-only (the "
                          "streamed warm kernel's scope)")

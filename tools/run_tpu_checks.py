@@ -375,6 +375,32 @@ def check_adaptive_parity():
     assert du < 1e-5, f"max |du| = {du}"
 
 
+@check("streamed adaptive rho: bitwise == resident kernel at N=64")
+def check_streamed_adaptive_parity():
+    """The streamed kernel's chunk-streamed OSQP reductions reproduce the
+    resident kernel's whole-trajectory association orders exactly, so the
+    two Pallas paths must agree bitwise on chip (x, u, iters, final rho);
+    the XLA path agrees to round-off (check_adaptive_parity)."""
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import solve_fused
+    from tinympc_tpu.kernels.admm_stream import solve_fused_streamed
+    prob = _quadrotor(max_iter=60, N=64, adaptive_rho=True,
+                      matmul_precision="high")
+    B = 256
+    x0s = _x0s(B, scale=0.35, seed=11)
+    sol_f, res_f = solve_fused(prob, None, None, x0s)   # auto tiles: the
+    sol_s, res_s = solve_fused_streamed(prob, None, None, x0s)  # lanes are
+    # independent, so differing tile widths cannot change per-lane bits
+    assert res_s.shape[0] == 5
+    assert np.array_equal(np.asarray(sol_s.iter), np.asarray(sol_f.iter))
+    assert np.array_equal(np.asarray(res_s[4]), np.asarray(res_f[4])), \
+        f"max |drho| = {np.abs(np.asarray(res_s[4]) - np.asarray(res_f[4])).max()}"
+    assert np.array_equal(np.asarray(sol_s.x), np.asarray(sol_f.x)), \
+        f"max |dx| = {np.abs(np.asarray(sol_s.x) - np.asarray(sol_f.x)).max()}"
+    rho_moved = np.abs(np.asarray(res_s[4]) - float(prob.cache.rho))
+    assert rho_moved.max() > 1e-3, "rho never adapted — vacuous check"
+
+
 def main():
     import jax
     dev = jax.devices()[0]
