@@ -204,13 +204,14 @@ def test_stream_unsupported_specs_raise():
     with pytest.raises(ValueError):
         solve_fused_streamed(cons, None, None, jnp.zeros((8, 12)),
                              interpret=True)
-    # Extra families are supported cold but not warm.
+    # Extra families are supported cold AND warm (round 3); a carry whose
+    # fields don't match the enabled families is rejected.
     from tinympc_tpu.kernels import init_carry, solve_fused_streamed_warm
     soc = tm.with_cones(prob, input_cones=[(0, 3, 0.5)])
     assert stream_supported(soc)
     with pytest.raises(ValueError):
         solve_fused_streamed_warm(soc, None, None, jnp.zeros((8, 12)),
-                                  init_carry(soc, 8), interpret=True)
+                                  init_carry(prob, 8), interpret=True)
 
 
 def test_stream_consensus_matches_xla_interpret():
@@ -357,3 +358,103 @@ def test_stream_adaptive_warm_sequence_bitwise_vs_resident():
     with pytest.raises(ValueError):
         solve_fused_streamed_warm(fixed, None, None, x0, carry_s,
                                   interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Warm starts for extra families on the streamed path (round 3): family
+# duals + x/u trajectories ride the FusedCarry; each solve re-seeds the
+# family slack from the carried x/u exactly like the reference's
+# per-tiny_solve behavior (admm.cpp:352-376).
+# ---------------------------------------------------------------------------
+
+def _receding(prob, solver_step, x0, T=3):
+    """Run T receding-horizon steps, returning per-step (iter, u0, x)."""
+    outs = []
+    for _ in range(T):
+        sol = solver_step(x0)
+        u0 = sol.u[0]
+        outs.append((np.asarray(sol.iter), np.asarray(u0),
+                     np.asarray(sol.x)))
+        x0 = (jnp.einsum('ij,bj->bi', prob.A, x0)
+              + jnp.einsum('ij,bj->bi', prob.B, u0) + prob.f)
+    return outs
+
+
+@pytest.mark.parametrize("fam", ["soc", "lin", "soc_adaptive"])
+def test_stream_warm_families_track_resident(fam):
+    """Warm streamed sequences with extra families must track the
+    resident solve_fused_warm sequence: identical per-step iteration
+    counts and iterates to round-off (at 'highest' precision XLA's
+    multi-pass dots and the kernels' schemes round differently; the
+    bitwise lane is the on-chip check suite), and the XLA persistent-
+    state sequence for fixed rho."""
+    from tinympc_tpu.kernels import init_carry, solve_fused_warm
+    from tinympc_tpu.kernels import solve_fused_streamed_warm
+    prob = _problem(16, max_iter=30,
+                    adaptive_rho=(fam == "soc_adaptive"))
+    if fam.startswith("soc"):
+        prob = tm.with_cones(prob, input_cones=[(0, 3, 0.6)])
+    else:
+        prob = tm.with_linear_constraints(
+            prob, Alin_x=np.array([[0, 0, 1., 0, 0, 0,
+                                    0, 0, 0, 0, 0, 0]]),
+            blin_x=np.array([3.0]))
+    B = 8
+    rng = np.random.default_rng(6)
+    x0 = jnp.asarray(rng.uniform(-0.4, 0.4, (B, 12)), jnp.float32)
+
+    state = {"cf": init_carry(prob, B), "cs": init_carry(prob, B),
+             "xla": tm.init_state(prob, (B,))}
+
+    def step_f(x):
+        sol, _, state["cf"] = solve_fused_warm(prob, None, None, x,
+                                               state["cf"], tile=B,
+                                               interpret=True)
+        return sol
+
+    def step_s(x):
+        sol, _, state["cs"] = solve_fused_streamed_warm(
+            prob, None, None, x, state["cs"], tile=B, chunk=4,
+            interpret=True)
+        return sol
+
+    def step_x(x):
+        sol, state["xla"], _ = tm.solve(prob, state["xla"], x0=x)
+        return sol
+
+    outs_f = _receding(prob, step_f, x0)
+    outs_s = _receding(prob, step_s, x0)
+    outs_x = _receding(prob, step_x, x0)
+    for t, ((itf, uf, xf), (its, us_, xs_), (itx, ux, xx)) in enumerate(
+            zip(outs_f, outs_s, outs_x)):
+        np.testing.assert_array_equal(its, itf, err_msg=f"step {t}")
+        np.testing.assert_allclose(xs_, xf, atol=5e-4,
+                                   err_msg=f"step {t}")
+        np.testing.assert_allclose(us_, uf, atol=5e-4,
+                                   err_msg=f"step {t}")
+        if fam != "soc_adaptive":   # adaptive rho feedback is chaotic
+            assert np.all(np.abs(its - itx) <= 1), f"step {t}"
+            np.testing.assert_allclose(us_, ux, atol=5e-4,
+                                       err_msg=f"step {t}")
+
+
+def test_stream_warm_family_cold_carry_equals_cold():
+    """A zero family carry must reproduce the cold streamed solve (the
+    family slack seeds and duals coincide at the zero workspace)."""
+    from tinympc_tpu.kernels import init_carry, solve_fused_streamed_warm
+    prob = tm.with_cones(_problem(16, max_iter=25),
+                         input_cones=[(0, 3, 0.6)])
+    B = 8
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), jnp.float32)
+    sol_c, res_c = solve_fused_streamed(prob, None, None, x0s, tile=B,
+                                        chunk=8, interpret=True)
+    sol_w, res_w, carry = solve_fused_streamed_warm(
+        prob, None, None, x0s, init_carry(prob, B), tile=B, chunk=8,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(sol_w.x), np.asarray(sol_c.x))
+    np.testing.assert_array_equal(np.asarray(sol_w.iter),
+                                  np.asarray(sol_c.iter))
+    np.testing.assert_array_equal(np.asarray(res_w), np.asarray(res_c))
+    assert carry.yc is not None and carry.yc.shape == (15, 4, B)
+    assert carry.x is not None and carry.x.shape == (16, 12, B)

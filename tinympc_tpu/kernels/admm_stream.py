@@ -43,12 +43,15 @@ telescoped per-lane Taylor caches exactly as in the resident kernel, with
 the matrix-free OSQP residual reductions *streamed across horizon chunks*
 via pending-row scratch — see _forward_kernel), cold
 (:func:`solve_fused_streamed` — conic long-N is the full-trajectory
-powered-descent regime); warm-started box solves, fixed or adaptive rho
-(:func:`solve_fused_streamed_warm`, same
+powered-descent regime); warm starts for every family and fixed or
+adaptive rho (:func:`solve_fused_streamed_warm`, same
 :class:`~.admm_pallas.FusedCarry` contract — the iterate arrays are
 already HBM-resident, so the carry is just the while-state handed in and
-out, with a stale-aware first iteration and per-lane freeze snapshots).
-Only consensus over a named mesh axis stays on the XLA path.
+out, with a stale-aware first iteration, per-lane freeze snapshots, and
+on family specs two extra chunked output streams carrying the x/u
+trajectories whose slack re-seed the next solve reads). Only consensus
+(warm; cold local groups run in-kernel) and consensus over a named mesh
+axis stay on the XLA / resident paths.
 """
 from __future__ import annotations
 
@@ -252,7 +255,7 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
                     mus_x=(), mus_u=(), n_lin_x=0, n_lin_u=0,
                     n_tv_x=0, n_tv_u=0, consensus=False, group=0,
                     adaptive=False, adapt_period=5, rho_min=1.0,
-                    rho_max=100.0, rho_clip=True):
+                    rho_max=100.0, rho_clip=True, track_xu=False):
     """Grid (T, Jc) forward order. Scratch: rolling x (nx, Bt) and the
     four residual max-accumulators (8, Bt; rows 0-3 used). Bookkeeping
     (iters/done/res) updates commit at each tile's last chunk.
@@ -321,6 +324,8 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         fu_out = [(nxt(), nxt()) for _ in fams_u]
         zc0_out = nxt() if consensus else None
         yc0_out = nxt() if consensus else None
+        xs_out = nxt() if track_xu else None
+        us_out = nxt() if track_xu else None
         iters_out, done_out, res_out, just_out = nxt(), nxt(), nxt(), nxt()
         rho_out = nxt() if adaptive else None
         x_scr, acc_scr = nxt(), nxt()
@@ -530,6 +535,11 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
                 sn = proj_fn(kind, "u")(us_c + d_in[:])
                 s_out[:] = sn
                 d_out[:] = d_in[:] + us_c - sn
+        if track_xu:
+            # Primal trajectories out (warm family solves: the carry's
+            # x/u, whose next-solve slack re-seed admm.cpp:352-376 reads).
+            xs_out[:] = jnp.stack(xs_rows)
+            us_out[:] = jnp.stack(us_rows)
 
         if consensus:
             # u[0] scenario-consensus slack/dual (admm.update_slack /
@@ -663,16 +673,17 @@ def solve_fused_streamed_warm(prob: TinyProblem, Xref=None, Uref=None,
                               interpret: bool = False):
     """Warm-started streamed solve: ``(Solution, residuals, FusedCarry)``.
 
-    Same carry contract as :func:`~.admm_pallas.solve_fused_warm` for box
-    specs (the carry's extra-family fields stay ``None``; with adaptive
-    rho the per-lane rho row rides ``carry.rho``, frozen at each lane's
-    convergence): the workspace persists between solves like the
-    reference's ``tiny_solve`` sequence (SURVEY.md §3.3), iteration 0's
-    dual residual reads the carried one-behind v/z, and converged lanes
-    hand over their first-convergence iterate (per-lane freeze). Build
-    the initial carry with :func:`~.admm_pallas.init_carry`. For
+    Same carry contract as :func:`~.admm_pallas.solve_fused_warm` for
+    every projection family (extra families carry their duals plus the
+    x/u trajectories their slack re-seed reads, admm.cpp:352-376; with
+    adaptive rho the per-lane rho row rides ``carry.rho``, frozen at
+    each lane's convergence): the workspace persists between solves like
+    the reference's ``tiny_solve`` sequence (SURVEY.md §3.3), iteration
+    0's dual residual reads the carried one-behind v/z, and converged
+    lanes hand over their first-convergence iterate (per-lane freeze).
+    Build the initial carry with :func:`~.admm_pallas.init_carry`. For
     receding-horizon loops over long previews (N >> 64) where the
-    resident kernel's tile collapses.
+    resident kernel's tile collapses. Consensus specs stay cold-start.
     """
     if carry is None:
         raise ValueError("solve_fused_streamed_warm needs a FusedCarry; "
@@ -698,16 +709,27 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
         ("lin", bool(spec0.n_input_lin)),
         ("tv", bool(spec0.n_tv_input_lin))) if on)
     consensus = spec0.en_consensus
-    if carry is not None and (fams_x or fams_u or consensus):
-        raise ValueError("solve_fused_streamed_warm is box-only (the "
-                         "conic/consensus long-horizon regime — "
-                         "full-trajectory optimization — is cold-start; "
-                         "use solve_fused_warm at resident-kernel "
-                         "horizons)")
-    if carry is not None and bool(adaptive) != (carry.rho is not None):
-        raise ValueError("carry.rho must be present exactly when "
-                         "adaptive_rho is enabled; build the carry with "
-                         "init_carry(prob, B) for the same problem")
+    if carry is not None and consensus:
+        raise ValueError("solve_fused_streamed_warm does not support "
+                         "consensus; use solve_fused_streamed (cold) or "
+                         "tinympc_tpu.solve")
+    if carry is not None:
+        # Same field/family consistency contract as solve_fused_warm.
+        need = {"gc": bool(spec0.enabled_state_cones),
+                "yc": bool(spec0.enabled_input_cones),
+                "gl": bool(spec0.n_state_lin),
+                "yl": bool(spec0.n_input_lin),
+                "gtv": bool(spec0.n_tv_state_lin),
+                "ytv": bool(spec0.n_tv_input_lin),
+                "x": spec0.any_extra_family, "u": spec0.any_extra_family,
+                "rho": bool(adaptive)}
+        bad = [k for k, n in need.items()
+               if bool(n) != (getattr(carry, k) is not None)]
+        if bad:
+            raise ValueError(
+                f"carry fields {bad} do not match this problem's enabled "
+                "constraint families; build the carry with "
+                "init_carry(prob, B) for the same problem")
     group_shape = None
     group = 0
     if consensus:
@@ -845,19 +867,22 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                                          n_fu=len(fams_u),
                                          consensus=consensus, rho_c=rho_c,
                                          adaptive=adaptive, apply_c=apply_c)
+        track = warm and bool(fams_x or fams_u)
+        fam_kw = dict(fams_x=fams_x, fams_u=fams_u,
+                      state_cones=scones, input_cones=icones,
+                      mus_x=mus_x, mus_u=mus_u,
+                      n_lin_x=n_lin_x, n_lin_u=n_lin_u,
+                      n_tv_x=n_tv_x, n_tv_u=n_tv_u, track_xu=track)
         fwd_kernel, _ = _forward_kernel(
             C, N, nx, nu, rho, settings.check_termination,
             float(settings.abs_pri_tol), float(settings.abs_dua_tol),
-            mm_mode, fams_x=fams_x, fams_u=fams_u,
-            state_cones=scones, input_cones=icones,
-            mus_x=mus_x, mus_u=mus_u, n_lin_x=n_lin_x, n_lin_u=n_lin_u,
-            n_tv_x=n_tv_x, n_tv_u=n_tv_u, consensus=consensus, group=group,
-            **adapt_kw)
+            mm_mode, consensus=consensus, group=group,
+            **fam_kw, **adapt_kw)
         if warm:
             fwd_stale_kernel, _ = _forward_kernel(
                 C, N, nx, nu, rho, settings.check_termination,
                 float(settings.abs_pri_tol), float(settings.abs_dua_tol),
-                mm_mode, stale=True, **adapt_kw)
+                mm_mode, stale=True, **fam_kw, **adapt_kw)
 
         # ---- BlockSpecs ----
         def chunk_spec(F, rev=False):
@@ -912,11 +937,11 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             interpret=interpret,
         )
 
-        def fwd_specs_shapes(stale):
-            # Warm (stale) solves are box-only, so the stale variant has
-            # no family refs.
-            fx = () if stale else fams_x
-            fu = () if stale else fams_u
+        def fwd_specs_shapes(stale, track):
+            # The stale (warm iteration-0) variant streams the same family
+            # pairs as the main kernel; `track` adds the x/u trajectory
+            # output streams that warm family solves carry over.
+            fx, fu = fams_x, fams_u
             fam_in = ([chunk_spec(nx)] * (2 * len(fx))
                       + [chunk_spec(nu)] * (2 * len(fu)))
             cons_in = ([lane_spec(nu), lane_spec(nu),
@@ -926,27 +951,26 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                        if (consensus and not stale) else [])
             stale_in = [chunk_spec(nx), chunk_spec(nu)] if stale else []
             proj_in = []
-            if not stale:
-                if n_lin_x:
-                    proj_in += [const_spec((n_lin_x, nx)),
-                                const_spec((n_lin_x, 1))]
-                if n_lin_u:
-                    proj_in += [const_spec((n_lin_u, nu)),
-                                const_spec((n_lin_u, 1))]
-                if n_tv_x:
-                    proj_in += [
-                        pl.BlockSpec((C, n_tv_x, nx),
-                                     lambda t, j: (j, 0, 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((C, n_tv_x), lambda t, j: (j, 0),
-                                     memory_space=pltpu.VMEM)]
-                if n_tv_u:
-                    proj_in += [
-                        pl.BlockSpec((C, n_tv_u, nu),
-                                     lambda t, j: (j, 0, 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((C, n_tv_u), lambda t, j: (j, 0),
-                                     memory_space=pltpu.VMEM)]
+            if n_lin_x:
+                proj_in += [const_spec((n_lin_x, nx)),
+                            const_spec((n_lin_x, 1))]
+            if n_lin_u:
+                proj_in += [const_spec((n_lin_u, nu)),
+                            const_spec((n_lin_u, 1))]
+            if n_tv_x:
+                proj_in += [
+                    pl.BlockSpec((C, n_tv_x, nx),
+                                 lambda t, j: (j, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((C, n_tv_x), lambda t, j: (j, 0),
+                                 memory_space=pltpu.VMEM)]
+            if n_tv_u:
+                proj_in += [
+                    pl.BlockSpec((C, n_tv_u, nu),
+                                 lambda t, j: (j, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((C, n_tv_u), lambda t, j: (j, 0),
+                                 memory_space=pltpu.VMEM)]
             adapt_lane = [lane_spec(1)] if adaptive else []
             adapt_const = ([const_spec(dMfwd.shape), const_spec((nx, nx)),
                             const_spec((nu, nx)), const_spec((nx, nx)),
@@ -973,16 +997,19 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                               if (consensus and not stale) else [])
             cons_out_shape = ([jax.ShapeDtypeStruct((nu, B), dtype)] * 2
                               if (consensus and not stale) else [])
+            track_out_specs = ([chunk_spec(nx), chunk_spec(nu)]
+                               if track else [])
+            track_out_shape = [zxs, zus] if track else []
             adapt_out_specs = [lane_spec(1)] if adaptive else []
             adapt_out_shape = ([jax.ShapeDtypeStruct((1, B), dtype)]
                                if adaptive else [])
             out_specs = ([chunk_spec(nx), chunk_spec(nx),
                           chunk_spec(nu), chunk_spec(nu)] + fam_out_specs
-                         + cons_out_specs
+                         + cons_out_specs + track_out_specs
                          + [lane_spec(1), lane_spec(1), lane_spec(4),
                             lane_spec(1)] + adapt_out_specs)
             out_shape = ([zxs, zxs, zus, zus] + fam_out_shape
-                         + cons_out_shape
+                         + cons_out_shape + track_out_shape
                          + [jax.ShapeDtypeStruct((1, B), jnp.int32),
                             jax.ShapeDtypeStruct((1, B), jnp.int32),
                             jax.ShapeDtypeStruct((4, B), dtype),
@@ -998,7 +1025,7 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                             pltpu.VMEM((nx, tile), dtype),   # pending g
                             pltpu.VMEM((nu, tile), dtype),   # pending 2Ru
                             pltpu.VMEM((nu, tile), dtype)]   # pending y
-        in_s, out_s, out_sh = fwd_specs_shapes(False)
+        in_s, out_s, out_sh = fwd_specs_shapes(False, track)
         fwd_call = pl.pallas_call(
             fwd_kernel, grid=(T, Jc), in_specs=in_s, out_specs=out_s,
             out_shape=out_sh,
@@ -1006,7 +1033,7 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             interpret=interpret,
         )
         if warm:
-            in_s, out_s, out_sh = fwd_specs_shapes(True)
+            in_s, out_s, out_sh = fwd_specs_shapes(True, track)
             fwd_stale_call = pl.pallas_call(
                 fwd_stale_kernel, grid=(T, Jc), in_specs=in_s,
                 out_specs=out_s, out_shape=out_sh,
@@ -1032,12 +1059,25 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             # warm solves continue the carried row.
             state0["rho"] = (jnp.asarray(carry.rho, dtype) if warm
                              else jnp.full((1, B), rho, dtype))
-        # Cold extra-family slack seeds from the workspace x — zeros with
-        # the new x0 in row 0 (admm.cpp:352-376 / admm.seed_extra_slacks);
-        # input-side from the (zero) cold u. Duals start zero. One
-        # (slack, dual) pair per family, canonical [soc, lin, tv] order.
-        state0["fx"] = [(zx.at[0].set(x0k), zx) for _ in fams_x]
-        state0["fu"] = [(zu, zu) for _ in fams_u]
+        # Extra-family slack seeds from the workspace x — the carried
+        # trajectory (warm) or zeros (cold) with the new x0 in row 0
+        # (admm.cpp:352-376 / admm.seed_extra_slacks); input-side from
+        # the carried (or zero cold) u. Duals carry over (warm) or start
+        # zero. One (slack, dual) pair per family, canonical
+        # [soc, lin, tv] order.
+        if warm and (fams_x or fams_u):
+            x_seed = jnp.concatenate(
+                [x0k[None], jnp.asarray(carry.x, dtype)[1:]], axis=0)
+            u_seed = padN(jnp.asarray(carry.u, dtype))
+            dmap_x = {"soc": carry.gc, "lin": carry.gl, "tv": carry.gtv}
+            dmap_u = {"soc": carry.yc, "lin": carry.yl, "tv": carry.ytv}
+            state0["fx"] = [(x_seed, jnp.asarray(dmap_x[k], dtype))
+                            for k in fams_x]
+            state0["fu"] = [(u_seed, padN(jnp.asarray(dmap_u[k], dtype)))
+                            for k in fams_u]
+        else:
+            state0["fx"] = [(zx.at[0].set(x0k), zx) for _ in fams_x]
+            state0["fu"] = [(zu, zu) for _ in fams_u]
 
         # Projection data (constant operands of the forward launch).
         proj_data = []
@@ -1070,6 +1110,12 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             # each lane's first convergence, so the handed-over carry is
             # the converged iterate, not the tile's last one.
             state0.update(sv=zx, sz=zu, sg=zx, sy=zu, svst=zx, szst=zu)
+            if track:
+                # Family-dual and x/u shadows (+ the live trajectories,
+                # for max-iter lanes' carry hand-over).
+                state0.update(sfx=[zx for _ in fams_x],
+                              sfu=[zu for _ in fams_u],
+                              sx=zx, su=zu, xs=zx, us=zu)
 
         def step(s, stale_v=None, stale_z=None):
             """One ADMM iteration: backward launch, forward launch, and
@@ -1092,6 +1138,7 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             args += fam_args
             if stale_v is not None:
                 args += [stale_v, stale_z]
+                args += proj_data
                 call = fwd_stale_call
             else:
                 if consensus:
@@ -1109,6 +1156,8 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             fu_new = [(next(o), next(o)) for _ in fams_u]
             cons_new = ({"zc0": next(o), "yc0": next(o)}
                         if consensus else {})
+            xs_tr = next(o) if track else None
+            us_tr = next(o) if track else None
             iters, done, res, just = next(o), next(o), next(o), next(o)
             rho_new = next(o) if adaptive else None
 
@@ -1126,6 +1175,13 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                              jnp.where(jm, y, s["sy"]),
                              jnp.where(jm, prev_v, s["svst"]),
                              jnp.where(jm, prev_z, s["szst"]))
+                    if track:
+                        outs += tuple(jnp.where(jm, d, sd) for (_, d), sd
+                                      in zip(fx_new, s["sfx"]))
+                        outs += tuple(jnp.where(jm, d, sd) for (_, d), sd
+                                      in zip(fu_new, s["sfu"]))
+                        outs += (jnp.where(jm, xs_tr, s["sx"]),
+                                 jnp.where(jm, us_tr, s["su"]))
                 return outs
 
             def keep():
@@ -1133,6 +1189,9 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                 if warm:
                     outs += (s["sv"], s["sz"], s["sg"], s["sy"],
                              s["svst"], s["szst"])
+                    if track:
+                        outs += tuple(s["sfx"]) + tuple(s["sfu"])
+                        outs += (s["sx"], s["su"])
                 return outs
 
             blended = jax.lax.cond(jnp.any(just == 1), blend, keep)
@@ -1145,6 +1204,13 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             if warm:
                 out.update(sv=blended[2], sz=blended[3], sg=blended[4],
                            sy=blended[5], svst=blended[6], szst=blended[7])
+                if track:
+                    nfx = len(fams_x)
+                    out.update(sfx=list(blended[8:8 + nfx]),
+                               sfu=list(blended[8 + nfx:
+                                                8 + nfx + len(fams_u)]),
+                               sx=blended[-2], su=blended[-1],
+                               xs=xs_tr, us=us_tr)
             return out
 
         def cond(s):
@@ -1193,6 +1259,20 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
         # iterate, for which the reference's last v <- vnew copy ran.
         cm = jnp.logical_not(am)
         trim = lambda a: a[:N - 1]
+        fam_carry = {}
+        if track:
+            # Family duals + the x/u trajectories the next solve's slack
+            # re-seed reads (admm.cpp:352-376): converged lanes restore
+            # their first-convergence shadows, max-iter lanes hand over
+            # the final iterate — same merge as the resident kernel's.
+            names_x = {"soc": "gc", "lin": "gl", "tv": "gtv"}
+            names_u = {"soc": "yc", "lin": "yl", "tv": "ytv"}
+            for k, (_, du), sd in zip(fams_x, s["fx"], s["sfx"]):
+                fam_carry[names_x[k]] = jnp.where(cm, sd, du)
+            for k, (_, du), sd in zip(fams_u, s["fu"], s["sfu"]):
+                fam_carry[names_u[k]] = trim(jnp.where(cm, sd, du))
+            fam_carry["x"] = jnp.where(cm, s["sx"], s["xs"])
+            fam_carry["u"] = trim(jnp.where(cm, s["su"], s["us"]))
         carry_out = FusedCarry(
             vnew=jnp.where(cm, s["sv"], s["vnew"]),
             znew=trim(jnp.where(cm, s["sz"], s["znew"])),
@@ -1203,5 +1283,6 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             # rho was already frozen per-lane at convergence (the in-kernel
             # active mask), so the final row is the carry row.
             rho=s["rho"] if adaptive else None,
+            **fam_carry,
         )
         return sol, res_out, carry_out

@@ -102,7 +102,7 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
         segmented. None = whole batch at once.
       backend: which warm fused solver runs the phases. "resident"
         (whole trajectories in VMEM, the default regime), "streamed"
-        (HBM-resident trajectories, kernels/admm_stream — box specs,
+        (HBM-resident trajectories, kernels/admm_stream — every family,
         fixed or adaptive rho, for horizons past the VMEM wall where the
         resident tile collapses), or "auto": streamed when the spec
         allows it and the resident auto tile would drop below 1024
@@ -124,10 +124,10 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
         raise ValueError(f"explicit tile ({tile}) must be a power of two")
     if backend not in ("auto", "resident", "streamed"):
         raise ValueError(f"unknown backend {backend!r}")
-    stream_ok = not (prob.spec.any_extra_family or prob.spec.en_consensus)
+    stream_ok = not prob.spec.en_consensus
     if backend == "streamed" and not stream_ok:
-        raise ValueError("backend='streamed' phases are box-only (the "
-                         "streamed warm kernel's scope)")
+        raise ValueError("backend='streamed' phases do not support "
+                         "consensus (neither warm kernel does)")
     if backend == "auto":
         from .admm_pallas import max_tile
         backend = "streamed" if (

@@ -375,6 +375,40 @@ def check_adaptive_parity():
     assert du < 1e-5, f"max |du| = {du}"
 
 
+@check("streamed warm family sequence: bitwise == resident warm (SOC)")
+def check_streamed_warm_families():
+    """Warm starts for extra families on the streamed path: duals + x/u
+    trajectories ride the FusedCarry and the per-solve slack re-seed
+    matches the resident kernel's — at 'default' precision a 3-step
+    receding-horizon SOC sequence must agree bitwise with
+    solve_fused_warm."""
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import init_carry, solve_fused_warm
+    from tinympc_tpu.kernels.admm_stream import solve_fused_streamed_warm
+    prob = _quadrotor(max_iter=40, N=64, matmul_precision="default")
+    prob = tm.with_cones(prob, input_cones=[(0, 3, 0.6)])
+    prob = tm.with_settings(prob, max_iter=40,
+                            matmul_precision="default")
+    B = 128
+    x0 = _x0s(B, seed=13)
+    cf, cs = init_carry(prob, B), init_carry(prob, B)
+    for t in range(3):
+        sol_f, _, cf = solve_fused_warm(prob, None, None, x0, cf)
+        sol_s, _, cs = solve_fused_streamed_warm(prob, None, None, x0, cs)
+        assert np.array_equal(np.asarray(sol_s.iter),
+                              np.asarray(sol_f.iter)), f"step {t} iters"
+        assert np.array_equal(np.asarray(sol_s.u),
+                              np.asarray(sol_f.u)), (
+            f"step {t}: max |du| = "
+            f"{np.abs(np.asarray(sol_s.u) - np.asarray(sol_f.u)).max()}")
+        assert np.array_equal(np.asarray(cs.x), np.asarray(cf.x)), \
+            f"step {t} carry.x"
+        u0 = jnp.asarray(sol_s.u[0])
+        x0 = (x0 @ jnp.asarray(prob.A).T + u0 @ jnp.asarray(prob.B).T
+              + jnp.asarray(prob.f))
+
+
 @check("streamed adaptive rho: bitwise == resident kernel at N=64")
 def check_streamed_adaptive_parity():
     """The streamed kernel's chunk-streamed OSQP reductions reproduce the
