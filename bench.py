@@ -6,20 +6,27 @@ reference C++ solver on one CPU core): quadrotor 20 Hz model, N=20 horizon,
 box constraints +-5 / +-0.5, Xref = hover at z=1, cold-start solves with
 x0 ~ U[-0.5, 0.5]^12, tol 1e-3.
 
-Two regimes, one JSON line:
-  * fixed-work (max_iter 100 — nearly every problem runs the full 100
-    iterations): the headline `value`, directly comparable to the oracle
-    at the same cap;
-  * to-convergence (max_iter 500): `to_convergence_*` fields — solves/s
-    with per-tile early exit plus the solved fraction, which must match
-    the oracle's statistics at the same cap (solved_frac ~0.21; exact
-    equality is not expected — different RNGs draw different x0 sets and
-    the chip solves in f32 vs the oracle's f64).
+Regimes, one JSON line:
+  * fixed-work (max_iter 100, check_termination 25 — OSQP's default
+    termination stride): the headline `value`, measured against the
+    oracle at the *same* stride (oracle_bench 2000 100 0 25). Residual
+    checks are real work on both sides; striding them 25x is the
+    standard trade (the reference's default stride of 1 is a
+    microcontroller choice, tiny_api_constants.hpp:8).
+  * fixed-work at the reference's default stride (check_termination 1):
+    `ct1_solves_per_s`, against the oracle at its defaults — the
+    strictest apples-to-apples row.
+  * to-convergence (max_iter 500, stride 25): `to_convergence_*` fields —
+    per-tile early exit plus the solved fraction, which must track the
+    oracle's at the same cap (solved_frac ~0.21; exact equality is not
+    expected — different RNGs draw different x0 sets and the chip solves
+    in f32 vs the oracle's f64).
 
 vs_baseline is against the reference C++ solver measured on this machine
-(tools/oracle/oracle_bench.cpp): 1739 solves/s at max_iter=100
-(oracle_bench 2000 100 @ 2026-08-17); 414.7 solves/s, solved_frac 0.208
-at max_iter=500 (oracle_bench 2000 500 @ 2026-08-20).
+(tools/oracle/oracle_bench.cpp rebuilt 2026-08-21):
+  1826.3 solves/s at max_iter=100 ct=1; 1968.3 at ct=25;
+  400.1 solves/s / solved_frac 0.208 at max_iter=500 ct=1;
+  431.4 / 0.208 at ct=25.
 """
 import json
 import os
@@ -28,15 +35,22 @@ import time
 
 import numpy as np
 
-CPP_BASELINE_SOLVES_PER_S = 1739.0
-CPP_BASELINE_500_SOLVES_PER_S = 414.7
+CPP_BASELINE = {  # oracle_bench <n> <max_iter> 0 <ct> @ 2026-08-21
+    (100, 1): 1826.3,
+    (100, 25): 1968.3,
+    (500, 1): 400.1,
+    (500, 25): 431.4,
+}
 CPP_BASELINE_500_SOLVED_FRAC = 0.208
 
 N_HORIZON = 20
 MAX_ITER = 100
+HEADLINE_CT = int(os.environ.get("BENCH_CT", 25))
 
 
-def build(B, dtype):
+def build(B, dtype, max_iter=MAX_ITER, check_termination=HEADLINE_CT):
+    """The headline workload step. bench_all.py imports and times this
+    same function for its headline row — one measurement, one number."""
     import jax.numpy as jnp
     import tinympc_tpu as tm
     from tinympc_tpu import systems
@@ -50,7 +64,8 @@ def build(B, dtype):
     # criteria enforced, solutions within ~2e-3 of the f32-accurate path,
     # ~1.3x the throughput of "highest" (see Settings.matmul_precision).
     prec = os.environ.get("BENCH_PRECISION", "high")
-    prob = tm.with_settings(prob, max_iter=MAX_ITER, matmul_precision=prec)
+    prob = tm.with_settings(prob, max_iter=max_iter, matmul_precision=prec,
+                            check_termination=check_termination)
     Xref = jnp.tile(jnp.asarray([0, 0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0], dtype),
                     (N_HORIZON, 1))
 
@@ -68,36 +83,6 @@ def build(B, dtype):
             state = tm.init_state(prob, (B,))
             sol, _, _ = tm.solve_(prob, state, Xref, None, x0s)
             return sol.u[0], sol.iter, sol.solved
-
-    return jax.jit(step)
-
-
-def build_to_convergence(B, dtype, max_iter=500):
-    """Same workload solved to convergence: per-tile early exit stops a
-    tile once all its lanes converge (admm_pallas' while_loop predicate).
-    On mixed-difficulty batches, make_compact_solver additionally re-packs
-    unconverged lanes between launches (see BENCH_TABLE.md); on this
-    workload nearly every lane runs long, so plain tile exit is optimal.
-    """
-    import jax
-    import jax.numpy as jnp
-    import tinympc_tpu as tm
-    from tinympc_tpu import systems
-    from tinympc_tpu.kernels import solve_fused
-
-    s = systems.quadrotor_20hz()
-    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
-                    N=N_HORIZON, dtype=dtype)
-    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
-    prec = os.environ.get("BENCH_PRECISION", "high")
-    prob = tm.with_settings(prob, max_iter=max_iter, matmul_precision=prec)
-    Xref = jnp.tile(jnp.asarray([0, 0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0], dtype),
-                    (N_HORIZON, 1))
-    tile = int(os.environ.get("BENCH_TILE", 4096))
-
-    def step(x0s):
-        sol, _res = solve_fused(prob, Xref, None, x0s, tile=tile)
-        return sol.u[0], sol.iter, sol.solved
 
     return jax.jit(step)
 
@@ -138,16 +123,22 @@ def main():
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 12)), dtype)
 
+    # Headline: fixed-work at the OSQP termination stride.
     step = build(B, dtype)
     (u0, iters, solved), dt, spread = _bench(step, x0s, reps)
-
     solves_per_s = B / dt
     total_iters = int(np.sum(np.asarray(iters)))
     iters_per_s = total_iters / dt
 
-    # To-convergence regime (max_iter 500): solved fraction must track the
+    # Reference-default stride (check_termination=1): strict parity row.
+    step1 = build(B, dtype, check_termination=1)
+    (_, iters1, _), dt1, spread1 = _bench(step1, x0s, reps)
+    ct1_solves_per_s = B / dt1
+
+    # To-convergence regime (max_iter 500): per-tile early exit stops a
+    # tile once all its lanes converge; solved fraction must track the
     # oracle's at the same cap.
-    step500 = build_to_convergence(B, dtype)
+    step500 = build(B, dtype, max_iter=500)
     (u0c, iters_c, solved_c), dt_c, spread_c = _bench(step500, x0s, reps)
     conv_solves_per_s = B / dt_c
     solved_frac = float(np.mean(np.asarray(solved_c)))
@@ -156,20 +147,24 @@ def main():
         "metric": "batched_quadrotor_mpc_solves_per_s",
         "value": round(solves_per_s, 1),
         "unit": "solves/s/chip",
-        "vs_baseline": round(solves_per_s / CPP_BASELINE_SOLVES_PER_S, 2),
+        "vs_baseline": round(solves_per_s / CPP_BASELINE[(100, HEADLINE_CT)], 2),
         "batch": B,
+        "check_termination": HEADLINE_CT,
         "spread_pct": round(100 * spread, 1),
-        "to_convergence_spread_pct": round(100 * spread_c, 1),
         "admm_iters_per_s": round(iters_per_s, 1),
         "avg_iters": round(float(np.mean(np.asarray(iters))), 2),
+        "ct1_solves_per_s": round(ct1_solves_per_s, 1),
+        "ct1_vs_baseline": round(ct1_solves_per_s / CPP_BASELINE[(100, 1)], 2),
+        "ct1_spread_pct": round(100 * spread1, 1),
         "to_convergence_solves_per_s": round(conv_solves_per_s, 1),
         "to_convergence_vs_baseline": round(
-            conv_solves_per_s / CPP_BASELINE_500_SOLVES_PER_S, 2),
+            conv_solves_per_s / CPP_BASELINE[(500, HEADLINE_CT)], 2),
         "to_convergence_solved_frac": round(solved_frac, 4),
         "to_convergence_oracle_solved_frac": CPP_BASELINE_500_SOLVED_FRAC,
         "to_convergence_avg_iters": round(
             float(np.mean(np.asarray(iters_c))), 2),
         "to_convergence_max_iter": 500,
+        "to_convergence_spread_pct": round(100 * spread_c, 1),
         "matmul_precision": os.environ.get("BENCH_PRECISION", "high"),
         "device": str(jax.devices()[0]),
     }))

@@ -265,3 +265,64 @@ def test_compact_streamed_adaptive_matches_resident():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(res_s[4]), np.asarray(res_r[4]),
                                rtol=1e-4)
+
+
+def test_compact_consensus_groups_match_manual_chunked():
+    """Consensus compaction (round 4): groups compact as units and the
+    masked scatter freezes first-convergence outputs. The semantic
+    reference is the same chunk schedule run WITHOUT compaction (all
+    groups relaunched every phase, host-side first-convergence freeze):
+    live groups see identical carries either way, so results must match
+    exactly."""
+    from tinympc_tpu.kernels import (init_carry, make_compact_solver,
+                                     solve_fused_warm)
+    prob = tm.with_consensus(_quadrotor(max_iter=60), rho_c=50.0)
+    ng, G = 4, 4
+    B = ng * G
+    rng = np.random.default_rng(2)
+    scales = np.linspace(0.05, 0.5, ng)[:, None, None]
+    x0s = jnp.asarray(rng.uniform(-1, 1, (ng, G, 12)) * scales, jnp.float32)
+    Xref = jnp.zeros((10, 12), jnp.float32).at[:, 2].set(0.5)
+
+    solver = make_compact_solver(prob, chunk=20, tile=B, min_batch=G,
+                                 backend="resident", interpret=True)
+    sol_c, res_c = solver(x0s, Xref)
+
+    # Manual chunked reference: same phases, no compaction, host freeze.
+    pphase = tm.with_settings(prob, max_iter=20)
+    carry = init_carry(prob, B)
+    phase = jax.jit(lambda x0, c: solve_fused_warm(
+        pphase, Xref, None, x0, c, tile=B, final=True, interpret=True))
+    out = None
+    used = 0
+    for _ in range(3):
+        sol, res, carry = phase(x0s, carry)
+        fx = sol.x.reshape(10, B, 12)
+        fu = sol.u.reshape(9, B, 4)
+        fit = sol.iter.reshape(B)
+        fsv = sol.solved.reshape(B)
+        fres = res.reshape(res.shape[0], B)
+        if out is None:
+            out = [fx, fu, fit + 0, fsv, fres]
+        else:
+            live = ~out[3]
+            out[0] = jnp.where(live[None, :, None], fx, out[0])
+            out[1] = jnp.where(live[None, :, None], fu, out[1])
+            out[2] = jnp.where(live, used + fit, out[2])
+            out[4] = jnp.where(live[None, :], fres, out[4])
+            out[3] = out[3] | fsv
+        used += 20
+
+    np.testing.assert_array_equal(np.asarray(sol_c.x.reshape(10, B, 12)),
+                                  np.asarray(out[0]))
+    np.testing.assert_array_equal(np.asarray(sol_c.u.reshape(9, B, 4)),
+                                  np.asarray(out[1]))
+    np.testing.assert_array_equal(np.asarray(sol_c.iter.reshape(B)),
+                                  np.asarray(out[2]))
+    np.testing.assert_array_equal(np.asarray(sol_c.solved.reshape(B)),
+                                  np.asarray(out[3]))
+    # Solved lanes satisfy the consensus gate: u[0] near its group mean.
+    u0 = np.asarray(sol_c.u[0])                     # (ng, G, nu)
+    gsolved = np.asarray(sol_c.solved).all(axis=1)
+    spread = np.ptp(u0, axis=1).max(-1)
+    assert np.all(spread[gsolved] < 2 * prob.settings.abs_pri_tol + 1e-5)

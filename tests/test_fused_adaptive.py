@@ -67,6 +67,25 @@ def test_fused_adaptive_apply_c_matches_xla_interpret():
     _compare(prob, _x0s(8, seed=1))
 
 
+def test_adaptive_guard_matches_xla_interpret():
+    """adaptive_rho_tolerance > 1 — the OSQP adaptation guard the
+    reference omits (rho_benchmark.cpp:175-197 predicts unconditionally):
+    the fused kernel and the XLA path must agree under the guard, and the
+    guard must actually change the rho trajectory vs the unguarded run
+    (i.e. some balanced-residual predictions get suppressed)."""
+    prob = _adaptive_problem()
+    probg = tm.with_settings(prob, adaptive_rho_tolerance=2.0)
+    _, res_g, _ = _compare(probg, _x0s(8))
+    _, res_u, _ = _compare(prob, _x0s(8))
+    assert not np.array_equal(np.asarray(res_g[4]), np.asarray(res_u[4]))
+
+
+def test_adaptive_guard_tolerance_validated():
+    prob = _adaptive_problem()
+    with pytest.raises(ValueError, match="adaptive_rho_tolerance"):
+        tm.with_settings(prob, adaptive_rho_tolerance=0.5)
+
+
 def test_adapted_cache_reconstruction():
     """adapted_cache(rho_final) rebuilds the XLA path's final_cache."""
     prob = _adaptive_problem()

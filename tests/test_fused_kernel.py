@@ -275,6 +275,37 @@ def _check_consensus_fused(ng, G, **kw):
     return sol_f
 
 
+def test_fused_consensus_warm_sequence():
+    """Warm-started consensus solves: the consensus dual rides the carry,
+    the slack re-seeds from the carried u[0] (admm.seed_extra_slacks), and
+    the sequence replays the XLA warm path (group-mean association differs
+    at round-off, so tolerance + iteration-count comparison)."""
+    from tinympc_tpu.kernels import solve_fused_warm, init_carry
+    ng, G, T = 2, 4, 4
+    prob, x0s, Xref = _consensus_case(ng, G, max_iter=40, rho_c=50.0)
+    state = tm.init_state(prob, (ng, G))
+    carry = init_carry(prob, ng * G)
+    assert carry.zc0 is not None and carry.u is not None
+    for t in range(T):
+        sol_r, state, _ = tm.solve(prob, state, Xref=Xref, x0=x0s)
+        sol_f, _res, carry = solve_fused_warm(prob, Xref, None, x0s, carry,
+                                              tile=ng * G, interpret=True)
+        np.testing.assert_allclose(np.asarray(sol_f.u), np.asarray(sol_r.u),
+                                   atol=5e-4, err_msg=f"step {t}")
+        it_f, it_r = np.asarray(sol_f.iter), np.asarray(sol_r.iter)
+        assert np.all(np.abs(it_f - it_r) <= 2), (t, it_f, it_r)
+        # The carry mirrors the XLA workspace fields.
+        np.testing.assert_allclose(
+            np.asarray(carry.zc0.T.reshape(ng, G, -1)),
+            np.asarray(state.zc0new), atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(carry.yc0.T.reshape(ng, G, -1)),
+            np.asarray(state.yc0), atol=5e-4)
+        u0 = state.u[0]
+        x0s = (jnp.einsum("ij,...j->...i", prob.A, x0s)
+               + jnp.einsum("ij,...j->...i", prob.B, u0) + prob.f)
+
+
 def test_fused_consensus_matches_xla_interpret():
     """Scenario groups as lane segments: the in-kernel butterfly mean must
     reproduce the XLA consensus path (mean over the last batch axis)."""

@@ -6,7 +6,9 @@ import pytest
 
 import tinympc_tpu as tm
 from tinympc_tpu import systems
-from tinympc_tpu.kernels import solve_fused_streamed, stream_supported
+from tinympc_tpu.kernels import (solve_fused_streamed,
+                                 solve_fused_streamed_warm,
+                                 stream_supported)
 
 
 def _problem(N, max_iter=15, **kw):
@@ -266,6 +268,56 @@ def _adaptive_problem(N=16, max_iter=40, apply_c=False, soc=False):
 def _xref(N):
     return jnp.tile(jnp.asarray([0, 0, 0.5, 0, 0, 0, 0, 0, 0, 0, 0, 0],
                                 jnp.float32), (N, 1))
+
+
+def test_stream_consensus_warm_sequence():
+    """Warm-started consensus on the streamed path: same carry contract as
+    the resident kernel (consensus dual rides the carry, slack re-seeds
+    from the carried u[0]); replays the XLA warm sequence to tolerance
+    with matching iteration counts."""
+    from tinympc_tpu.kernels import init_carry
+    ng, G, T = 2, 4, 3
+    prob = tm.with_consensus(_problem(16, max_iter=40), rho_c=50.0)
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (ng, G, 12)), jnp.float32)
+    Xref = _xref(16)
+    state = tm.init_state(prob, (ng, G))
+    carry = init_carry(prob, ng * G)
+    assert carry.zc0 is not None and carry.u is not None
+    for t in range(T):
+        sol_r, state, _ = tm.solve(prob, state, Xref=Xref, x0=x0s)
+        sol_s, _res, carry = solve_fused_streamed_warm(
+            prob, Xref, None, x0s, carry, tile=ng * G, chunk=4,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(sol_s.u), np.asarray(sol_r.u),
+                                   atol=5e-4, err_msg=f"step {t}")
+        it_s, it_r = np.asarray(sol_s.iter), np.asarray(sol_r.iter)
+        assert np.all(np.abs(it_s - it_r) <= 2), (t, it_s, it_r)
+        np.testing.assert_allclose(
+            np.asarray(carry.yc0.T.reshape(ng, G, -1)),
+            np.asarray(state.yc0), atol=5e-4)
+        u0 = state.u[0]
+        x0s = (jnp.einsum("ij,...j->...i", prob.A, x0s)
+               + jnp.einsum("ij,...j->...i", prob.B, u0) + prob.f)
+
+
+def test_stream_adaptive_guard_bitwise_vs_resident():
+    """The OSQP adaptation guard (adaptive_rho_tolerance > 1) runs
+    identically in the streamed and resident kernels — bitwise, like the
+    unguarded adaptive comparison below."""
+    from tinympc_tpu.kernels import solve_fused
+    prob = tm.with_settings(_adaptive_problem(), adaptive_rho_tolerance=2.0)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.uniform(-0.4, 0.4, (8, 12)), jnp.float32)
+    Xref = _xref(16)
+    sol_f, res_f = solve_fused(prob, Xref, None, x0s, tile=8,
+                               interpret=True)
+    sol_s, res_s = solve_fused_streamed(prob, Xref, None, x0s, tile=8,
+                                        chunk=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sol_s.x), np.asarray(sol_f.x))
+    np.testing.assert_array_equal(np.asarray(res_s[4]), np.asarray(res_f[4]))
+    np.testing.assert_array_equal(np.asarray(sol_s.iter),
+                                  np.asarray(sol_f.iter))
 
 
 @pytest.mark.parametrize("apply_c", [False, True])

@@ -739,11 +739,11 @@ def _solve_impl(prob, state, Xref, Uref, x0):
     tols = (settings.abs_pri_tol, settings.abs_dua_tol)
 
     def cond(carry):
-        _, _, it, converged = carry
+        _, _, _, it, converged = carry
         return (it < settings.max_iter) & ~jnp.all(converged)
 
     def body(carry):
-        st, rho_cur, it, converged = carry
+        st, rho_cur, rho_v, it, converged = carry
         active = ~converged
 
         tel = _tel(rho_cur)
@@ -759,9 +759,20 @@ def _solve_impl(prob, state, Xref, Uref, x0):
             mask = (it > 0) & (it % ADAPTIVE_RHO_PERIOD == 0) & active
             pri_r, dua_r, pri_n, dua_n = telescoped_osqp_residuals(
                 prob, cache, tel.drho, new)
-            new_rho = predict_rho(pri_r, dua_r, pri_n, dua_n, rho_cur,
-                                  settings)
-            rho_cur = jnp.where(mask, new_rho, rho_cur)
+            tol = settings.adaptive_rho_tolerance
+            if tol > 1.0:
+                # Guarded policy: accumulate every prediction into the
+                # virtual rho; commit only when it has drifted tol-fold
+                # from the committed rho (see rho_adapt.predict_rho).
+                new_v = predict_rho(pri_r, dua_r, pri_n, dua_n, rho_v,
+                                    settings)
+                commit = (new_v >= tol * rho_cur) | (new_v * tol <= rho_cur)
+                rho_v = jnp.where(mask, new_v, rho_v)
+                rho_cur = jnp.where(mask & commit, new_v, rho_cur)
+            else:
+                new_rho = predict_rho(pri_r, dua_r, pri_n, dua_n, rho_cur,
+                                      settings)
+                rho_cur = jnp.where(mask, new_rho, rho_cur)
 
         it1 = it + 1
 
@@ -797,10 +808,11 @@ def _solve_impl(prob, state, Xref, Uref, x0):
 
         # Freeze every field of converged problems.
         committed = _commit(new, st, active)
-        return committed, rho_cur, it1, converged | just_conv
+        return committed, rho_cur, rho_v, it1, converged | just_conv
 
-    state, rho_final, _, _ = jax.lax.while_loop(
-        cond, body, (state, rho_b, jnp.int32(0), jnp.zeros(b, jnp.bool_))
+    state, rho_final, _, _, _ = jax.lax.while_loop(
+        cond, body, (state, rho_b, rho_b, jnp.int32(0),
+                     jnp.zeros(b, jnp.bool_))
     )
 
     if adaptive:

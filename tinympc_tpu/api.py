@@ -248,6 +248,11 @@ def with_settings(prob: TinyProblem, **kw) -> TinyProblem:
         raise ValueError("consensus is not compatible with adaptive_rho "
                          "(the Taylor cache update does not track the "
                          "consensus step-0 gains); pick one")
+    if prob.settings.adaptive_rho_tolerance < 1.0:
+        raise ValueError(
+            "adaptive_rho_tolerance must be >= 1 (1.0 = the reference's "
+            "unconditional adaptation; >1 = OSQP guard, commit only when "
+            "the step factor crosses the tolerance)")
     if prob.settings.adaptive_rho and prob.cache.dKinf_drho is None:
         prob = with_sensitivities(prob)
     return prob

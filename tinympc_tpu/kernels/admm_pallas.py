@@ -99,26 +99,27 @@ def _lane_rows(spec, settings, warm: bool, final: bool = False) -> int:
                          spec.n_tv_state_lin)))
     nfu = sum(map(bool, (spec.enabled_input_cones, spec.n_input_lin,
                          spec.n_tv_input_lin)))
+    cons2 = 2 * nu if spec.en_consensus else 0
+    need_xu = spec.any_extra_family or spec.en_consensus
     rows = nx                           # x0 lane input
     rows += 3 * Nx + 3 * Nu + 6         # scratch: vnew(x2) znew(x2) g y
-    if warm and spec.any_extra_family:
+    if warm and need_xu:
         rows += Nx + Nu                 # x u scratch (carry hand-over)
     rows += Nx + Nu + 6                 # outputs: x u iter solved res(4)
     rows += 2 * (nfx * Nx + nfu * Nu)   # per-family slack+dual scratch
     if settings.adaptive_rho:
-        rows += 2                       # rho scratch + rho out
-    if spec.en_consensus:
-        rows += 2 * nu                  # zc0 yc0
+        rows += 3                       # rho scratch + virtual rho + rho out
+    rows += cons2                       # zc0 yc0 scratch
     if warm:
-        carry = 3 * (Nx + Nu) + nfx * Nx + nfu * Nu   # vnew znew g y v z
-        if spec.any_extra_family:
+        carry = 3 * (Nx + Nu) + nfx * Nx + nfu * Nu + cons2
+        if need_xu:
             carry += Nx + Nu            # x u seeds
         if settings.adaptive_rho:
             carry += 1                  # per-lane rho
         rows += Nx + Nu + 2 * carry     # stales + carry in AND out
         if not final:                   # per-lane freeze snapshots
-            rows += 3 * (Nx + Nu) + nfx * Nx + nfu * Nu
-            if spec.any_extra_family:
+            rows += 3 * (Nx + Nu) + nfx * Nx + nfu * Nu + cons2
+            if need_xu:
                 rows += Nx + Nu
     return rows
 
@@ -163,6 +164,11 @@ class FusedCarry:
     yl: Optional[jax.Array] = None
     gtv: Optional[jax.Array] = None
     ytv: Optional[jax.Array] = None
+    # Consensus slack/dual on u[0] (admm.SolverState zc0new/yc0), carried
+    # only for consensus problems; the slack re-seeds from the carried u
+    # each solve (seed_extra_slacks), the dual persists.
+    zc0: Optional[jax.Array] = None   # (nu, B)
+    yc0: Optional[jax.Array] = None   # (nu, B)
     # Primal trajectories, carried only when an extra family is enabled:
     # its slack_new re-seeds from the *carried* x/u (admm.cpp:352-376 reads
     # the persistent workspace), which iteration 0's linear cost observes.
@@ -193,7 +199,10 @@ def init_carry(prob: TinyProblem, B: int) -> FusedCarry:
         fam["gtv"] = zx()
     if spec.n_tv_input_lin:
         fam["ytv"] = zu()
-    if spec.any_extra_family:
+    if spec.en_consensus:
+        fam["zc0"] = jnp.zeros((nu, B), dtype)
+        fam["yc0"] = jnp.zeros((nu, B), dtype)
+    if spec.any_extra_family or spec.en_consensus:
         fam["x"] = zx()
         fam["u"] = zu()
     if prob.settings.adaptive_rho:
@@ -315,10 +324,11 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                  warm: bool = False, final: bool = False,
                  adaptive: bool = False, apply_c: bool = False,
                  rho_min: float = 1.0, rho_max: float = 100.0,
-                 rho_clip: bool = True, adapt_period: int = 5,
+                 rho_clip: bool = True, rho_tol: float = 1.0,
+                 adapt_period: int = 5,
                  consensus: bool = False, group: int = 0,
                  rho_c: float = 0.0, seg_mm: bool = False,
-                 mm_mode: str = "ambient"):
+                 mm_mode: str = "ambient", chain_split: int = 1):
     """Build the fused-solve kernel for a static constraint-family layout.
 
     Ref order (inputs → outputs → scratch) must match the spec/shape lists
@@ -380,12 +390,26 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
     sweep uses the exact-prox gain pair Kinf0/Quu0_inv baked by
     with_consensus (``rho_c`` weighting the linear-cost term). Entirely
     within-tile — no collectives; cross-shard groups stay on the XLA path.
+
+    ``chain_split`` (k>1) cuts the tile's lanes into k groups and emits the
+    Riccati sweeps' recursion steps round-robin across groups. Per-lane
+    math is untouched (every matmul contracts the feature axis only), so
+    results are *bitwise equal* to k=1; what changes is the dependency
+    DAG — k independent costate/rollout chains replace one, and Mosaic's
+    dataflow scheduler hides each chain's serial MXU latency under the
+    other k-1 chains'. This attacks the dependency-latency bound that
+    the roofline shows is binding (docs/DESIGN.md "Speed of light"): the
+    chained-dot link costs ~108x its pipelined cost, so splitting trades
+    k-fold more (cheap) dot issues for k-fold fewer (expensive) stalls.
+    Elementwise phases stay whole-tile.
     """
     en_ssoc = bool(state_cones)
     en_isoc = bool(input_cones)
     any_extra = (en_ssoc or en_isoc or n_state_lin or n_input_lin
                  or n_tv_state_lin or n_tv_input_lin)
-    need_xu = warm and any_extra   # x/u scratch only feeds the carry merge
+    # x/u scratch only feeds the carry merge (consensus re-seeds its slack
+    # from the carried u, like the extra families).
+    need_xu = warm and (any_extra or consensus)
     snap = warm and not final      # per-lane carry freeze machinery
     f32 = jnp.float32
 
@@ -429,8 +453,10 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             yl_in = nxt() if n_input_lin else None
             gtv_in = nxt() if n_tv_state_lin else None
             ytv_in = nxt() if n_tv_input_lin else None
-            xin_ref = nxt() if any_extra else None
-            uin_ref = nxt() if any_extra else None
+            zc0_in = nxt() if consensus else None
+            yc0_in = nxt() if consensus else None
+            xin_ref = nxt() if (any_extra or consensus) else None
+            uin_ref = nxt() if (any_extra or consensus) else None
             rho_in = nxt() if adaptive else None
         # --- outputs
         outx_ref, outu_ref = nxt(), nxt()
@@ -445,14 +471,17 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             yl_out = nxt() if n_input_lin else None
             gtv_out = nxt() if n_tv_state_lin else None
             ytv_out = nxt() if n_tv_input_lin else None
-            x_out = nxt() if any_extra else None
-            u_out = nxt() if any_extra else None
+            zc0_out = nxt() if consensus else None
+            yc0_out = nxt() if consensus else None
+            x_out = nxt() if (any_extra or consensus) else None
+            u_out = nxt() if (any_extra or consensus) else None
         # --- scratch
         x, u = (nxt(), nxt()) if need_xu else (None, None)
         vnew, znew = nxt(), nxt()       # (2, ...) ping-pong halves
         g, y = nxt(), nxt()
         done, iters, res = nxt(), nxt(), nxt()
         rho_s = nxt() if adaptive else None
+        rho_vs = nxt() if adaptive else None    # guard accumulator
         vc = nxt() if en_ssoc else None
         gc = nxt() if en_ssoc else None
         zc = nxt() if en_isoc else None
@@ -478,8 +507,10 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             snap_yl = nxt() if n_input_lin else None
             snap_gtv = nxt() if n_tv_state_lin else None
             snap_ytv = nxt() if n_tv_input_lin else None
-            snap_x = nxt() if any_extra else None
-            snap_u = nxt() if any_extra else None
+            snap_zc0 = nxt() if consensus else None
+            snap_yc0 = nxt() if consensus else None
+            snap_x = nxt() if (any_extra or consensus) else None
+            snap_u = nxt() if (any_extra or consensus) else None
 
         # Matmul mode. "ambient" leaves jnp.dot under the trace-time
         # precision context (DEFAULT = single-pass bf16, HIGHEST = 6-pass
@@ -616,7 +647,8 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             if snap:
                 for ref in (snap_v, snap_z, snap_g, snap_y, snap_vst,
                             snap_zst, snap_gc, snap_yc, snap_gl, snap_yl,
-                            snap_gtv, snap_ytv, snap_x, snap_u):
+                            snap_gtv, snap_ytv, snap_zc0, snap_yc0,
+                            snap_x, snap_u):
                     if ref is not None:
                         ref[:] = jnp.zeros(ref.shape, ref.dtype)
         else:
@@ -629,6 +661,9 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
         res[:] = jnp.zeros(res.shape, res.dtype)
         if adaptive:
             rho_s[:] = rho_in[:] if warm else jnp.full(rho_s.shape, rho, f32)
+            # The guard's virtual rho starts at the committed rho each
+            # solve (transient accumulator, like the XLA path's carry).
+            rho_vs[:] = rho_s[:]
         # Extra-family seeds (admm.cpp:352-376 / admm.seed_extra_slacks):
         # state-side slack_new starts from the workspace x with the new x0
         # in row 0 (carried rows on warm solves, zeros on cold); input-side
@@ -653,10 +688,27 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                 if ref is not None:
                     ref[:] = jnp.zeros(ref.shape, ref.dtype)
         if consensus:
-            # Seed zc0new from the (zero) cold-start u and zero the dual
-            # (admm.seed_extra_slacks / init_state).
-            zc0[:] = jnp.zeros(zc0.shape, zc0.dtype)
-            yc0[:] = jnp.zeros(yc0.shape, yc0.dtype)
+            if warm:
+                # Per-solve re-seed from the carried u (admm.
+                # seed_extra_slacks: zc0new = u[0]); the dual persists.
+                zc0[:] = uin_ref[0]
+                yc0[:] = yc0_in[:]
+            else:
+                # Seed zc0new from the (zero) cold-start u and zero the
+                # dual (admm.seed_extra_slacks / init_state).
+                zc0[:] = jnp.zeros(zc0.shape, zc0.dtype)
+                yc0[:] = jnp.zeros(yc0.shape, yc0.dtype)
+
+        # Lane-group slicing for chain_split (see _make_kernel docstring).
+        # k=1 short-circuits to identity so the default trace is unchanged.
+        k_cs = chain_split
+        if k_cs == 1:
+            sl = lambda v, g: v
+            cat = lambda parts: parts[0]
+        else:
+            Wcs = Bt // k_cs
+            sl = lambda v, g: v[..., g * Wcs:(g + 1) * Wcs]
+            cat = lambda parts: jnp.concatenate(parts, axis=-1)
 
         def iteration(it, dvgN):
             # Per-lane rho (adaptive) or the static scalar. The Taylor-updated
@@ -665,24 +717,26 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             if adaptive:
                 rho_b = rho_s[:]                 # (1, Bt)
                 drho = rho_b - rho
+                dr_gs = [sl(drho, gi) for gi in range(k_cs)]
             else:
                 rho_b = rho
+                dr_gs = [None] * k_cs
 
-            def mmK(vv):
+            def mmK(vv, dr):
                 o = mm(Kinf, vv)
-                return o + drho * mm(dK, vv) if adaptive else o
+                return o + dr * mm(dK, vv) if adaptive else o
 
-            def mmKT(vv):
+            def mmKT(vv, dr):
                 o = mm(KinfT, vv)
-                return o + drho * mm(dKT, vv) if adaptive else o
+                return o + dr * mm(dKT, vv) if adaptive else o
 
-            def mmQuu(vv):
+            def mmQuu(vv, dr):
                 o = mm(Quu, vv)
-                return o + drho * mm(dC1, vv) if (adaptive and apply_c) else o
+                return o + dr * mm(dC1, vv) if (adaptive and apply_c) else o
 
-            def mmAmBKt(vv):
+            def mmAmBKt(vv, dr):
                 o = mm(AmBKt, vv)
-                return o + drho * mm(dC2, vv) if (adaptive and apply_c) else o
+                return o + dr * mm(dC2, vv) if (adaptive and apply_c) else o
             # 1+2. Linear cost (admm.cpp:262-304) fused into the Riccati
             # backward sweep (admm.cpp:13-20): q/r rows are formed on the
             # fly, and the costate p rolls as a value. The terminal row uses
@@ -724,7 +778,7 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             if n_tv_state_lin:
                 p_next = p_next - rho_b * (vtv[N - 1] - gtv[N - 1])
 
-            dvals = [None] * (N - 1)
+            dvals = [[None] * k_cs for _ in range(N - 1)]
             if stack_sweeps and SWEEP_HOIST:
                 # Scheduling experiment (see docs/DESIGN.md "Speed of
                 # light"): the KinfT@r dots never feed the costate chain,
@@ -733,50 +787,57 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                 # the chain shortens from 3 dependent dots per step to 1
                 # (Mback@p) plus a d dot hanging off it. Identical
                 # expressions and operand values as the in-loop order:
-                # bit-identical results either way.
+                # bit-identical results either way. (k=1 only; _fused_call
+                # guards the combination.)
                 rvals = [form_r(i) for i in range(N - 1)]
                 rKs = [mm(KinfT, r_i) for r_i in rvals]
                 for i in range(N - 2, -1, -1):
                     pout = mm(Mback, p_next)
                     bp, ap = pout[:nu], pout[nu:]
                     Qm = Quu0 if (consensus and i == 0) else Quu
-                    dvals[i] = mm(Qm, bp + rvals[i] + BPf)
+                    dvals[i][0] = mm(Qm, bp + rvals[i] + BPf)
                     p_next = form_q(i) + ap - rKs[i] + APf
             else:
+                p_gs = [sl(p_next, gi) for gi in range(k_cs)]
                 for i in range(N - 2, -1, -1):          # static unroll
                     r_i = form_r(i)
                     q_i = form_q(i)
-                    if stack_sweeps:
-                        pout = mm(Mback, p_next)
-                        bp, ap = pout[:nu], pout[nu:]
-                    else:
-                        ps = vsplit(p_next)  # feeds both BT and AmBKt dots
-                        bp, ap = mm(BT, ps), mmAmBKt(ps)
-                    if consensus and i == 0:
-                        # Step 0 carries the rho_c*I prox in its dedicated
-                        # gain (admm.backward_pass with consensus=True).
-                        dvals[i] = mm(Quu0, bp + r_i + BPf)
-                    else:
-                        dvals[i] = mmQuu(bp + r_i + BPf)
-                    p_next = q_i + ap - mmKT(r_i) + APf
+                    for gi in range(k_cs):               # round-robin chains
+                        r_g = sl(r_i, gi)
+                        if stack_sweeps:
+                            pout = mm(Mback, p_gs[gi])
+                            bp, ap = pout[:nu], pout[nu:]
+                        else:
+                            ps = vsplit(p_gs[gi])  # feeds BT and AmBKt dots
+                            bp, ap = mm(BT, ps), mmAmBKt(ps, dr_gs[gi])
+                        if consensus and i == 0:
+                            # Step 0 carries the rho_c*I prox in its
+                            # dedicated gain (admm.backward_pass with
+                            # consensus=True).
+                            dvals[i][gi] = mm(Quu0, bp + r_g + BPf)
+                        else:
+                            dvals[i][gi] = mmQuu(bp + r_g + BPf, dr_gs[gi])
+                        p_gs[gi] = sl(q_i, gi) + ap - mmKT(r_g, dr_gs[gi]) + APf
 
             # 3. forward rollout (admm.cpp:25-32)
-            x_i = x0v
-            xvals, uvals = [x_i], []
+            x_gs = [sl(x0v, gi) for gi in range(k_cs)]
+            xvals = [[x_gs[gi]] for gi in range(k_cs)]
+            uvals = [[] for _ in range(k_cs)]
             for i in range(N - 1):                  # static unroll
-                if stack_sweeps:
-                    Mf = Mfwd0 if (consensus and i == 0) else Mfwd
-                    xout = mm(Mf, x_i)
-                    kx, ax = xout[:nu], xout[nu:]
-                else:
-                    xsp = vsplit(x_i)     # feeds both Kinf and A dots
-                    kx = mm(Kinf0, xsp) if (consensus and i == 0) \
-                        else mmK(xsp)
-                    ax = mm(A, xsp)
-                u_i = -kx - dvals[i]
-                uvals.append(u_i)
-                x_i = ax + mm(Bm, u_i) + fvec
-                xvals.append(x_i)
+                for gi in range(k_cs):               # round-robin chains
+                    if stack_sweeps:
+                        Mf = Mfwd0 if (consensus and i == 0) else Mfwd
+                        xout = mm(Mf, x_gs[gi])
+                        kx, ax = xout[:nu], xout[nu:]
+                    else:
+                        xsp = vsplit(x_gs[gi])  # feeds both Kinf and A dots
+                        kx = mm(Kinf0, xsp) if (consensus and i == 0) \
+                            else mmK(xsp, dr_gs[gi])
+                        ax = mm(A, xsp)
+                    u_i = -kx - dvals[i][gi]
+                    uvals[gi].append(u_i)
+                    x_gs[gi] = ax + mm(Bm, u_i) + fvec
+                    xvals[gi].append(x_gs[gi])
 
             # 4. slack projection + 5. dual update (admm.cpp:81-256).
             # vnew/v and znew/z are ping-pong halves: iteration `it` writes
@@ -787,8 +848,8 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             # every family before update_dual touches any dual).
             cur = it % 2
             prev = 1 - cur
-            xs = jnp.stack(xvals)
-            us = jnp.stack(uvals)
+            xs = cat([jnp.stack(v) for v in xvals])
+            us = cat([jnp.stack(v) for v in uvals])
             if need_xu:
                 x[:] = xs
                 u[:] = us
@@ -843,7 +904,8 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                 cand0 = us[0] + yc0[:]                   # (nu, Bt)
                 zc0n = _segment_mean_lanes(cand0, group, Sseg, STseg, seg_dot)
                 zc0[:] = zc0n
-                yc0[:] = yc0[:] + us[0] - zc0n
+                yc0n = yc0[:] + us[0] - zc0n
+                yc0[:] = yc0n
 
             # 6. termination (admm.cpp:310-328; bounds-family residuals
             # only, like the reference); bookkeeping only for lanes not yet
@@ -898,66 +960,96 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                     eps = 1e-10                            # rho_benchmark.cpp:183
                     ratio = (pri_res / (pri_norm + eps)) / (
                         dual_res / (dual_norm + eps) + eps)
-                    new_rho = rho_s[0] * jnp.sqrt(ratio)
-                    if rho_clip:
-                        new_rho = jnp.clip(new_rho, rho_min, rho_max)
-                    rho_s[0] = jnp.where(active, new_rho, rho_s[0])
-
-            # Termination scales the dual residuals with the post-adaptation
-            # rho (admm.solve computes residuals with the adapted cache).
-            rho_t = rho_s[0] if adaptive else rho
-            if warm:
-                vprev = jnp.where(it == 0, vstale[:], vnew[prev])
-                zprev = jnp.where(it == 0, zstale[:], znew[prev])
-            else:
-                vprev = vnew[prev]
-                zprev = znew[prev]
-            pri_s = jnp.max(jnp.abs(xs - vn), axis=(0, 1))
-            pri_i = jnp.max(jnp.abs(us - zn), axis=(0, 1))
-            dua_s = jnp.max(jnp.abs(vprev - vn), axis=(0, 1)) * rho_t
-            dua_i = jnp.max(jnp.abs(zprev - zn), axis=(0, 1)) * rho_t
-            checking = (it1 % check_termination) == 0
-            ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
-                & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
-            if consensus:
-                # Consensus residual gates convergence like the XLA path
-                # (admm._solve_impl's cres check); not recorded in res.
-                cres = jnp.max(jnp.abs(us[0] - zc0n), axis=0)
-                ok = ok & (cres < abs_pri_tol)
-            just = checking & ok & active
+                    factor = jnp.sqrt(ratio)
+                    if rho_tol > 1.0:
+                        # Guarded policy (admm._solve_impl's accumulator):
+                        # every prediction updates the *virtual* rho; it
+                        # commits into the solver only when it has drifted
+                        # rho_tol-fold from the committed rho. Persistent
+                        # imbalance (mis-tuned rho) compounds and commits;
+                        # balanced noise random-walks and mostly doesn't.
+                        new_v = rho_vs[0] * factor
+                        if rho_clip:
+                            new_v = jnp.clip(new_v, rho_min, rho_max)
+                        commit = ((new_v >= rho_tol * rho_s[0])
+                                  | (new_v * rho_tol <= rho_s[0]))
+                        rho_vs[0] = jnp.where(active, new_v, rho_vs[0])
+                        rho_s[0] = jnp.where(active & commit, new_v,
+                                             rho_s[0])
+                    else:
+                        new_rho = rho_s[0] * factor
+                        if rho_clip:
+                            new_rho = jnp.clip(new_rho, rho_min, rho_max)
+                        rho_s[0] = jnp.where(active, new_rho, rho_s[0])
 
             iters[0] = jnp.where(active, it1, iters[0])
-            commit = checking & active
-            res[0] = jnp.where(commit, pri_s, res[0])
-            res[1] = jnp.where(commit, pri_i, res[1])
-            res[2] = jnp.where(commit, dua_s, res[2])
-            res[3] = jnp.where(commit, dua_i, res[3])
-            done[0] = jnp.where(just, 1, done[0])
+            checking = (it1 % check_termination) == 0
 
-            # Snapshot solutions (and, on warm solves, the per-lane carry —
-            # the XLA path's per-lane freeze) only on iterations where some
-            # lane converged: the read-modify-writes are wasted on the
-            # (typical) all-or-nothing iterations.
-            @pl.when(jnp.any(just))
+            # Termination runs only on check iterations — the reference's
+            # amortised check (admm.cpp:312). The pl.when gate skips the
+            # four full-trajectory max-abs reductions (plus the dual-diff
+            # subtractions feeding them) on the other check_termination-1
+            # of every check_termination iterations; measured ~1.2x on the
+            # N=20 headline. Values on check iterations are untouched, so
+            # results stay bitwise identical. Dual residuals scale with the
+            # post-adaptation rho (admm.solve computes residuals with the
+            # adapted cache).
+            @pl.when(checking)
             def _():
-                jm = just[None, None, :]
-                outx_ref[:] = jnp.where(jm, vn, outx_ref[:])
-                outu_ref[:] = jnp.where(jm, zn, outu_ref[:])
-                if snap:
-                    snap_v[:] = jnp.where(jm, vn, snap_v[:])
-                    snap_z[:] = jnp.where(jm, zn, snap_z[:])
-                    snap_g[:] = jnp.where(jm, g_new, snap_g[:])
-                    snap_y[:] = jnp.where(jm, y_new, snap_y[:])
-                    snap_vst[:] = jnp.where(jm, vprev, snap_vst[:])
-                    snap_zst[:] = jnp.where(jm, zprev, snap_zst[:])
-                    for sref, val in ((snap_gc, gcn), (snap_yc, ycn),
-                                      (snap_gl, gln), (snap_yl, yln),
-                                      (snap_gtv, gtvn), (snap_ytv, ytvn)):
-                        if sref is not None:
-                            sref[:] = jnp.where(jm, val, sref[:])
-                    if any_extra:
-                        snap_x[:] = jnp.where(jm, xs, snap_x[:])
-                        snap_u[:] = jnp.where(jm, us, snap_u[:])
+                rho_t = rho_s[0] if adaptive else rho
+                if warm:
+                    vprev = jnp.where(it == 0, vstale[:], vnew[prev])
+                    zprev = jnp.where(it == 0, zstale[:], znew[prev])
+                else:
+                    vprev = vnew[prev]
+                    zprev = znew[prev]
+                pri_s = jnp.max(jnp.abs(xs - vn), axis=(0, 1))
+                pri_i = jnp.max(jnp.abs(us - zn), axis=(0, 1))
+                dua_s = jnp.max(jnp.abs(vprev - vn), axis=(0, 1)) * rho_t
+                dua_i = jnp.max(jnp.abs(zprev - zn), axis=(0, 1)) * rho_t
+                ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
+                    & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
+                if consensus:
+                    # Consensus residual gates convergence like the XLA path
+                    # (admm._solve_impl's cres check); not recorded in res.
+                    cres = jnp.max(jnp.abs(us[0] - zc0n), axis=0)
+                    ok = ok & (cres < abs_pri_tol)
+                just = ok & active
+
+                res[0] = jnp.where(active, pri_s, res[0])
+                res[1] = jnp.where(active, pri_i, res[1])
+                res[2] = jnp.where(active, dua_s, res[2])
+                res[3] = jnp.where(active, dua_i, res[3])
+                done[0] = jnp.where(just, 1, done[0])
+
+                # Snapshot solutions (and, on warm solves, the per-lane
+                # carry — the XLA path's per-lane freeze) only on iterations
+                # where some lane converged: the read-modify-writes are
+                # wasted on the (typical) all-or-nothing iterations.
+                @pl.when(jnp.any(just))
+                def _():
+                    jm = just[None, None, :]
+                    outx_ref[:] = jnp.where(jm, vn, outx_ref[:])
+                    outu_ref[:] = jnp.where(jm, zn, outu_ref[:])
+                    if snap:
+                        snap_v[:] = jnp.where(jm, vn, snap_v[:])
+                        snap_z[:] = jnp.where(jm, zn, snap_z[:])
+                        snap_g[:] = jnp.where(jm, g_new, snap_g[:])
+                        snap_y[:] = jnp.where(jm, y_new, snap_y[:])
+                        snap_vst[:] = jnp.where(jm, vprev, snap_vst[:])
+                        snap_zst[:] = jnp.where(jm, zprev, snap_zst[:])
+                        for sref, val in ((snap_gc, gcn), (snap_yc, ycn),
+                                          (snap_gl, gln), (snap_yl, yln),
+                                          (snap_gtv, gtvn), (snap_ytv, ytvn)):
+                            if sref is not None:
+                                sref[:] = jnp.where(jm, val, sref[:])
+                        if consensus:
+                            jm2 = just[None, :]
+                            snap_zc0[:] = jnp.where(jm2, zc0n, snap_zc0[:])
+                            snap_yc0[:] = jnp.where(jm2, yc0n, snap_yc0[:])
+                        if any_extra or consensus:
+                            snap_x[:] = jnp.where(jm, xs, snap_x[:])
+                            snap_u[:] = jnp.where(jm, us, snap_u[:])
 
             return jnp.all(done[0] == 1), dvgN_next
 
@@ -1011,7 +1103,11 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                                        (ytv_out, snap_ytv, ytv)):
                 if out is not None:
                     out[:] = jnp.where(cm, sref[:], cur_ref[:])
-            if any_extra:
+            if consensus:
+                cm2 = jnp.logical_not(active)[None, :]
+                zc0_out[:] = jnp.where(cm2, snap_zc0[:], zc0[:])
+                yc0_out[:] = jnp.where(cm2, snap_yc0[:], yc0[:])
+            if any_extra or consensus:
                 x_out[:] = jnp.where(cm, snap_x[:], x[:])
                 u_out[:] = jnp.where(cm, snap_u[:], u[:])
         elif warm:
@@ -1025,10 +1121,11 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             z_out[:] = zlast
             for out, cur_ref in ((gc_out, gc), (yc_out, yc), (gl_out, gl),
                                  (yl_out, yl), (gtv_out, gtv),
-                                 (ytv_out, ytv)):
+                                 (ytv_out, ytv), (zc0_out, zc0),
+                                 (yc0_out, yc0)):
                 if out is not None:
                     out[:] = cur_ref[:]
-            if any_extra:
+            if any_extra or consensus:
                 x_out[:] = x[:]
                 u_out[:] = u[:]
 
@@ -1036,7 +1133,8 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
 
 
 def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
-                tile: Optional[int] = None, interpret: bool = False):
+                tile: Optional[int] = None, interpret: bool = False,
+                chain_split: Optional[int] = None):
     """Batched cold-start solve via the fused kernel.
 
     ``tile`` is the batch-lane tile width; ``None`` (default) picks the
@@ -1054,14 +1152,16 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
     array gains a 5th row holding each problem's final rho (feed it to
     :func:`adapted_cache` for the full per-problem cache).
     """
-    sol, res, _ = _fused_call(prob, Xref, Uref, x0s, None, tile, interpret)
+    sol, res, _ = _fused_call(prob, Xref, Uref, x0s, None, tile, interpret,
+                              chain_split=chain_split)
     return sol, res
 
 
 def solve_fused_warm(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
                      carry: FusedCarry = None, *,
                      tile: Optional[int] = None, final: bool = False,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     chain_split: Optional[int] = None):
     """Warm-started batched solve: the receding-horizon pattern with an
     *external* plant (set x0 → solve → apply u[0] to the real system →
     repeat), at fused-kernel speed.
@@ -1083,10 +1183,31 @@ def solve_fused_warm(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
     if carry is None:
         raise ValueError("solve_fused_warm needs a carry; start from "
                          "init_carry(prob, B)")
-    return _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final)
+    return _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final,
+                       chain_split=chain_split)
 
 
-def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False):
+def _resolve_chain_split(chain_split: Optional[int], Bt: int) -> int:
+    """Resolve the sweep chain-split factor (see _make_kernel docstring).
+
+    Explicit arg > TINYMPC_CHAIN_SPLIT env (the A/B lever) > default (1).
+    SWEEP_HOIST (a k=1-only scheduling experiment) forces k=1.
+    """
+    if chain_split is None:
+        env = os.environ.get("TINYMPC_CHAIN_SPLIT")
+        chain_split = int(env) if env is not None else 1
+    k = int(chain_split)
+    if k < 1 or (k > 1 and (Bt % k or (Bt // k) % 128)):
+        raise ValueError(
+            f"chain_split {k} must cut tile {Bt} into equal groups of a "
+            "multiple of 128 lanes")
+    if SWEEP_HOIST:
+        k = 1
+    return k
+
+
+def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False,
+                chain_split=None):
     spec, settings = prob.spec, prob.settings
     warm = carry is not None
     adaptive = settings.adaptive_rho
@@ -1102,9 +1223,6 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False):
     group = 0
     group_shape = None
     if consensus:
-        if warm:
-            raise ValueError("solve_fused_warm does not support consensus; "
-                             "use solve_fused (cold) or tinympc_tpu.solve")
         if x0s.ndim != 3:
             raise ValueError(
                 "consensus solve_fused takes x0s as (n_groups, group, nx) — "
@@ -1217,7 +1335,9 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False):
     if warm:
         need = {"gc": en_ssoc, "yc": en_isoc, "gl": bool(nsl),
                 "yl": bool(nil), "gtv": bool(ntsl), "ytv": bool(ntil),
-                "x": any_extra, "u": any_extra, "rho": adaptive}
+                "zc0": consensus, "yc0": consensus,
+                "x": any_extra or consensus, "u": any_extra or consensus,
+                "rho": adaptive}
         bad = [k for k, n in need.items()
                if bool(n) != (getattr(carry, k) is not None)]
         if bad:
@@ -1228,7 +1348,8 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False):
         carry_leaves = tuple(
             l for l in (carry.vnew, carry.znew, carry.g, carry.y,
                         carry.v, carry.z, carry.gc, carry.yc, carry.gl,
-                        carry.yl, carry.gtv, carry.ytv, carry.x, carry.u)
+                        carry.yl, carry.gtv, carry.ytv, carry.zc0,
+                        carry.yc0, carry.x, carry.u)
             if l is not None)
         args += [jnp.asarray(l, dtype) for l in carry_leaves]
         n_lane_in = len(carry_leaves)
@@ -1259,7 +1380,9 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False):
         warm=warm, final=final,
         adaptive=adaptive, apply_c=settings.adaptive_rho_apply_c,
         rho_min=settings.adaptive_rho_min, rho_max=settings.adaptive_rho_max,
-        rho_clip=settings.adaptive_rho_clip, adapt_period=ADAPTIVE_RHO_PERIOD,
+        rho_clip=settings.adaptive_rho_clip,
+        rho_tol=settings.adaptive_rho_tolerance,
+        adapt_period=ADAPTIVE_RHO_PERIOD,
         consensus=consensus, group=group, seg_mm=seg_mm,
         rho_c=(float(c.rho) if settings.consensus_rho is None
                else float(settings.consensus_rho)) if consensus else 0.0,
@@ -1267,6 +1390,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False):
         # 3-pass bf16 scheme (the XLA path gets native bf16_3x from the
         # precision context).
         mm_mode="bf16x3" if settings.matmul_precision == "high" else "ambient",
+        chain_split=_resolve_chain_split(chain_split, Bt),
     )
 
     zx = lambda: pltpu.VMEM((N, nx, Bt), dtype)
@@ -1296,7 +1420,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False):
             out_shape.append(jax.ShapeDtypeStruct(l.shape, dtype))
 
     scratch = []
-    if warm and any_extra:
+    if warm and (any_extra or consensus):
         scratch += [zx(), zu()]                 # x u (carry hand-over)
     scratch += [
         pltpu.VMEM((2, N, nx, Bt), dtype),      # vnew ping-pong
@@ -1307,7 +1431,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False):
         pltpu.VMEM((4, Bt), dtype),       # residuals
     ]
     if adaptive:
-        scratch += [pltpu.VMEM((1, Bt), dtype)]   # per-lane rho
+        scratch += [pltpu.VMEM((1, Bt), dtype)] * 2   # rho + virtual rho
     if en_ssoc:
         scratch += [zx(), zx()]     # vc gc
     if en_isoc:
@@ -1338,7 +1462,9 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False):
             scratch += [zx()]
         if ntil:
             scratch += [zu()]
-        if any_extra:
+        if consensus:
+            scratch += [pltpu.VMEM((nu, Bt), dtype)] * 2  # snap_zc0 snap_yc0
+        if any_extra or consensus:
             scratch += [zx(), zu()]   # snap_x snap_u
 
     with matmul_precision_ctx(settings):
@@ -1383,7 +1509,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False):
     if warm:
         co = list(outs[nfixed:])
         names = ["vnew", "znew", "g", "y", "v", "z", "gc", "yc", "gl", "yl",
-                 "gtv", "ytv", "x", "u"]
+                 "gtv", "ytv", "zc0", "yc0", "x", "u"]
         vals = {}
         for name in names:
             if getattr(carry, name) is not None:

@@ -255,7 +255,8 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
                     mus_x=(), mus_u=(), n_lin_x=0, n_lin_u=0,
                     n_tv_x=0, n_tv_u=0, consensus=False, group=0,
                     adaptive=False, adapt_period=5, rho_min=1.0,
-                    rho_max=100.0, rho_clip=True, track_xu=False):
+                    rho_max=100.0, rho_clip=True, rho_tol=1.0,
+                    track_xu=False):
     """Grid (T, Jc) forward order. Scratch: rolling x (nx, Bt) and the
     four residual max-accumulators (8, Bt; rows 0-3 used). Bookkeeping
     (iters/done/res) updates commit at each tile's last chunk.
@@ -294,6 +295,7 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         nxt = lambda: next(it)
         it_ref = nxt()                      # scalar SMEM (1,1)
         rho_in_ref = nxt() if adaptive else None
+        rho_v_in = nxt() if adaptive else None  # guard accumulator
         vnew_ref, g_ref, znew_ref, y_ref, d_ref, x0_ref = (
             nxt(), nxt(), nxt(), nxt(), nxt(), nxt())
         fx_in = [(nxt(), nxt()) for _ in fams_x]
@@ -328,6 +330,7 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
         us_out = nxt() if track_xu else None
         iters_out, done_out, res_out, just_out = nxt(), nxt(), nxt(), nxt()
         rho_out = nxt() if adaptive else None
+        rho_v_out = nxt() if adaptive else None
         x_scr, acc_scr = nxt(), nxt()
         if adaptive:
             # Pending rows of the chunk-streamed OSQP reductions (see
@@ -587,11 +590,28 @@ def _forward_kernel(C, N, nx, nu, rho, check_termination,
                     jnp.maximum(acc_scr[13], acc_scr[10]))
                 ratio = (pri_res / (pri_norm + eps)) / (
                     dual_res / (dual_norm + eps) + eps)
-                new_rho = rho_in_ref[0] * jnp.sqrt(ratio)
-                if rho_clip:
-                    new_rho = jnp.clip(new_rho, rho_min, rho_max)
-                rho_t = jnp.where(adapt_now & active, new_rho,
-                                  rho_in_ref[0])
+                factor = jnp.sqrt(ratio)
+                if rho_tol > 1.0:
+                    # Guarded policy (admm._solve_impl's accumulator, see
+                    # rho_adapt.predict_rho): every prediction updates the
+                    # virtual rho; it commits into the solver only once it
+                    # has drifted rho_tol-fold from the committed rho.
+                    new_v = rho_v_in[0] * factor
+                    if rho_clip:
+                        new_v = jnp.clip(new_v, rho_min, rho_max)
+                    commit = ((new_v >= rho_tol * rho_in_ref[0])
+                              | (new_v * rho_tol <= rho_in_ref[0]))
+                    rho_v_out[0] = jnp.where(adapt_now & active, new_v,
+                                             rho_v_in[0])
+                    rho_t = jnp.where(adapt_now & active & commit, new_v,
+                                      rho_in_ref[0])
+                else:
+                    new_rho = rho_in_ref[0] * factor
+                    if rho_clip:
+                        new_rho = jnp.clip(new_rho, rho_min, rho_max)
+                    rho_v_out[0] = rho_v_in[0]
+                    rho_t = jnp.where(adapt_now & active, new_rho,
+                                      rho_in_ref[0])
                 rho_out[0] = rho_t
             else:
                 rho_t = rho
@@ -709,10 +729,6 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
         ("lin", bool(spec0.n_input_lin)),
         ("tv", bool(spec0.n_tv_input_lin))) if on)
     consensus = spec0.en_consensus
-    if carry is not None and consensus:
-        raise ValueError("solve_fused_streamed_warm does not support "
-                         "consensus; use solve_fused_streamed (cold) or "
-                         "tinympc_tpu.solve")
     if carry is not None:
         # Same field/family consistency contract as solve_fused_warm.
         need = {"gc": bool(spec0.enabled_state_cones),
@@ -721,7 +737,9 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                 "yl": bool(spec0.n_input_lin),
                 "gtv": bool(spec0.n_tv_state_lin),
                 "ytv": bool(spec0.n_tv_input_lin),
-                "x": spec0.any_extra_family, "u": spec0.any_extra_family,
+                "zc0": consensus, "yc0": consensus,
+                "x": spec0.any_extra_family or consensus,
+                "u": spec0.any_extra_family or consensus,
                 "rho": bool(adaptive)}
         bad = [k for k, n in need.items()
                if bool(n) != (getattr(carry, k) is not None)]
@@ -861,13 +879,14 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                         adapt_period=ADAPTIVE_RHO_PERIOD,
                         rho_min=float(settings.adaptive_rho_min),
                         rho_max=float(settings.adaptive_rho_max),
-                        rho_clip=bool(settings.adaptive_rho_clip))
+                        rho_clip=bool(settings.adaptive_rho_clip),
+                        rho_tol=float(settings.adaptive_rho_tolerance))
         bwd_kernel, _ = _backward_kernel(C, N, nx, nu, rho, mm_mode,
                                          n_fx=len(fams_x),
                                          n_fu=len(fams_u),
                                          consensus=consensus, rho_c=rho_c,
                                          adaptive=adaptive, apply_c=apply_c)
-        track = warm and bool(fams_x or fams_u)
+        track = warm and bool(fams_x or fams_u or consensus)
         fam_kw = dict(fams_x=fams_x, fams_u=fams_u,
                       state_cones=scones, input_cones=icones,
                       mus_x=mus_x, mus_u=mus_u,
@@ -882,7 +901,8 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             fwd_stale_kernel, _ = _forward_kernel(
                 C, N, nx, nu, rho, settings.check_termination,
                 float(settings.abs_pri_tol), float(settings.abs_dua_tol),
-                mm_mode, stale=True, **fam_kw, **adapt_kw)
+                mm_mode, stale=True, consensus=consensus, group=group,
+                **fam_kw, **adapt_kw)
 
         # ---- BlockSpecs ----
         def chunk_spec(F, rev=False):
@@ -948,7 +968,7 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                         const_spec((nu + nx, nx)),
                         const_spec((tile, tile // max(group, 1))),
                         const_spec((tile // max(group, 1), tile))]
-                       if (consensus and not stale) else [])
+                       if consensus else [])
             stale_in = [chunk_spec(nx), chunk_spec(nu)] if stale else []
             proj_in = []
             if n_lin_x:
@@ -971,7 +991,7 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((C, n_tv_u), lambda t, j: (j, 0),
                                  memory_space=pltpu.VMEM)]
-            adapt_lane = [lane_spec(1)] if adaptive else []
+            adapt_lane = [lane_spec(1)] * 2 if adaptive else []
             adapt_const = ([const_spec(dMfwd.shape), const_spec((nx, nx)),
                             const_spec((nu, nx)), const_spec((nx, nx)),
                             const_spec((nx, nx)), const_spec((nx, 1)),
@@ -994,14 +1014,14 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                              + [chunk_spec(nu)] * (2 * len(fu)))
             fam_out_shape = [zxs] * (2 * len(fx)) + [zus] * (2 * len(fu))
             cons_out_specs = ([lane_spec(nu), lane_spec(nu)]
-                              if (consensus and not stale) else [])
+                              if consensus else [])
             cons_out_shape = ([jax.ShapeDtypeStruct((nu, B), dtype)] * 2
-                              if (consensus and not stale) else [])
+                              if consensus else [])
             track_out_specs = ([chunk_spec(nx), chunk_spec(nu)]
                                if track else [])
             track_out_shape = [zxs, zus] if track else []
-            adapt_out_specs = [lane_spec(1)] if adaptive else []
-            adapt_out_shape = ([jax.ShapeDtypeStruct((1, B), dtype)]
+            adapt_out_specs = [lane_spec(1)] * 2 if adaptive else []
+            adapt_out_shape = ([jax.ShapeDtypeStruct((1, B), dtype)] * 2
                                if adaptive else [])
             out_specs = ([chunk_spec(nx), chunk_spec(nx),
                           chunk_spec(nu), chunk_spec(nu)] + fam_out_specs
@@ -1059,6 +1079,9 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             # warm solves continue the carried row.
             state0["rho"] = (jnp.asarray(carry.rho, dtype) if warm
                              else jnp.full((1, B), rho, dtype))
+            # The guard's virtual rho starts at the committed rho each
+            # solve (transient accumulator, like the XLA path's carry).
+            state0["rho_v"] = state0["rho"]
         # Extra-family slack seeds from the workspace x — the carried
         # trajectory (warm) or zeros (cold) with the new x0 in row 0
         # (admm.cpp:352-376 / admm.seed_extra_slacks); input-side from
@@ -1100,16 +1123,26 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             Kinf0s = jnp.concatenate([jnp.asarray(cache.Kinf0, dtype),
                                       jnp.asarray(prob.A, dtype)], axis=0)
             Sseg, STseg = _segment_matrices(tile, group)
-            # Cold consensus slack/dual seeds (admm.seed_extra_slacks:
-            # zc0 from the zero cold u, dual zero).
-            state0.update(zc0=jnp.zeros((nu, B), dtype),
-                          yc0=jnp.zeros((nu, B), dtype))
+            if warm:
+                # Per-solve re-seed from the carried u (admm.
+                # seed_extra_slacks: zc0new = u[0]); the dual persists.
+                state0.update(
+                    zc0=jnp.asarray(carry.u, dtype)[0],
+                    yc0=jnp.asarray(carry.yc0, dtype))
+            else:
+                # Cold consensus slack/dual seeds (admm.seed_extra_slacks:
+                # zc0 from the zero cold u, dual zero).
+                state0.update(zc0=jnp.zeros((nu, B), dtype),
+                              yc0=jnp.zeros((nu, B), dtype))
         if warm:
             # Per-lane carry-freeze snapshots (the resident kernel's snap
             # machinery, admm_pallas lines around its snap refs): filled at
             # each lane's first convergence, so the handed-over carry is
             # the converged iterate, not the tile's last one.
             state0.update(sv=zx, sz=zu, sg=zx, sy=zu, svst=zx, szst=zu)
+            if consensus:
+                zc = jnp.zeros((nu, B), dtype)
+                state0.update(szc0=zc, syc0=zc)
             if track:
                 # Family-dual and x/u shadows (+ the live trajectories,
                 # for max-iter lanes' carry hand-over).
@@ -1125,6 +1158,7 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             fam_args = [a for pair in s["fx"] + s["fu"] for a in pair]
             cons_lane = [s["zc0"], s["yc0"]] if consensus else []
             rho_lane = [s["rho"]] if adaptive else []
+            rho_lane_fwd = [s["rho"], s["rho_v"]] if adaptive else []
             adapt_bwd = ([dKT, pterm_dP]
                          + ([dC1, dMback] if apply_c else [])
                          ) if adaptive else []
@@ -1133,16 +1167,16 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                          Mback, KinfT, Quu, *([Quu0] if consensus else []),
                          APf, BPf, pterm, *adapt_bwd)
             itm = s["it"].reshape(1, 1)
-            args = [itm] + rho_lane + [s["vnew"], s["g"], s["znew"],
-                                       s["y"], d, x0k]
+            args = [itm] + rho_lane_fwd + [s["vnew"], s["g"], s["znew"],
+                                           s["y"], d, x0k]
             args += fam_args
+            if consensus:
+                args += [s["zc0"], s["yc0"], Kinf0s, Sseg, STseg]
             if stale_v is not None:
                 args += [stale_v, stale_z]
                 args += proj_data
                 call = fwd_stale_call
             else:
-                if consensus:
-                    args += [s["zc0"], s["yc0"], Kinf0s, Sseg, STseg]
                 args += proj_data
                 call = fwd_call
             args += [s["iters"], s["done"], s["res"],
@@ -1160,6 +1194,7 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             us_tr = next(o) if track else None
             iters, done, res, just = next(o), next(o), next(o), next(o)
             rho_new = next(o) if adaptive else None
+            rho_v_new = next(o) if adaptive else None
 
             jm = (just[0] == 1)[None, None, :]
             prev_v = stale_v if stale_v is not None else s["vnew"]
@@ -1182,6 +1217,11 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                                       in zip(fu_new, s["sfu"]))
                         outs += (jnp.where(jm, xs_tr, s["sx"]),
                                  jnp.where(jm, us_tr, s["su"]))
+                    if consensus:
+                        outs += (jnp.where(jm[0], cons_new["zc0"],
+                                           s["szc0"]),
+                                 jnp.where(jm[0], cons_new["yc0"],
+                                           s["syc0"]))
                 return outs
 
             def keep():
@@ -1192,6 +1232,8 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                     if track:
                         outs += tuple(s["sfx"]) + tuple(s["sfu"])
                         outs += (s["sx"], s["su"])
+                    if consensus:
+                        outs += (s["szc0"], s["syc0"])
                 return outs
 
             blended = jax.lax.cond(jnp.any(just == 1), blend, keep)
@@ -1201,16 +1243,19 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                        fx=fx_new, fu=fu_new, **cons_new)
             if adaptive:
                 out["rho"] = rho_new
+                out["rho_v"] = rho_v_new
             if warm:
                 out.update(sv=blended[2], sz=blended[3], sg=blended[4],
                            sy=blended[5], svst=blended[6], szst=blended[7])
                 if track:
-                    nfx = len(fams_x)
+                    nfx, nfu = len(fams_x), len(fams_u)
                     out.update(sfx=list(blended[8:8 + nfx]),
-                               sfu=list(blended[8 + nfx:
-                                                8 + nfx + len(fams_u)]),
-                               sx=blended[-2], su=blended[-1],
+                               sfu=list(blended[8 + nfx:8 + nfx + nfu]),
+                               sx=blended[8 + nfx + nfu],
+                               su=blended[8 + nfx + nfu + 1],
                                xs=xs_tr, us=us_tr)
+                if consensus:
+                    out.update(szc0=blended[-2], syc0=blended[-1])
             return out
 
         def cond(s):
@@ -1273,6 +1318,9 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
                 fam_carry[names_u[k]] = trim(jnp.where(cm, sd, du))
             fam_carry["x"] = jnp.where(cm, s["sx"], s["xs"])
             fam_carry["u"] = trim(jnp.where(cm, s["su"], s["us"]))
+        if consensus:
+            fam_carry["zc0"] = jnp.where(cm[0], s["szc0"], s["zc0"])
+            fam_carry["yc0"] = jnp.where(cm[0], s["syc0"], s["yc0"])
         carry_out = FusedCarry(
             vnew=jnp.where(cm, s["sv"], s["vnew"]),
             znew=trim(jnp.where(cm, s["sz"], s["znew"])),

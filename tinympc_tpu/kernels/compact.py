@@ -40,9 +40,15 @@ Deviations from a single long solve, by construction:
 Both still satisfy the same termination criteria; solutions remain
 feasible and residual-checked.
 
-Consensus problems are not supported (scenario groups would have to be
-compacted as units; use solve_fused, whose in-tile group mean already
-amortizes over the group).
+Consensus problems compact in *group units* (round 4): a scenario group
+stays on chip until every lane in it converges (its mean needs all
+members), the gather re-packs whole live groups, and the scatter masks
+already-converged lanes so their first-convergence solutions stay frozen
+exactly as in one long fused solve. Chunk boundaries re-seed the
+consensus slack from the carried u[0] — the same per-``tiny_solve``
+semantics as the extra families (admm.cpp:352-376), so the chunked
+consensus solve matches a sequence of warm solves, not bitwise one long
+one.
 """
 from __future__ import annotations
 
@@ -113,9 +119,7 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
     """
     settings = prob.settings
     total = settings.max_iter
-    if prob.spec.en_consensus:
-        raise ValueError("compaction does not support consensus problems; "
-                         "use solve_fused")
+    consensus = prob.spec.en_consensus
     if tile is not None and (tile < 1 or tile & (tile - 1)):
         # The compaction pad (below) rounds shrunken batches to the next
         # power of two, which every power-of-two tile divides; a
@@ -124,10 +128,7 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
         raise ValueError(f"explicit tile ({tile}) must be a power of two")
     if backend not in ("auto", "resident", "streamed"):
         raise ValueError(f"unknown backend {backend!r}")
-    stream_ok = not prob.spec.en_consensus
-    if backend == "streamed" and not stream_ok:
-        raise ValueError("backend='streamed' phases do not support "
-                         "consensus (neither warm kernel does)")
+    stream_ok = True   # both warm kernels cover every family (round 4)
     if backend == "auto":
         from .admm_pallas import max_tile
         backend = "streamed" if (
@@ -192,8 +193,29 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
                 out_solved.at[sel].set(sol.solved[:k]),
                 out_res.at[:, sel].set(res[:, :k]))
 
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scatter_phase_masked(outs, sel, sol, res, used):
+        # Consensus: whole live groups re-ran, but lanes that had already
+        # converged keep their first-convergence outputs (the long-solve
+        # freeze semantics); only still-unsolved lanes commit.
+        out_x, out_u, out_iter, out_solved, out_res = outs
+        k = sel.shape[0]
+        live = jnp.logical_not(out_solved[sel])            # (k,)
+        lx = live[None, :, None]
+        return (out_x.at[:, sel].set(
+                    jnp.where(lx, sol.x[:, :k], out_x[:, sel])),
+                out_u.at[:, sel].set(
+                    jnp.where(lx, sol.u[:, :k], out_u[:, sel])),
+                out_iter.at[sel].set(
+                    jnp.where(live, used + sol.iter[:k], out_iter[sel])),
+                out_solved.at[sel].set(out_solved[sel] | sol.solved[:k]),
+                out_res.at[:, sel].set(
+                    jnp.where(live[None, :], res[:, :k], out_res[:, sel])))
+
     def solve(x0s, Xref=None, Uref=None):
         x0s = jnp.asarray(x0s)
+        if consensus:
+            return solve_consensus(x0s, Xref, Uref)
         B = x0s.shape[0]
         if segment and B > segment:
             parts = [solve(x0s[o:o + segment], Xref, Uref)
@@ -249,6 +271,79 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
 
         return (Solution(iter=out_iter, solved=out_solved, x=out_x,
                          u=out_u), out_res)
+
+    def solve_consensus(x0s, Xref=None, Uref=None):
+        # Group-unit compaction (module docstring): x0s is
+        # (n_groups, G, nx); gather/scatter operate on whole groups, the
+        # scatter masks already-solved lanes. Outputs flatten to lanes
+        # internally and reshape back at the end.
+        ng0, G, nx = x0s.shape
+        if G & (G - 1):
+            raise ValueError(f"scenario group size {G} must be a power "
+                             "of two")
+        B = ng0 * G
+        N = prob.spec.N
+
+        nu = prob.spec.nu
+
+        def flat(sol, res):
+            return (sol.x.reshape(N, -1, nx),
+                    sol.u.reshape(N - 1, -1, nu),
+                    sol.iter.reshape(-1), sol.solved.reshape(-1),
+                    res.reshape(res.shape[0], -1))
+
+        step = phase_len(0, total)
+        phase_idx = 1
+        carry = init_carry(prob, B)
+        sol, res, carry = run_phase(step, Xref, Uref, x0s, carry)
+        out_x, out_u, out_iter, out_solved, out_res = flat(sol, res)
+        used = step
+
+        g_groups = np.arange(ng0)         # global ids of live groups
+        kg = ng0
+        solved_host = np.asarray(out_solved)
+        T = tile if tile else 4096
+        while used < total:
+            lane_solved = solved_host.reshape(-1, G)
+            local_g = np.flatnonzero(~lane_solved.all(axis=1))
+            if local_g.size == 0:
+                break
+            g_groups = g_groups[local_g]
+            kg = local_g.size
+            k_lanes = kg * G
+            # Pad whole groups to a tile multiple (tile % G == 0 is
+            # enforced by the kernels, and powers of two divide cleanly).
+            P = -(-k_lanes // T) * T if k_lanes >= T                 else max(_next_pow2(k_lanes), G)
+            P = max(P, min(min_batch, _next_pow2(B)))
+            pg = P // G
+            local_gp = np.concatenate(
+                [local_g, np.full(pg - kg, local_g[0])])                 if pg > kg else local_g
+            global_gp = np.concatenate(
+                [g_groups, np.full(pg - kg, g_groups[0])])                 if pg > kg else g_groups
+            lane_local = (local_gp[:, None] * G + np.arange(G)).ravel()
+            sub_x0, carry = gather_phase(
+                x0s, carry, jnp.asarray(lane_local),
+                jnp.asarray(global_gp))
+
+            step = phase_len(phase_idx, total - used)
+            phase_idx += 1
+            sol, res, carry = run_phase(step, Xref, Uref, sub_x0, carry)
+            sx, su, sit, ssv, sres = flat(sol, res)
+            sel_lanes = (g_groups[:, None] * G + np.arange(G)).ravel()
+            out_x, out_u, out_iter, out_solved, out_res =                 scatter_phase_masked(
+                    (out_x, out_u, out_iter, out_solved, out_res),
+                    jnp.asarray(sel_lanes),
+                    Solution(iter=sit, solved=ssv, x=sx, u=su), sres,
+                    jnp.int32(used))
+            used += step
+            solved_host = np.asarray(out_solved)
+
+        r = out_res.shape[0]
+        return (Solution(iter=out_iter.reshape(ng0, G),
+                         solved=out_solved.reshape(ng0, G),
+                         x=out_x.reshape(N, ng0, G, nx),
+                         u=out_u.reshape(N - 1, ng0, G, -1)),
+                out_res.reshape(r, ng0, G))
 
     return solve
 

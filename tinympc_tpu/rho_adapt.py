@@ -115,7 +115,19 @@ def osqp_residuals(A, B, Qdiag, Rdiag, Pinf, x, u, vnew, znew, g, y,
 def predict_rho(pri_res, dual_res, pri_norm, dual_norm, rho,
                 settings: Settings):
     """rho <- rho * sqrt(normalised_pri / normalised_dual), clipped
-    (rho_benchmark.cpp:175-197)."""
+    (rho_benchmark.cpp:175-197).
+
+    This is the raw (unguarded) prediction. The guard policy lives in
+    the callers (admm._solve_impl and both kernels): with
+    ``Settings.adaptive_rho_tolerance > 1`` every prediction updates a
+    *virtual* rho which commits into the solver only once it has drifted
+    tolerance-fold from the committed rho (the OSQP discipline the
+    reference omits) — a plain per-step threshold measurably cannot work
+    here, because the mis-tuned-rho rescue happens through many small
+    same-direction steps each below any useful threshold while the
+    tuned-rho harm happens through steps of the same size
+    (tools/rho_guard_sweep.py, docs/PARITY.md).
+    """
     normalized_pri = pri_res / (pri_norm + RHO_EPS)
     normalized_dual = dual_res / (dual_norm + RHO_EPS)
     ratio = normalized_pri / (normalized_dual + RHO_EPS)

@@ -111,13 +111,16 @@ def _axes(mesh: Mesh, axis: Optional[AxisLike]) -> Tuple[str, ...]:
 
 
 def shard_state(mesh: Mesh, state, axis: Optional[AxisLike] = None):
-    """Place a batch-shape-(B,) SolverState on the mesh with the batch axis
-    partitioned. Time-major leaves (T, B, F) shard on axis 1; per-problem
-    scalars (B,) on axis 0."""
+    """Place a SolverState on the mesh with its *leading batch axis*
+    partitioned. Time-major leaves (T, *b, F) shard on axis 1; per-problem
+    scalars (*b,) and per-problem feature rows like the consensus
+    (*b, nu) slack/dual shard on axis 0. Works for any batch rank
+    (consensus states have *b = (n_groups, group); groups shard whole)."""
     ax = _axes(mesh, axis)
+    nb = len(state.batch_shape)
 
     def put(leaf):
-        spec = P(ax) if leaf.ndim == 1 else P(None, ax)
+        spec = P(None, ax) if leaf.ndim == nb + 2 else P(ax)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, state)

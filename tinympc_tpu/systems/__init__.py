@@ -59,6 +59,25 @@ def rocket_landing_20hz() -> dict:
     return _system("rocket_landing_20hz")
 
 
+def synthetic(nx: int, nu: int, seed: int = 0, spectral_radius: float = 0.98,
+              coupling: float = 0.3) -> dict:
+    """Stable random linear system of arbitrary dimension — for scaling
+    studies beyond the reference's fixed fixtures (state-dimension
+    rooflines, horizon-parallel regime measurements). Deterministic in
+    ``seed``. A = scaled random perturbation of I (spectral radius
+    ``spectral_radius``, so rollouts neither blow up nor die), B random
+    with columns reaching every state through the coupling."""
+    rng = np.random.default_rng(seed)
+    M = np.eye(nx) + coupling * rng.standard_normal((nx, nx)) / np.sqrt(nx)
+    eig = np.max(np.abs(np.linalg.eigvals(M)))
+    A = M * (spectral_radius / eig)
+    B = rng.standard_normal((nx, nu)) / np.sqrt(nx)
+    return dict(
+        A=A, B=B, f=np.zeros(nx),
+        Qdiag=np.full(nx, 10.0), Rdiag=np.ones(nu), rho=5.0,
+    )
+
+
 def trajectory(name: str, nx: int = 12) -> np.ndarray:
     """Reference trajectory as (T, nx) (examples/trajectory_data/*.hpp)."""
     return np.asarray(TRAJECTORIES[name], np.float64).reshape(-1, nx)

@@ -166,6 +166,16 @@ class Settings:
     adaptive_rho_min: float = 1.0
     adaptive_rho_max: float = 100.0
     adaptive_rho_clip: bool = True
+    # Adaptation guard (the OSQP discipline the reference omits —
+    # rho_benchmark.cpp:175-197 predicts unconditionally every 5
+    # iterations, which docs/PARITY.md measures as *harmful* at a tuned
+    # rho). Commit a predicted rho only when the step factor
+    # sqrt(pri_ratio/dual_ratio) is >= this tolerance or <= its inverse,
+    # i.e. only when the residuals are genuinely imbalanced (OSQP's
+    # adaptive_rho_tolerance, default 5 there). 1.0 = always commit =
+    # exact reference behavior. See docs/PARITY.md "Adaptive rho: what it
+    # buys" for the measured guard sweep.
+    adaptive_rho_tolerance: float = 1.0
     # Horizon-parallel Riccati sweeps via lax.associative_scan (O(log N)
     # depth instead of N sequential steps) — the long-horizon path
     # (SURVEY.md §5). Requires an unbatched cache (not compatible with

@@ -17,6 +17,7 @@ int main(int argc, char** argv) {
     int num_solves = argc > 1 ? atoi(argv[1]) : 2000;
     int max_iter = argc > 2 ? atoi(argv[2]) : 100;
     int adaptive = argc > 3 ? atoi(argv[3]) : 0;  // adaptive-rho on/off
+    int check_term = argc > 4 ? atoi(argv[4]) : 1;  // termination stride
 
     TinySolver* solver;
     tinyMatrix Adyn = Map<Matrix<tinytype, NSTATES, NSTATES, RowMajor>>(Adyn_data);
@@ -34,6 +35,7 @@ int main(int argc, char** argv) {
                rho_value, NSTATES, NINPUTS, NHORIZON, 0);
     tiny_set_bound_constraints(solver, x_min, x_max, u_min, u_max);
     solver->settings->max_iter = max_iter;
+    solver->settings->check_termination = check_term;
     if (adaptive) {
         // The reference's adaptive-rho configuration (IROS-2025 path):
         // enable before sensitivity init, which loads the hard-coded 12x4
@@ -92,10 +94,12 @@ int main(int argc, char** argv) {
     double secs = std::chrono::duration<double>(t1 - t0).count();
 
     fprintf(stderr,
-            "{\"solves\":%d,\"max_iter\":%d,\"adaptive\":%d,\"seconds\":%.6f,"
+            "{\"solves\":%d,\"max_iter\":%d,\"adaptive\":%d,"
+            "\"check_termination\":%d,\"seconds\":%.6f,"
             "\"solves_per_s\":%.1f,\"total_iters\":%ld,\"iters_per_s\":%.1f,"
             "\"avg_iters\":%.2f,\"solved_frac\":%.4f}\n",
-            num_solves, max_iter, adaptive, secs, num_solves / secs,
+            num_solves, max_iter, adaptive, check_term, secs,
+            num_solves / secs,
             total_iters, total_iters / secs,
             (double)total_iters / num_solves,
             (double)num_solved / num_solves);

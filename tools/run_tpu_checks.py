@@ -435,6 +435,91 @@ def check_streamed_adaptive_parity():
     assert rho_moved.max() > 1e-3, "rho never adapted — vacuous check"
 
 
+@check("chain-split sweeps: bitwise == unsplit at every k (round 4)")
+def check_chain_split_parity():
+    """solve_fused(chain_split=k) cuts the tile's lanes into k groups and
+    interleaves their sweep chains; per-lane math is untouched, so any
+    k must be bit-identical to k=1 (the measured A/B lives in
+    docs/DESIGN.md — splitting lost, the knob stays as the recorded
+    experiment)."""
+    from tinympc_tpu.kernels import solve_fused
+    prob = _quadrotor(max_iter=60, matmul_precision="high")
+    B = 512
+    x0s = _x0s(B, seed=21)
+    sol_1, _ = solve_fused(prob, None, None, x0s, tile=B, chain_split=1)
+    sol_4, _ = solve_fused(prob, None, None, x0s, tile=B, chain_split=4)
+    assert np.array_equal(np.asarray(sol_1.x), np.asarray(sol_4.x))
+    assert np.array_equal(np.asarray(sol_1.iter), np.asarray(sol_4.iter))
+
+
+@check("strided termination: ct=25 fused bitwise == XLA at same stride")
+def check_strided_termination_parity():
+    """Round 4 gates the kernel's termination phase with pl.when(checking)
+    (the reference's amortised check, admm.cpp:312) — worth ~1.7x at the
+    OSQP stride. Both paths at check_termination=25 must stay
+    bit-identical at 'default' precision."""
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import solve_fused
+    prob = _quadrotor(max_iter=100, matmul_precision="default",
+                      check_termination=25)
+    B = 256
+    x0s = _x0s(B, seed=22)
+    sol_r, st_r, _ = tm.solve(prob, tm.init_state(prob, (B,)), x0=x0s)
+    sol_f, res = solve_fused(prob, None, None, x0s, tile=B)
+    assert np.array_equal(np.asarray(sol_f.iter), np.asarray(sol_r.iter))
+    assert np.array_equal(np.asarray(sol_f.x), np.asarray(sol_r.x))
+    assert np.array_equal(np.asarray(res[0]), np.asarray(st_r.pri_res_state))
+
+
+@check("consensus warm sequence: fused carry tracks XLA (round 4)")
+def check_consensus_warm_on_chip():
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import init_carry, solve_fused_warm
+    ng, G = 16, 8
+    prob = tm.with_consensus(_quadrotor(max_iter=40,
+                                        matmul_precision="highest"),
+                             rho_c=50.0)
+    rng = np.random.default_rng(23)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (ng, G, 12)), jnp.float32)
+    Xref = jnp.tile(jnp.asarray([0, 0, 0.5] + [0.0] * 9, jnp.float32),
+                    (10, 1))
+    state = tm.init_state(prob, (ng, G))
+    carry = init_carry(prob, ng * G)
+    for t in range(3):
+        sol_r, state, _ = tm.solve(prob, state, Xref=Xref, x0=x0s)
+        sol_f, _res, carry = solve_fused_warm(prob, Xref, None, x0s, carry,
+                                              tile=ng * G)
+        du = np.abs(np.asarray(sol_f.u) - np.asarray(sol_r.u)).max()
+        assert du < 1e-4, f"step {t}: max |du| = {du}"
+        it_f, it_r = np.asarray(sol_f.iter), np.asarray(sol_r.iter)
+        assert np.mean(np.abs(it_f - it_r) <= 1) >= 0.99, f"step {t}"
+        u0 = state.u[0]
+        x0s = (jnp.einsum("ij,...j->...i", jnp.asarray(prob.A), x0s)
+               + jnp.einsum("ij,...j->...i", jnp.asarray(prob.B), u0))
+
+
+@check("guarded adaptive rho (tol>1): streamed bitwise == resident")
+def check_guarded_adaptive_parity():
+    """The round-4 accumulator guard (virtual rho, commit on tol-fold
+    drift) must run identically in both Pallas kernels — bitwise,
+    including the final committed rho row."""
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import solve_fused
+    from tinympc_tpu.kernels.admm_stream import solve_fused_streamed
+    prob = _quadrotor(max_iter=60, N=64, adaptive_rho=True,
+                      adaptive_rho_tolerance=2.0, matmul_precision="high")
+    B = 256
+    x0s = _x0s(B, scale=0.5, seed=24)
+    sol_f, res_f = solve_fused(prob, None, None, x0s)
+    sol_s, res_s = solve_fused_streamed(prob, None, None, x0s)
+    assert np.array_equal(np.asarray(sol_s.iter), np.asarray(sol_f.iter))
+    assert np.array_equal(np.asarray(res_s[4]), np.asarray(res_f[4]))
+    assert np.array_equal(np.asarray(sol_s.x), np.asarray(sol_f.x))
+    # And the guard is not vacuous: committed rho moved for some lane.
+    assert np.abs(np.asarray(res_f[4]) - float(prob.cache.rho)).max() > 1e-3
+
+
 def main():
     import jax
     dev = jax.devices()[0]
