@@ -446,28 +446,31 @@ def main():
                "segment=2^18, hbm ~2GiB/segment", sp)
         del x0fm, solver1m, cm1
 
-    # --- closed loop (XLA scan), warm-started fleet ---
+    # --- closed loops, XLA scan vs fused kernel at EQUAL batches ---
+    # (Round-4 fix: earlier tables compared XLA@4096 vs fused@16384. At
+    # equal batch the XLA scan *anti-scales* — its per-iteration
+    # trajectory intermediates stream through HBM and the working set
+    # grows with B — while the fused loop holds ~7.5M steps/s flat, so
+    # the honest ratio runs 1.3x at the scan's best batch to ~8x at 64k.)
     with section("closed loop"):
-        B, T = 4096, 50
+        from tinympc_tpu.kernels import closed_loop_fused
+        T = 50
         prob, _ = _mk("quadrotor_20hz", 10, f32)
         prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5,
                               u_max=0.5)
         Xref = jnp.zeros((10, 12), f32).at[:, 2].set(1.0)
-        x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
-        cl = jax.jit(lambda x0s: closed_loop(prob, tm.init_state(prob, (B,)),
-                                             x0s, Xref, T)[2])
-        out, dt, sp = bench("cl", cl, x0s)
-        record("closed-loop MPC steps (XLA scan)", B, B * T / dt,
-               "MPC steps/s", f"T={T} warm-started", sp)
-
-    with section("closed loop fused"):
-        from tinympc_tpu.kernels import closed_loop_fused
-        B = 16384
-        x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
-        clf = jax.jit(lambda x0s: closed_loop_fused(prob, Xref, x0s, T)[2])
-        out, dt, sp = bench("clf", clf, x0s)
-        record("closed-loop MPC steps (fused kernel)", B, B * T / dt,
-               "MPC steps/s", f"T={T} warm-started", sp)
+        for B in (4096, 16384):
+            x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), f32)
+            cl = jax.jit(lambda x0s, B=B: closed_loop(
+                prob, tm.init_state(prob, (B,)), x0s, Xref, T)[2])
+            out, dt, sp = bench("cl", cl, x0s)
+            record("closed-loop MPC steps (XLA scan)", B, B * T / dt,
+                   "MPC steps/s", f"T={T} warm-started", sp)
+            clf = jax.jit(lambda x0s: closed_loop_fused(prob, Xref, x0s,
+                                                        T)[2])
+            out, dt, sp = bench("clf", clf, x0s)
+            record("closed-loop MPC steps (fused kernel)", B, B * T / dt,
+                   "MPC steps/s", f"T={T} warm-started", sp)
 
     stamp = datetime.date.today().isoformat()
     dev = str(jax.devices()[0])

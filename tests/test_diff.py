@@ -163,6 +163,65 @@ def _fd_check_args(loss, args, grads, argi, n=5, rtol=1e-3):
             f"arg {argi} coord {i}: implicit {gaf[i]}, FD {fd}"
 
 
+def test_grad_consensus_matches_fd():
+    """Consensus scenario groups (round 4): gradients flow through the
+    group-coupled KKT (diff._kkt_matrix_group) — one member's x0 moves
+    every member's solution through the shared u_0, and the adjoint must
+    capture that cross-member coupling. FD-validated in float64."""
+    prob = tm.with_consensus(_cartpole(tol=1e-11), rho_c=20.0)
+    f = make_differentiable(prob)
+    ng, G = 2, 3
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-0.4, 0.4, (ng, G, 4)))
+
+    def loss(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum((sol.x[..., 0] - 0.5) ** 2)
+
+    # The solve actually couples: u[0] equal across each group.
+    sol = f(x0, XREF, UREF)
+    assert np.asarray(sol.solved).all()
+    u0 = np.asarray(sol.u[0])                    # (ng, G, 1)
+    assert np.ptp(u0, axis=1).max() < 1e-6
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(x0, XREF, UREF)
+    for argi in range(3):
+        _fd_check(loss, (x0, XREF, UREF), g, argi, rtol=2e-3)
+
+    # Cross-member coupling is nonzero: the gradient of a loss on member
+    # 0's inputs w.r.t. member 1's x0 must not vanish.
+    def loss_m0(x0):
+        sol = f(x0, XREF, UREF)
+        return jnp.sum(sol.u[:, 0, 0] ** 2)
+
+    gx0 = jax.grad(loss_m0)(x0)
+    assert float(jnp.abs(gx0[0, 1]).max()) > 1e-9
+
+
+def test_grad_consensus_active_bounds_matches_fd():
+    """Consensus + active input bounds: the coupling rows interact with
+    pinned u_0 coordinates (diff._vjp_group's m_cc logic)."""
+    prob = tm.with_consensus(_cartpole(u_bounds=(-0.12, 0.12), tol=1e-11),
+                             rho_c=20.0)
+    f = make_differentiable(prob)
+    ng, G = 1, 3
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(0.6 * rng.uniform(0.5, 1.0, (ng, G, 4)))
+
+    def loss(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum((sol.x[..., 0] - 0.5) ** 2)
+
+    sol = f(x0, XREF, UREF)
+    assert np.asarray(sol.solved).all()
+    u = np.asarray(sol.u)
+    assert (np.abs(u) > 0.12 - 1e-7).any(), "no active bound — vacuous"
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(x0, XREF, UREF)
+    for argi in range(3):
+        _fd_check(loss, (x0, XREF, UREF), g, argi, rtol=2e-3)
+
+
 def test_param_grads_match_fd():
     """make_differentiable_params: gradients w.r.t. A, B, Q, R, f match
     finite differences — including the implicit chain through the Riccati
@@ -223,8 +282,14 @@ def test_param_grads_sysid_descent():
 
 def test_diff_unsupported_specs_raise():
     prob = _cartpole()
+    # Box-family consensus differentiates (round 4); consensus combined
+    # with conic families, adaptive rho, and params-diff consensus raise.
+    a = np.zeros(4); a[0] = 1.0
+    conic = tm.with_linear_constraints(prob, Alin_x=a[None], blin_x=[10.0])
     with pytest.raises(ValueError):
-        make_differentiable(tm.with_consensus(prob))
+        make_differentiable(tm.with_consensus(conic))
+    with pytest.raises(ValueError):
+        make_differentiable(tm.with_settings(prob, adaptive_rho=True))
     from tinympc_tpu.diff import make_differentiable_params
     with pytest.raises(ValueError):
         make_differentiable_params(tm.with_consensus(prob))

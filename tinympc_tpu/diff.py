@@ -44,10 +44,13 @@ slack family contributes a ``-rho x`` term at the fixed point (its
 stage Hessian is ``Q_user + (2 - n_fam) rho`` on top of the stored
 once-augmented ``Qdiag = Q_user + rho`` — see ``_kkt_matrix``.
 
-Scope: consensus and adaptive-rho specs raise (coupled groups / varying
-rho need different machinery). Both :func:`make_differentiable` (solve
-inputs) and :func:`make_differentiable_params` (dynamics/cost parameters)
-cover every other family.
+Scope: consensus specs differentiate through the *group-coupled* KKT
+(round 4 — G per-scenario copies of the effective QP plus the u_0
+equality coupling whose multipliers are the scaled consensus duals;
+box families). Adaptive-rho specs and consensus-with-conic-families
+raise. :func:`make_differentiable` (solve inputs) covers everything
+else; :func:`make_differentiable_params` (dynamics/cost parameters)
+covers every non-consensus family.
 """
 from __future__ import annotations
 
@@ -127,6 +130,91 @@ def _kkt_matrix(prob: TinyProblem):
 
     S = jnp.block([[H, D.T], [D, jnp.zeros((nc, nc), dtype)]])
     return S
+
+
+def _kkt_matrix_group(prob: TinyProblem, G: int):
+    """Dense KKT matrix of the *group-coupled* QP a consensus scenario
+    group converges to (admm.update_slack's en_consensus family): G
+    per-scenario copies of the effective QP plus the equality coupling
+    ``u_0^j = u_0^{j+1}`` (the consensus constraint the group mean
+    projects onto; the scaled duals ``rho_c * yc0`` are its multipliers).
+    The per-member effective weights are exactly the non-consensus ones —
+    the consensus prox's rho_c quadratic cancels against its own center
+    at the fixed point, leaving only the multiplier term.
+
+    Layout: z_g = [z^1 .. z^G], then G dynamics/x0 blocks, then the
+    (G-1)*nu coupling rows."""
+    spec = prob.spec
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    dtype = prob.dtype
+    nzx = N * nx
+    nz = nzx + (N - 1) * nu
+    nc = N * nx
+
+    # Reuse the single-member blocks by slicing them out of _kkt_matrix.
+    S1 = _kkt_matrix(prob)
+    H = S1[:nz, :nz]
+    D = S1[nz:, :nz]
+    from jax.scipy.linalg import block_diag
+    Hg = block_diag(*([H] * G))
+    Dg = block_diag(*([D] * G))
+    ncc = (G - 1) * nu
+    C = jnp.zeros((ncc, G * nz), dtype)
+    eye = jnp.eye(nu, dtype=dtype)
+    for j in range(G - 1):
+        r = j * nu
+        C = C.at[r:r + nu, j * nz + nzx:j * nz + nzx + nu].set(eye)
+        C = C.at[r:r + nu,
+                 (j + 1) * nz + nzx:(j + 1) * nz + nzx + nu].set(-eye)
+    z0 = lambda a, b: jnp.zeros((a, b), dtype)
+    Sg = jnp.block([
+        [Hg, Dg.T, C.T],
+        [Dg, z0(G * nc, G * nc), z0(G * nc, ncc)],
+        [C, z0(ncc, G * nc), z0(ncc, ncc)],
+    ])
+    return Sg
+
+
+def _vjp_group(prob: TinyProblem, Sg, m_z, gx, gu, G):
+    """Adjoint of the group-coupled pinned KKT system for one scenario
+    group (consensus specs, box families). ``m_z`` is the concatenated
+    per-member inactive mask (G*nz,); ``gx``/``gu`` are (G, N, nx) /
+    (G, N-1, nu) member cotangents. Returns (gx0 (G, nx),
+    gXref (G, N, nx), gUref (G, N-1, nu)).
+
+    Coupling rows stay live while either side is free: with one side
+    pinned the row correctly pins the other; only a row with *both*
+    sides pinned is degenerate and takes the identity diagonal."""
+    spec = prob.spec
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    nzx = N * nx
+    nz = nzx + (N - 1) * nu
+    nc = N * nx
+    ncc = (G - 1) * nu
+    dtype = Sg.dtype
+
+    m_u0 = m_z.reshape(G, nz)[:, nzx:nzx + nu]          # (G, nu)
+    m_cc = jnp.maximum(m_u0[:-1], m_u0[1:]).reshape(-1)  # (ncc,)
+    m = jnp.concatenate([m_z, jnp.ones(G * nc, dtype), m_cc])
+    Sm = Sg * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+
+    gz = jnp.concatenate([
+        jnp.concatenate([gx[j].reshape(-1), gu[j].reshape(-1)])
+        for j in range(G)]) * m_z
+    rhs = jnp.concatenate([gz, jnp.zeros(G * nc + ncc, dtype)])
+    w = jnp.linalg.solve(Sm, rhs)
+
+    gx0s, gXrefs, gUrefs = [], [], []
+    for j in range(G):
+        w_x = w[j * nz:j * nz + nzx].reshape(N, nx)
+        w_u = w[j * nz + nzx:(j + 1) * nz].reshape(N - 1, nu)
+        gXref = prob.Qdiag * w_x
+        gXref = gXref.at[N - 1].set(prob.cache.Pinf @ w_x[N - 1])
+        gUref = prob.Rdiag * w_u
+        gx0s.append(w[G * nz + j * nc:G * nz + j * nc + nx])
+        gXrefs.append(gXref)
+        gUrefs.append(gUref)
+    return jnp.stack(gx0s), jnp.stack(gXrefs), jnp.stack(gUrefs)
 
 
 def _active_mask(prob: TinyProblem, sol_x, sol_u):
@@ -468,12 +556,15 @@ def make_differentiable(prob: TinyProblem, state: Optional[SolverState] = None):
     warm-starts the forward solve (the fixed point, hence the gradient, is
     unaffected).
     """
-    if not _diff_supported(prob):
-        raise ValueError("make_differentiable supports fixed-rho "
-                         "non-consensus specs; consensus groups and "
-                         "adaptive-rho active sets are not differentiated")
-    S = _kkt_matrix(prob)
+    consensus = prob.spec.en_consensus
     extra = _has_extra_families(prob.spec)
+    if prob.settings.adaptive_rho or (consensus and extra):
+        raise ValueError(
+            "make_differentiable supports fixed-rho specs (consensus "
+            "groups differentiate through the group-coupled KKT for box "
+            "families; consensus combined with SOC/hyperplane families "
+            "and adaptive-rho active sets are not differentiated)")
+    S = _kkt_matrix(prob)
 
     def _solve(x0, Xref, Uref):
         b = x0.shape[:-1]
@@ -497,6 +588,34 @@ def make_differentiable(prob: TinyProblem, state: Optional[SolverState] = None):
         sol_x, sol_u, duals, x0_shape, xref_shape, uref_shape = res
         gx, gu = ct.x, ct.u
         batched = len(x0_shape) > 1
+
+        if consensus:
+            # Group-coupled adjoint: one pinned KKT solve per scenario
+            # group (see _kkt_matrix_group), vmapped over groups.
+            if len(x0_shape) != 3:
+                raise ValueError("consensus diff takes x0 as "
+                                 "(n_groups, group, nx)")
+            G = x0_shape[1]
+            Sg = _kkt_matrix_group(prob, G)
+
+            def one_group(sx_g, su_g, gx_g, gu_g):
+                sxm = jnp.moveaxis(sx_g, 1, 0)          # (G, N, nx)
+                sum_ = jnp.moveaxis(su_g, 1, 0)
+                m_z = jnp.concatenate([
+                    _active_mask(prob, sxm[j], sum_[j]) for j in range(G)])
+                return _vjp_group(prob, Sg, m_z,
+                                  jnp.moveaxis(gx_g, 1, 0),
+                                  jnp.moveaxis(gu_g, 1, 0), G)
+
+            gb = lambda a: jnp.moveaxis(a, 1, 0)    # (T,ng,G,F)->(ng,T,G,F)
+            gx0, gXref, gUref = jax.vmap(one_group)(
+                gb(sol_x), gb(sol_u), gb(gx), gb(gu))
+            # gx0 (ng, G, nx); gXref (ng, G, N, nx); gUref (ng, G, N-1, nu)
+            gXref = (jnp.sum(gXref, axis=(0, 1)) if len(xref_shape) == 2
+                     else jnp.moveaxis(gXref, 2, 0))
+            gUref = (jnp.sum(gUref, axis=(0, 1)) if len(uref_shape) == 2
+                     else jnp.moveaxis(gUref, 2, 0))
+            return gx0, gXref, gUref
 
         def one(sx, su, gxi, gui, duals_i):
             if not extra:

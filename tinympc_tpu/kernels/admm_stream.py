@@ -24,11 +24,15 @@ double-buffered BlockSpecs), so the tile stays wide at any N:
 The ADMM loop is a jax.lax.while_loop around the two launches; solution
 snapshots at first convergence (admm.cpp:436-437) are applied between
 iterations by a lax.cond that only pays for a full-array blend on
-iterations where some lane converged. Early exit is whole-batch (the
-while predicate), not per-tile: one launch pair serves the entire batch,
-so a converged tile stops costing only when the batch is done — for
-mixed-difficulty to-convergence workloads at long N, drive this solver
-with the compaction pattern instead.
+iterations where some lane converged. Early exit is per-*tile* (round
+4): the single-tile solve is lax.map-ed over the tile axis, so each
+tile runs its own while_loop and stops launching chunk streams at its
+own convergence — the resident kernel's tile-exit property, with
+bitwise-identical per-lane results (tiles are independent). On the
+N=256 mixed to-convergence benchmark this is 1.69x the old whole-batch
+exit and beats even compaction-driven streaming (BENCH_TABLE.md);
+TINYMPC_STREAM_TILE_EXIT=0 or tile_exit=False restores the one-loop
+behavior.
 
 Per iteration per lane the streams move ~9 trajectory-array passes of
 HBM traffic — the XLA path materialises every phase's intermediates and
@@ -49,13 +53,15 @@ adaptive rho (:func:`solve_fused_streamed_warm`, same
 already HBM-resident, so the carry is just the while-state handed in and
 out, with a stale-aware first iteration, per-lane freeze snapshots, and
 on family specs two extra chunked output streams carrying the x/u
-trajectories whose slack re-seed the next solve reads). Only consensus
-(warm; cold local groups run in-kernel) and consensus over a named mesh
-axis stay on the XLA / resident paths.
+trajectories whose slack re-seed the next solve reads — and, round 4,
+consensus warm rides the same contract: zc0/yc0 in the carry, slack
+re-seeded from the carried u[0]). Only consensus over a named mesh axis
+stays on the XLA path.
 """
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -669,7 +675,8 @@ def auto_tile_stream(prob: TinyProblem, chunk: int = DEFAULT_CHUNK) -> int:
 def solve_fused_streamed(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
                          *, tile: Optional[int] = None,
                          chunk: int = DEFAULT_CHUNK,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         tile_exit: Optional[bool] = None):
     """Long-horizon batched solve with HBM-resident trajectories.
 
     Same contract as :func:`~.admm_pallas.solve_fused` (cold start):
@@ -679,10 +686,13 @@ def solve_fused_streamed(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
     is the lane width per grid step (auto: widest that fits the
     chunk-buffer budget, <= 4096); ``chunk`` the horizon rows streamed
     per grid step (N must split into chunk-sized pieces; a divisor of N
-    is picked automatically).
+    is picked automatically). ``tile_exit`` (default on, env
+    TINYMPC_STREAM_TILE_EXIT) runs each lane tile under its own
+    while_loop so converged tiles stop launching — per-lane results are
+    bitwise unchanged; see _stream_solve.
     """
     sol, res, _ = _stream_solve(prob, Xref, Uref, x0s, None, tile, chunk,
-                                interpret)
+                                interpret, tile_exit)
     return sol, res
 
 
@@ -690,7 +700,8 @@ def solve_fused_streamed_warm(prob: TinyProblem, Xref=None, Uref=None,
                               x0s=None, carry: FusedCarry = None, *,
                               tile: Optional[int] = None,
                               chunk: int = DEFAULT_CHUNK,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              tile_exit: Optional[bool] = None):
     """Warm-started streamed solve: ``(Solution, residuals, FusedCarry)``.
 
     Same carry contract as :func:`~.admm_pallas.solve_fused_warm` for
@@ -709,10 +720,11 @@ def solve_fused_streamed_warm(prob: TinyProblem, Xref=None, Uref=None,
         raise ValueError("solve_fused_streamed_warm needs a FusedCarry; "
                          "build one with init_carry(prob, B)")
     return _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk,
-                         interpret)
+                         interpret, tile_exit)
 
 
-def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
+def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret,
+                  tile_exit=None):
     if not stream_supported(prob):
         raise ValueError("adaptive rho on the streamed path needs the "
                          "sensitivity matrices; configure the problem "
@@ -789,6 +801,92 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
     Jc = N // C
     rho = float(prob.cache.rho)
 
+    # --- per-tile early exit (round 4). The resident kernel terminates
+    # each tile as soon as its lanes converge (its while_loop lives inside
+    # the kernel, one per grid tile); the streamed kernel's loop is
+    # *outside* the launches, so historically one straggler lane kept
+    # every tile's chunk streams launching. Mapping the single-tile solve
+    # over the tile axis (lax.map = sequential scan) gives every tile its
+    # own while_loop and therefore its own exit — per-lane results are
+    # bitwise unchanged (tiles are independent), only wasted launches
+    # disappear. TINYMPC_STREAM_TILE_EXIT=0 restores the one-loop
+    # whole-batch behavior (the measured A/B lives in BENCH_TABLE.md).
+    if tile_exit is None:
+        tile_exit = os.environ.get("TINYMPC_STREAM_TILE_EXIT", "1") == "1"
+    T_tiles = B // tile
+    if not (tile_exit and T_tiles > 1):
+        sol, res_out, carry_out = _stream_tile(
+            prob, Xref, Uref, x0s, carry, tile, chunk, interpret, group)
+    else:
+        x0t = x0s.reshape(T_tiles, tile, spec.nx)
+        stack = lambda a: jnp.moveaxis(
+            jnp.reshape(a, a.shape[:-1] + (T_tiles, tile)), -2, 0)
+        if carry is not None:
+            carry_t = jax.tree.map(stack, carry)
+            sol, res_out, carry_to = jax.lax.map(
+                lambda xc: _stream_tile(prob, Xref, Uref, xc[0], xc[1],
+                                        tile, chunk, interpret, group),
+                (x0t, carry_t))
+        else:
+            sol, res_out, _none = jax.lax.map(
+                lambda x1: _stream_tile(prob, Xref, Uref, x1, None,
+                                        tile, chunk, interpret, group),
+                x0t)
+            carry_to = None
+        N_, nx_, nu_ = spec.N, spec.nx, spec.nu
+        sol = Solution(
+            iter=sol.iter.reshape(B),
+            solved=sol.solved.reshape(B),
+            x=jnp.moveaxis(sol.x, 0, 1).reshape(N_, B, nx_),
+            u=jnp.moveaxis(sol.u, 0, 1).reshape(N_ - 1, B, nu_),
+        )
+        res_out = jnp.moveaxis(res_out, 0, 1).reshape(res_out.shape[1], B)
+        unstack = lambda a: jnp.reshape(
+            jnp.moveaxis(a, 0, -2), a.shape[1:-1] + (B,))
+        carry_out = (jax.tree.map(unstack, carry_to)
+                     if carry_to is not None else None)
+    if group_shape is not None:
+        # Consensus batches go back to (n_groups, group) axes like
+        # tinympc_tpu.solve's batch shape.
+        ng, G = group_shape
+        N_, nx_, nu_ = spec.N, spec.nx, spec.nu
+        sol = Solution(iter=sol.iter.reshape(ng, G),
+                       solved=sol.solved.reshape(ng, G),
+                       x=sol.x.reshape(N_, ng, G, nx_),
+                       u=sol.u.reshape(N_ - 1, ng, G, nu_))
+        res_out = res_out.reshape(res_out.shape[0], ng, G)
+    return sol, res_out, carry_out
+
+
+def _stream_tile(prob, Xref, Uref, x0s, carry, tile, chunk, interpret,
+                 group):
+    """One lane-tile's streamed solve (its own while_loop → its own
+    early exit; see the dispatch in _stream_solve). ``x0s`` is flat
+    (B, nx) with B == tile (or the whole batch when tile exit is off);
+    consensus batches arrive pre-flattened with ``group`` lanes per
+    scenario group."""
+    spec, settings = prob.spec, prob.settings
+    adaptive = settings.adaptive_rho
+    apply_c = settings.adaptive_rho_apply_c
+    cache, cons = prob.cache, prob.cons
+    spec0 = spec
+    fams_x = tuple(k for k, on in (
+        ("soc", bool(spec0.enabled_state_cones)),
+        ("lin", bool(spec0.n_state_lin)),
+        ("tv", bool(spec0.n_tv_state_lin))) if on)
+    fams_u = tuple(k for k, on in (
+        ("soc", bool(spec0.enabled_input_cones)),
+        ("lin", bool(spec0.n_input_lin)),
+        ("tv", bool(spec0.n_tv_input_lin))) if on)
+    consensus = spec0.en_consensus
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    dtype = jnp.float32
+    x0s = jnp.asarray(x0s, dtype)
+    B = x0s.shape[0]
+    C = _chunk_size(N, chunk)
+    T = B // tile
+    Jc = N // C
+    rho = float(prob.cache.rho)
     with matmul_precision_ctx(settings):
         mm_mode = ("bf16x3" if settings.matmul_precision == "high"
                    else "ambient")
@@ -1287,15 +1385,6 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret):
             # 5th row: per-problem final rho, like solve_fused (feed to
             # kernels.adapted_cache for the full per-problem cache).
             res_out = jnp.concatenate([res_out, s["rho"]], axis=0)
-        if group_shape is not None:
-            # Consensus batches go back to (n_groups, group) axes like
-            # tinympc_tpu.solve's batch shape.
-            ng, G = group_shape
-            sol = Solution(iter=sol.iter.reshape(ng, G),
-                           solved=sol.solved.reshape(ng, G),
-                           x=sol.x.reshape(N, ng, G, nx),
-                           u=sol.u.reshape(N - 1, ng, G, nu))
-            res_out = res_out.reshape(res_out.shape[0], ng, G)
         if not warm:
             return sol, res_out, None
 

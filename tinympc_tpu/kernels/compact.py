@@ -114,7 +114,12 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
         allows it and the resident auto tile would drop below 1024
         lanes. Both backends
         hand chunk boundaries over exactly, so the chunked solve stays
-        bitwise equal to one long solve of the same backend.
+        bitwise equal to one long solve of the same backend. Note:
+        since the streamed kernel gained per-tile early exit (round 4),
+        a plain ``solve_fused_streamed`` run often beats streamed-phase
+        compaction on mixed batches (measured 10.8k vs 8.6k solves/s at
+        N=256, B=4096 — BENCH_TABLE.md); reach for streamed compaction
+        when the live set shrinks far below a tile.
       interpret: run the kernels in interpreter mode (tests).
     """
     settings = prob.settings
