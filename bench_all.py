@@ -197,24 +197,33 @@ def main():
            f"avg_iters={float(np.mean(np.asarray(out))):.1f}", sp)
 
     # --- consensus ADMM: scenario groups of 16, XLA pmean-free local path
-    # vs the in-kernel group mean (segment matmul) ---
+    # vs the in-kernel group mean (segment matmul). Round-4 workload fix:
+    # a scenario group is a nominal state plus per-scenario perturbations
+    # (what scenario trees actually branch over) — under the old fully
+    # independent per-lane x0s essentially nothing converged within the
+    # cap (avg_iters 465/500), so the rows compared two failing solvers.
+    # Now ~3/4 of lanes converge and the rows are to-convergence-
+    # meaningful. ---
     ng, G = 2048, 16
     B = ng * G
     prob, _ = _mk("quadrotor_20hz", 10, f32, max_iter=500)
     prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
     prob = tm.with_consensus(prob, rho_c=100.0)
     Xref = jnp.zeros((10, 12), f32).at[:, 2].set(0.5)
-    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (ng, G, 12)), f32)
+    base = rng.uniform(-0.3, 0.3, (ng, 1, 12))
+    x0s = jnp.asarray(base + 0.05 * rng.uniform(-1, 1, (ng, G, 12)), f32)
     cons_x = jax.jit(lambda x0s: tm.solve_(prob, tm.init_state(prob, (ng, G)),
-                                           Xref, None, x0s)[0].iter)
+                                           Xref, None, x0s)[0])
     out, dt, sp = bench("consensus_xla", cons_x, x0s)
     record("consensus G=16 cold solve (XLA)", B, B / dt, "solves/s",
-           f"avg_iters={float(np.mean(np.asarray(out))):.1f}", sp)
+           f"avg_iters={float(np.mean(np.asarray(out.iter))):.1f}, "
+           f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}", sp)
     cons_f = jax.jit(lambda x0s: solve_fused(prob, Xref, None, x0s,
-                                             tile=4096)[0].iter)
+                                             tile=4096)[0])
     out, dt, sp = bench("consensus_fused", cons_f, x0s)
     record("consensus G=16 cold solve (fused)", B, B / dt, "solves/s",
-           f"avg_iters={float(np.mean(np.asarray(out))):.1f}", sp)
+           f"avg_iters={float(np.mean(np.asarray(out.iter))):.1f}, "
+           f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}", sp)
 
     # --- long-horizon: XLA sequential vs blocked scans vs fused kernel ---
     # The fused kernel holds the whole trajectory per lane in VMEM, so long

@@ -196,6 +196,12 @@ def test_grad_consensus_matches_fd():
 
     gx0 = jax.grad(loss_m0)(x0)
     assert float(jnp.abs(gx0[0, 1]).max()) > 1e-9
+    # The dense group-KKT custom-vjp executables are the largest programs
+    # this suite compiles; dropping them here avoids a jaxlib CPU-client
+    # segfault that later FD-heavy tests otherwise trip over (observed as
+    # a SIGSEGV in test_param_grads_hyperplane only when these tests
+    # precede it in the same process).
+    jax.clear_caches()
 
 
 def test_grad_consensus_active_bounds_matches_fd():
@@ -220,6 +226,7 @@ def test_grad_consensus_active_bounds_matches_fd():
     g = jax.grad(loss, argnums=(0, 1, 2))(x0, XREF, UREF)
     for argi in range(3):
         _fd_check(loss, (x0, XREF, UREF), g, argi, rtol=2e-3)
+    jax.clear_caches()   # see test_grad_consensus_matches_fd
 
 
 def test_param_grads_match_fd():

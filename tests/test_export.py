@@ -173,17 +173,20 @@ def test_codegen_cpp_matches_python(tmp_path):
         x0j = prob.A @ x0j + prob.B @ state.u[0]
 
 
-def test_codegen_cpp_adaptive_matches_python(tmp_path):
+@pytest.mark.parametrize("rho_tol", [1.0, 3.0])
+def test_codegen_cpp_adaptive_matches_python(tmp_path, rho_tol):
     """Generated C++ with the adaptive-rho subsystem burned in (the
     reference's tiny_codegen_with_sensitivity, codegen.cpp:82-101): per-step
     iteration counts, applied inputs, and the adapted rho trajectory match
-    the float64 Python solver."""
+    the float64 Python solver. rho_tol=3.0 additionally exercises the
+    round-4 accumulator guard (ADAPT_GUARD) in the emitted C++."""
     s = systems.quadrotor_20hz()
     prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
                     N=10, dtype=jnp.float64)
     prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
     prob = tm.with_settings(prob, max_iter=100, adaptive_rho=True,
-                            adaptive_rho_min=1.0, adaptive_rho_max=100.0)
+                            adaptive_rho_min=1.0, adaptive_rho_max=100.0,
+                            adaptive_rho_tolerance=rho_tol)
     prob = tm.with_sensitivities(prob, systems.crazyflie_sensitivity_tables())
 
     x0 = np.array([0, 1, 0, 0.2, 0, 0, 0.1, 0, 0, 0, 0, 0.0]) * 2.0

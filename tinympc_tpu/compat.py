@@ -62,8 +62,8 @@ _SPEC_FLAGS = {
 # present in TinySettings (types.hpp:76-81) or added by this framework.
 _EXTRA_SETTINGS = {
     "adaptive_rho", "adaptive_rho_min", "adaptive_rho_max",
-    "adaptive_rho_clip", "adaptive_rho_apply_c", "horizon_parallel",
-    "matmul_precision",
+    "adaptive_rho_clip", "adaptive_rho_apply_c", "adaptive_rho_tolerance",
+    "horizon_parallel", "matmul_precision",
 }
 
 

@@ -2,29 +2,27 @@
 """Speed-of-light accounting for the fused solve kernel (BASELINE.json's
 "Riccati-sweep kernel at speed-of-light per chip" north star).
 
-Decomposes one ADMM iteration of the headline config (quadrotor nx=12,
-nu=4, N=20, tile=4096 lanes, bf16x3 matmuls) into its two cost classes
-and measures each with purpose-built Pallas microkernels on the same
-shapes:
+Decomposes one ADMM iteration into its cost classes and measures each
+with purpose-built Pallas microkernels on the same shapes:
 
   1. MXU dots. The Riccati sweeps issue 5 dots per horizon step (3
-     backward: Mback@p, Quu@(..), KinfT@r; 2 forward: Mfwd@x, B@u), 95
-     per iteration at N=20, mostly *dependent* — each step's dots wait on
-     the previous step's result. Microkernels measure an L-deep chain of
-     (36, 36)@(36, tile) bf16 dots with a per-dot f32->bf16 operand cast
-     (what the real chain pays for its hi/lo splits), and the same count
-     issued with no dependencies (pipelined — the MXU throughput
-     alternative).
-  2. VPU elementwise + reductions: the slack/dual phases (~8 full-array
-     passes of add/clip over the (N, nx+nu, tile) state) and the 4
-     max-abs residual reductions per iteration.
+     backward: Mback@p, Quu@(..), KinfT@r; 2 forward: Mfwd@x, B@u),
+     mostly *dependent* — each step's dots wait on the previous step's
+     result. Microkernels measure an L-deep chain of
+     (3nx, 3nx)@(3nx, tile) bf16 dots with a per-dot f32->bf16 operand
+     cast (what the real chain pays for its hi/lo splits), and the same
+     count issued with no dependencies (pipelined).
+  2. VPU elementwise passes (the slack/dual/linear-cost phases) and the
+     max-abs residual reductions — which since round 4 run only every
+     check_termination iterations (the model divides their cost by the
+     stride).
 
-Prints one JSON line: per-unit costs, the model's reconstruction of the
-fused iteration time, the measured iteration time (pipelined timing — a
-sync round-trip on this tunnel can cost ~26 ms, see bench_all.bench),
-and the chain-vs-pipeline ratio that says whether the sweeps sit at MXU
-issue latency or MXU throughput. Feeds docs/DESIGN.md's "Speed of
-light" section — rerun after kernel changes.
+Configs measured: the quadrotor headline (nx=12, N=20) at the
+reference-default stride (ct=1) and the OSQP stride (ct=25, the bench.py
+headline), plus a synthetic nx=32 system — the second roofline point
+that tests how the chain-latency vs VPU-stream balance shifts with state
+dimension (VERDICT r3 #9). Prints one JSON line per config; feeds
+docs/DESIGN.md's "Speed of light" section — rerun after kernel changes.
 """
 import json
 import sys
@@ -61,15 +59,16 @@ def _timeit(fn, *args, reps=5, min_rep_s=0.5):
 def dot_kernel(L, depth, tile, chained, reps):
     """L dots of (depth, depth) @ (depth, tile). ``chained``: each dot
     consumes the previous result (with the f32->bf16 operand cast the
-    real sweep chain also pays); otherwise all dots read one pre-cast
-    operand and pipeline freely (the accumulate is a VPU add chain whose
-    few-cycle latency hides under the MXU)."""
+    real sweep chain also pays); otherwise the L dots read L *distinct*
+    matrices against one pre-cast operand and pipeline freely (distinct
+    operands defeat CSE — with one shared matrix the compiler collapses
+    the L identical dots into one and the measurement is fiction)."""
     bf16, f32 = jnp.bfloat16, jnp.float32
 
-    def kernel(M_ref, v_ref, o_ref):
+    def kernel(M_ref, Ms_ref, v_ref, o_ref):
         M = M_ref[:]
         acc = jnp.zeros((depth, tile), f32)
-        for _ in range(reps):
+        for r in range(reps):
             x = v_ref[:]
             if chained:
                 for _ in range(L):
@@ -77,27 +76,28 @@ def dot_kernel(L, depth, tile, chained, reps):
                                 preferred_element_type=f32)
                 acc = acc + x
             else:
-                y = v_ref[:].astype(bf16)
-                for _ in range(L):
-                    acc = acc + jnp.dot(M, y, preferred_element_type=f32)
+                y = (v_ref[:] + r).astype(bf16)
+                for k in range(L):
+                    acc = acc + jnp.dot(Ms_ref[k], y,
+                                        preferred_element_type=f32)
         o_ref[:] = acc
 
     M = jnp.full((depth, depth), 0.01, bf16)
+    Ms = (0.01 + jnp.arange(L * depth * depth, dtype=jnp.float32)
+          .reshape(L, depth, depth) * 1e-6).astype(bf16)
     v = jnp.ones((depth, tile), jnp.float32)
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((depth, tile), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
-    return jax.jit(lambda: call(M, v))
+    return jax.jit(lambda: call(M, Ms, v))
 
 
 def elementwise_kernel(N, F, tile, passes, reductions, reps):
     """`passes` add+clip passes over a (N, F, tile) array plus
-    `reductions` max-abs lane reductions — the slack/dual/residual phase
-    shape of one iteration."""
+    `reductions` max-abs lane reductions."""
     f32 = jnp.float32
 
     def kernel(a_ref, b_ref, o_ref):
@@ -109,6 +109,7 @@ def elementwise_kernel(N, F, tile, passes, reductions, reps):
             for _ in range(reductions):
                 acc = jnp.maximum(acc,
                                   jnp.max(jnp.abs(x), axis=(0, 1))[None])
+            acc = acc + x[0, :1]
         o_ref[:] = acc
 
     a = jnp.ones((N, F, tile), f32)
@@ -123,71 +124,82 @@ def elementwise_kernel(N, F, tile, passes, reductions, reps):
     return jax.jit(lambda: call(a, b))
 
 
-def main():
-    from tinympc_tpu.profiling import enable_compilation_cache
-    enable_compilation_cache()
+def run_config(label, sysd, nx, nu, N, tile, B, ct):
     import tinympc_tpu as tm
-    from tinympc_tpu import systems
     from tinympc_tpu.kernels import solve_fused
 
-    nx, nu, N, tile = 12, 4, 20, 4096
-    B = 32768
     f32 = jnp.float32
     REPS = 20        # in-kernel repetitions to swamp launch overhead
 
-    # --- measured fused iteration time (fixed-work headline config) ---
-    s = systems.quadrotor_20hz()
-    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
-                    N=N, dtype=f32)
-    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
-    prob = tm.with_settings(prob, max_iter=100, matmul_precision="high")
-    Xref = jnp.zeros((N, 12), f32).at[:, 2].set(1.0)
+    prob = tm.setup(sysd["A"], sysd["B"], sysd["Qdiag"], sysd["Rdiag"],
+                    rho=sysd["rho"], N=N, dtype=f32)
+    prob = tm.with_bounds(prob, x_min=-50.0, x_max=50.0, u_min=-5.0,
+                          u_max=5.0)
+    prob = tm.with_settings(prob, max_iter=100, matmul_precision="high",
+                            check_termination=ct, abs_pri_tol=0.0,
+                            abs_dua_tol=0.0)   # fixed work: never converges
     rng = np.random.default_rng(0)
-    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 12)), f32)
-    fn = jax.jit(lambda x0s: solve_fused(prob, Xref, None, x0s,
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (B, nx)), f32)
+    fn = jax.jit(lambda x0s: solve_fused(prob, None, None, x0s,
                                          tile=tile)[0])
     sol = jax.block_until_ready(fn(x0s))
     dt = _timeit(fn, x0s)
     iters = float(np.mean(np.asarray(sol.iter)))
     n_tiles = B // tile
-    t_iter_tile = dt / (iters * n_tiles)          # seconds per tile-iteration
+    t_iter_tile = dt / (iters * n_tiles)          # seconds per tile-iter
 
     # --- microbenchmarks on the same shapes ---
-    # Sweep dots: bf16x3 stacks the 3 passes along the contraction axis ->
-    # depth 3*nx = 36. 5 dots per step x (N-1) steps per iteration.
+    depth = 3 * nx                # bf16x3 stacks passes on the contraction
     L = 5 * (N - 1)
-    t_chain = _timeit(dot_kernel(L, 36, tile, True, REPS)) / REPS
-    t_indep = _timeit(dot_kernel(L, 36, tile, False, REPS)) / REPS
-    # Elementwise: ~8 add/clip passes over the (N, nx+nu, tile) state and
-    # 4 residual max-abs reductions per iteration.
-    P, R = 8, 4
-    t_elem = _timeit(elementwise_kernel(N, nx + nu, tile, P, R, REPS)) / REPS
+    t_chain = _timeit(dot_kernel(L, depth, tile, True, REPS)) / REPS
+    t_indep = _timeit(dot_kernel(L, depth, tile, False, REPS)) / REPS
+    P = 8
+    t_pass = _timeit(elementwise_kernel(N, nx + nu, tile, P, 0, REPS)) / REPS
+    t_red4 = _timeit(elementwise_kernel(N, nx + nu, tile, 0, 4, REPS)) / REPS
 
-    model = t_chain + t_elem
-    # FLOPs per lane-iteration (logical f32 matmuls; the 3 bf16 passes
-    # count once): backward 19*(2*16*12 + 2*4*4 + 2*12*4) + forward
-    # 19*(2*16*12 + 2*12*4) + ~15*N*(nx+nu) elementwise.
-    flops_lane = (N - 1) * (2 * 16 * 12 + 2 * 4 * 4 + 2 * 12 * 4) \
-        + (N - 1) * (2 * 16 * 12 + 2 * 12 * 4) + 15 * N * (nx + nu)
+    # Standalone parts overlap and fuse inside the real kernel (the
+    # round-4 finding: the iteration is one interleaved VPU stream with
+    # the MXU chain largely hidden under it), so their sum is an upper
+    # bound, not a reconstruction.
+    parts_sum = t_chain + t_pass + t_red4 / ct
+    back = (N - 1) * (2 * (nx + nu) * nx + 2 * nu * nu + 2 * nx * nu)
+    fwd = (N - 1) * (2 * (nx + nu) * nx + 2 * nx * nu)
+    flops_lane = back + fwd + 15 * N * (nx + nu)
     achieved_tflops = flops_lane * tile / t_iter_tile / 1e12
 
     print(json.dumps({
-        "config": f"quadrotor nx={nx} nu={nu} N={N} tile={tile} bf16x3",
+        "config": label,
+        "check_termination": ct,
         "measured_iter_us_per_tile": round(t_iter_tile * 1e6, 2),
-        "model_iter_us_per_tile": round(model * 1e6, 2),
+        "standalone_parts_sum_us": round(parts_sum * 1e6, 2),
         "chained_dots_us": round(t_chain * 1e6, 2),
         "independent_dots_us": round(t_indep * 1e6, 2),
         "chain_vs_pipeline": round(t_chain / t_indep, 2),
-        "elementwise_us": round(t_elem * 1e6, 2),
+        "elementwise_pass_us": round(t_pass * 1e6, 2),
+        "residual_reduction4_us": round(t_red4 * 1e6, 2),
         "dots_per_iter": L,
         "ns_per_chained_dot": round(t_chain / L * 1e9, 1),
         "ns_per_pipelined_dot": round(t_indep / L * 1e9, 1),
-        "elementwise_passes": P,
-        "residual_reductions": R,
         "flops_per_lane_iter": flops_lane,
         "achieved_tflops": round(achieved_tflops, 2),
+        "solves_per_s_equiv": round(B / dt / 1.0, 0),
         "device": str(jax.devices()[0]),
-    }))
+    }), flush=True)
+
+
+def main():
+    from tinympc_tpu.profiling import enable_compilation_cache
+    enable_compilation_cache()
+    from tinympc_tpu import systems
+
+    quad = systems.quadrotor_20hz()
+    run_config("quadrotor nx=12 nu=4 N=20 tile=4096 bf16x3 ct=1",
+               quad, 12, 4, 20, 4096, 32768, 1)
+    run_config("quadrotor nx=12 nu=4 N=20 tile=4096 bf16x3 ct=25",
+               quad, 12, 4, 20, 4096, 32768, 25)
+    syn = systems.synthetic(32, 8)
+    run_config("synthetic nx=32 nu=8 N=20 tile=2048 bf16x3 ct=25",
+               syn, 32, 8, 20, 2048, 16384, 25)
 
 
 if __name__ == "__main__":
