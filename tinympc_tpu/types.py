@@ -176,9 +176,13 @@ class Settings:
     # exact reference behavior. See docs/PARITY.md "Adaptive rho: what it
     # buys" for the measured guard sweep.
     adaptive_rho_tolerance: float = 1.0
-    # Horizon-parallel Riccati sweeps via lax.associative_scan (O(log N)
-    # depth instead of N sequential steps) — the long-horizon path
-    # (SURVEY.md §5). Requires an unbatched cache (not compatible with
+    # Horizon-parallel Riccati sweeps via blocked two-level scans
+    # (~2*sqrt(N) sequential depth instead of N) — SURVEY.md §5. Its
+    # measured regime (tools/horizon_regime.py): small fleets at long
+    # horizons, where the batch cannot fill the machine and depth
+    # dominates — 1.2-5.2x the sequential scans on-chip once B <~ 64
+    # (nx 12..64, N 512..2048). At fleet batches prefer the streamed
+    # kernel. Requires an unbatched cache (not compatible with
     # per-problem adaptive-rho caches).
     horizon_parallel: bool = False
     # Consensus ADMM (no reference analog — SURVEY.md §2.4): when set, the
