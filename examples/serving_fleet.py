@@ -63,8 +63,10 @@ def main():
     # real hardware)
     carry = init_carry(prob, B)
     x0 = x0s
-    warm = jax.jit(lambda x0, c: solve_fused_warm(prob, Xref, None, x0, c,
-                                                  tile=tile))
+    # tile=None: auto — the warm kernel's carry + snapshot buffers need
+    # ~3.4x the cold kernel's VMEM per lane, so its widest fitting tile
+    # is narrower (max_tile(prob, warm=True)).
+    warm = jax.jit(lambda x0, c: solve_fused_warm(prob, Xref, None, x0, c))
     for step in range(5):
         sol, res, carry = warm(x0, carry)
         u0 = sol.u[0] + 0.01 * jnp.asarray(rng.normal(size=(B, 4)), jnp.float32)
