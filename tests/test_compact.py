@@ -267,7 +267,8 @@ def test_compact_streamed_adaptive_matches_resident():
                                rtol=1e-4)
 
 
-def test_compact_consensus_groups_match_manual_chunked():
+@pytest.mark.parametrize("backend", ["resident", "streamed"])
+def test_compact_consensus_groups_match_manual_chunked(backend):
     """Consensus compaction (round 4): groups compact as units and the
     masked scatter freezes first-convergence outputs. The semantic
     reference is the same chunk schedule run WITHOUT compaction (all
@@ -285,14 +286,20 @@ def test_compact_consensus_groups_match_manual_chunked():
     Xref = jnp.zeros((10, 12), jnp.float32).at[:, 2].set(0.5)
 
     solver = make_compact_solver(prob, chunk=20, tile=B, min_batch=G,
-                                 backend="resident", interpret=True)
+                                 backend=backend, interpret=True)
     sol_c, res_c = solver(x0s, Xref)
 
-    # Manual chunked reference: same phases, no compaction, host freeze.
+    # Manual chunked reference: same phases, no compaction, host freeze
+    # (same backend, so the comparison is exact).
     pphase = tm.with_settings(prob, max_iter=20)
     carry = init_carry(prob, B)
-    phase = jax.jit(lambda x0, c: solve_fused_warm(
-        pphase, Xref, None, x0, c, tile=B, final=True, interpret=True))
+    if backend == "streamed":
+        from tinympc_tpu.kernels import solve_fused_streamed_warm
+        phase = jax.jit(lambda x0, c: solve_fused_streamed_warm(
+            pphase, Xref, None, x0, c, tile=B, chunk=5, interpret=True))
+    else:
+        phase = jax.jit(lambda x0, c: solve_fused_warm(
+            pphase, Xref, None, x0, c, tile=B, final=True, interpret=True))
     out = None
     used = 0
     for _ in range(3):
