@@ -480,6 +480,15 @@ def main():
             out, dt, sp = bench("clf", clf, x0s)
             record("closed-loop MPC steps (fused kernel)", B, B * T / dt,
                    "MPC steps/s", f"T={T} warm-started", sp)
+        # Warm-started solves converge in ~10-15 iterations, so the
+        # closed-loop stride sweet spot is ~5, not 25 (ct=25 forces 25
+        # iterations minimum per step; measured ct sweep in
+        # docs/SERVING.md).
+        p5 = tm.with_settings(prob, check_termination=5)
+        clf5 = jax.jit(lambda x0s: closed_loop_fused(p5, Xref, x0s, T)[2])
+        out, dt, sp = bench("clf5", clf5, x0s)
+        record("closed-loop MPC steps (fused kernel, ct=5)", B, B * T / dt,
+               "MPC steps/s", f"T={T} warm-started; stride sweet spot", sp)
 
     stamp = datetime.date.today().isoformat()
     dev = str(jax.devices()[0])

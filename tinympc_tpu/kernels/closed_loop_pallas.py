@@ -4,7 +4,10 @@ One kernel instance runs ``T`` MPC steps for a tile of independent plants:
 warm-started ADMM solve, apply the first input, simulate the plant, next
 step — with *zero* HBM traffic between ADMM iterations or between MPC
 steps. This is the serving workload (a fleet of controllers stepped
-together) at whole-loop fusion.
+together) at whole-loop fusion. Stride note: warm-started solves
+converge in ~10-15 iterations, so the closed-loop sweet spot for
+``Settings.check_termination`` is ~5, not the cold-solve 25 — measured
+7.8M / 10.2M / 6.3M MPC steps/s at ct=1/5/25 (docs/SERVING.md).
 
 Differences from the single-solve kernel (admm_pallas.py):
   * warm-start carry is exact across steps. Rather than masking every
@@ -200,33 +203,40 @@ def _kernel(
             # behind vnew — that value lives in vstale.
             it1 = it + 1
             active = done[0] == 0                      # (Bt,)
-            vprev = jnp.where(it == 0, vstale[:], vnew[pv])
-            zprev = jnp.where(it == 0, zstale[:], znew[pv])
-            pri_s = jnp.max(jnp.abs(xs - vn), axis=(0, 1))
-            pri_i = jnp.max(jnp.abs(us - zn), axis=(0, 1))
-            dua_s = jnp.max(jnp.abs(vprev - vn), axis=(0, 1)) * rho
-            dua_i = jnp.max(jnp.abs(zprev - zn), axis=(0, 1)) * rho
-            checking = (it1 % check_termination) == 0
-            ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
-                & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
-            just = checking & ok & active
-
             iters[0] = jnp.where(active, it1, iters[0])
-            done[0] = jnp.where(just, 1, done[0])
+            checking = (it1 % check_termination) == 0
 
-            # Snapshot the warm-start carry of just-converged lanes
-            # (admm.solve's _commit freeze). Gated: all-or-nothing
-            # iterations skip these seven read-modify-writes.
-            @pl.when(jnp.any(just))
+            # Termination only on check iterations (the reference's
+            # amortised check, admm.cpp:312; same round-4 gate as
+            # admm_pallas — the four full-trajectory reductions skip the
+            # other check_termination-1 iterations, bitwise-safe since
+            # every consumer was already gated on `checking`).
+            @pl.when(checking)
             def _():
-                m = just[None, None, :]
-                snap_v[:] = jnp.where(m, vn, snap_v[:])
-                snap_z[:] = jnp.where(m, zn, snap_z[:])
-                snap_g[:] = jnp.where(m, g_new, snap_g[:])
-                snap_y[:] = jnp.where(m, y_new, snap_y[:])
-                snap_vst[:] = jnp.where(m, vprev, snap_vst[:])
-                snap_zst[:] = jnp.where(m, zprev, snap_zst[:])
-                snap_u0[:] = jnp.where(just[None, :], us[0], snap_u0[:])
+                vprev = jnp.where(it == 0, vstale[:], vnew[pv])
+                zprev = jnp.where(it == 0, zstale[:], znew[pv])
+                pri_s = jnp.max(jnp.abs(xs - vn), axis=(0, 1))
+                pri_i = jnp.max(jnp.abs(us - zn), axis=(0, 1))
+                dua_s = jnp.max(jnp.abs(vprev - vn), axis=(0, 1)) * rho
+                dua_i = jnp.max(jnp.abs(zprev - zn), axis=(0, 1)) * rho
+                ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
+                    & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
+                just = ok & active
+                done[0] = jnp.where(just, 1, done[0])
+
+                # Snapshot the warm-start carry of just-converged lanes
+                # (admm.solve's _commit freeze). Gated: all-or-nothing
+                # iterations skip these seven read-modify-writes.
+                @pl.when(jnp.any(just))
+                def _():
+                    m = just[None, None, :]
+                    snap_v[:] = jnp.where(m, vn, snap_v[:])
+                    snap_z[:] = jnp.where(m, zn, snap_z[:])
+                    snap_g[:] = jnp.where(m, g_new, snap_g[:])
+                    snap_y[:] = jnp.where(m, y_new, snap_y[:])
+                    snap_vst[:] = jnp.where(m, vprev, snap_vst[:])
+                    snap_zst[:] = jnp.where(m, zprev, snap_zst[:])
+                    snap_u0[:] = jnp.where(just[None, :], us[0], snap_u0[:])
 
             return jnp.all(done[0] == 1), dvgN_next
 
