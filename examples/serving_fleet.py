@@ -76,9 +76,12 @@ def main():
         print(f"external-plant step {step}: mean iters "
               f"{float(jnp.mean(sol.iter)):5.1f}, mean pos err {err:.4f}")
 
-    # 3. whole loops on-chip
+    # 3. whole loops on-chip. Warm-started solves converge in ~10-15
+    # iterations, so the closed-loop stride sweet spot is ct=5
+    # (docs/SERVING.md's measured sweep).
     T = 50
-    loop = jax.jit(lambda x0s: closed_loop_fused(prob, Xref, x0s, T,
+    p_loop = tm.with_settings(prob, check_termination=5)
+    loop = jax.jit(lambda x0s: closed_loop_fused(p_loop, Xref, x0s, T,
                                                  tile=min(2048, B)))
     xs, us, iters, solved = jax.block_until_ready(loop(x0s))
     t0 = time.perf_counter()
