@@ -333,3 +333,84 @@ def test_compact_consensus_groups_match_manual_chunked(backend):
     gsolved = np.asarray(sol_c.solved).all(axis=1)
     spread = np.ptp(u0, axis=1).max(-1)
     assert np.all(spread[gsolved] < 2 * prob.settings.abs_pri_tol + 1e-5)
+
+
+@pytest.mark.parametrize("backend", ["resident", "streamed"])
+def test_compact_consensus_staggered_multi_round(backend):
+    """Regression (round 5): consensus compaction with a live set that
+    shrinks MORE THAN ONCE. After the first re-pack, carry slot i holds
+    group g_groups[i], so liveness indices must be positional in the
+    narrowed order, not global group ids — the round-4 code indexed the
+    narrowed ``g_groups``/carry with global ids, which raised (or
+    silently gathered the wrong groups' carries) once an early group
+    converged before a later phase. Staggered per-group difficulty forces
+    >=2 compaction rounds; the semantic reference is the same manual
+    chunked no-compaction loop as above."""
+    from tinympc_tpu.kernels import (init_carry, make_compact_solver,
+                                     solve_fused_warm)
+    prob = tm.with_consensus(
+        _quadrotor(max_iter=120, abs_pri_tol=2e-2, abs_dua_tol=2e-2),
+        rho_c=50.0)
+    ng, G = 8, 4
+    B = ng * G
+    rng = np.random.default_rng(7)
+    # Difficulty staggered so groups drop out across several chunks (the
+    # premise assert below verifies >=3 distinct group finish buckets).
+    scales = np.asarray([0.005, 0.01, 0.02, 0.03, 0.05, 0.08, 0.12,
+                         0.2])[:, None, None]
+    x0s = jnp.asarray(rng.uniform(-1, 1, (ng, G, 12)) * scales, jnp.float32)
+    Xref = None
+
+    solver = make_compact_solver(prob, chunk=10, tile=B, min_batch=G,
+                                 backend=backend, interpret=True)
+    sol_c, res_c = solver(x0s, Xref)
+
+    # Premise: group completion must be staggered across >=3 chunk
+    # buckets so the live set shrinks at >=2 distinct compaction rounds.
+    git = np.asarray(sol_c.iter).reshape(ng, G).max(axis=1)
+    buckets = np.unique(np.ceil(git / 10.0))
+    assert buckets.size >= 3, f"workload not staggered: {git}"
+
+    pphase = tm.with_settings(prob, max_iter=10)
+    carry = init_carry(prob, B)
+    if backend == "streamed":
+        from tinympc_tpu.kernels import solve_fused_streamed_warm
+        phase = jax.jit(lambda x0, c: solve_fused_streamed_warm(
+            pphase, Xref, None, x0, c, tile=B, chunk=5, interpret=True))
+    else:
+        phase = jax.jit(lambda x0, c: solve_fused_warm(
+            pphase, Xref, None, x0, c, tile=B, final=True, interpret=True))
+    out = None
+    used = 0
+    for _ in range(12):
+        sol, res, carry = phase(x0s, carry)
+        fx = sol.x.reshape(10, B, 12)
+        fu = sol.u.reshape(9, B, 4)
+        fit = sol.iter.reshape(B)
+        fsv = sol.solved.reshape(B)
+        fres = res.reshape(res.shape[0], B)
+        if out is None:
+            out = [fx, fu, fit + 0, fsv, fres]
+        else:
+            live = ~out[3]
+            out[0] = jnp.where(live[None, :, None], fx, out[0])
+            out[1] = jnp.where(live[None, :, None], fu, out[1])
+            out[2] = jnp.where(live, used + fit, out[2])
+            out[4] = jnp.where(live[None, :], fres, out[4])
+            out[3] = out[3] | fsv
+        used += 10
+
+    # Iteration counts and solved masks are exact; iterates get tight
+    # allclose only — once the live set shrinks, compact phases compile
+    # at a narrower batch than the manual full-width relaunch, and on
+    # XLA:CPU two different jitted programs fuse FMAs differently
+    # (~1e-6 drift; on real TPU hardware both lower through Mosaic and
+    # agree bitwise).
+    np.testing.assert_array_equal(np.asarray(sol_c.iter.reshape(B)),
+                                  np.asarray(out[2]))
+    np.testing.assert_array_equal(np.asarray(sol_c.solved.reshape(B)),
+                                  np.asarray(out[3]))
+    np.testing.assert_allclose(np.asarray(sol_c.x.reshape(10, B, 12)),
+                               np.asarray(out[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sol_c.u.reshape(9, B, 4)),
+                               np.asarray(out[1]), atol=1e-4)

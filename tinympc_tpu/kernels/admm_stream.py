@@ -78,8 +78,8 @@ from .admm_pallas import FusedCarry, _apply_cones
 DEFAULT_CHUNK = 8
 
 # VMEM budget for the pipelined chunk buffers (2x-buffered by Pallas) +
-# tables; same calibration story as admm_pallas.LANE_VMEM_BUDGET.
-STREAM_VMEM_BUDGET = 30 * 2**20
+# tables; same calibration story (and device-kind derivation, round 5)
+# as admm_pallas.lane_vmem_budget.
 
 
 def _bf16x3_helpers(mm_mode):
@@ -665,7 +665,8 @@ def auto_tile_stream(prob: TinyProblem, chunk: int = DEFAULT_CHUNK) -> int:
         # OSQP reductions (not double-buffered).
         per_lane += 4 * (3 * nx + 2 * nu + 8 + 4)
     tables = 4 * N * (2 * nx + 2 * nu + nx + nu)
-    fit = max(1, (STREAM_VMEM_BUDGET - tables) // per_lane)
+    from .admm_pallas import lane_vmem_budget
+    fit = max(1, (lane_vmem_budget() - tables) // per_lane)
     p = 1
     while p * 2 <= fit and p < 4096:
         p *= 2
@@ -729,6 +730,11 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret,
         raise ValueError("adaptive rho on the streamed path needs the "
                          "sensitivity matrices; configure the problem "
                          "with with_sensitivities")
+    if prob.settings.coarse_iters:
+        raise ValueError(
+            "coarse_iters (the mixed-precision iteration schedule) is "
+            "implemented on the resident fused kernel only; set "
+            "coarse_iters=0 for the streamed kernel")
     adaptive = prob.settings.adaptive_rho
     apply_c = prob.settings.adaptive_rho_apply_c
     spec0 = prob.spec
@@ -787,6 +793,11 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret,
         if B % tile:       # largest power of two that still divides B
             while tile > 1 and B % tile:
                 tile //= 2
+    else:
+        # Same semantics as the resident kernel (admm_pallas Bt =
+        # min(tile, B)): an explicit tile wider than the batch clamps —
+        # compaction phases legitimately shrink below the factory tile.
+        tile = min(tile, B)
     if B % tile:
         raise ValueError(f"batch ({B}) must be divisible by tile ({tile})")
     if consensus:

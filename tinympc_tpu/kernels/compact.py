@@ -309,8 +309,16 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
         solved_host = np.asarray(out_solved)
         T = tile if tile else 4096
         while used < total:
-            lane_solved = solved_host.reshape(-1, G)
-            local_g = np.flatnonzero(~lane_solved.all(axis=1))
+            # Liveness must be POSITIONAL relative to the previous live
+            # order: after the first compaction the carry only holds the
+            # previous g_groups' lanes (slot i of the carry = group
+            # g_groups[i]), so indices into the carry and into g_groups
+            # are positions in that narrowed layout, not global ids.
+            # (Round-5 fix: indexing with global ids gathered the wrong
+            # groups' carries — or raised — once the live set shrank
+            # before a later phase.)
+            lane_solved = solved_host.reshape(-1, G)       # global (ng0, G)
+            local_g = np.flatnonzero(~lane_solved[g_groups].all(axis=1))
             if local_g.size == 0:
                 break
             g_groups = g_groups[local_g]
