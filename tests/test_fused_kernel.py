@@ -18,12 +18,12 @@ from tinympc_tpu import systems
 from tinympc_tpu.kernels import solve_fused, fused_supported
 
 
-def _problem(max_iter=15):
+def _problem(max_iter=15, **settings):
     s = systems.quadrotor_20hz()
     prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
                     N=10, dtype=jnp.float32)
     prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
-    return tm.with_settings(prob, max_iter=max_iter)
+    return tm.with_settings(prob, max_iter=max_iter, **settings)
 
 
 def _check_fused_matches_xla(prob, x0s, Xref=None, Uref=None, atol=1e-4,
@@ -346,3 +346,110 @@ def test_fused_bf16x3_matches_highest():
                                atol=5e-4)
     it_l, it_h = np.asarray(sol_lo.iter), np.asarray(sol_hi.iter)
     assert (it_l == it_h).mean() >= 0.8
+
+
+def test_resolve_chain_split_hoist_wins_over_bad_env(monkeypatch):
+    """TINYMPC_SWEEP_HOIST forces k=1 even when a TINYMPC_CHAIN_SPLIT
+    that doesn't divide the tile is also set (round-5 advisor fix: the
+    override must short-circuit before divisibility validation)."""
+    from tinympc_tpu.kernels import admm_pallas as ap
+    monkeypatch.setenv("TINYMPC_CHAIN_SPLIT", "3")
+    monkeypatch.setattr(ap, "SWEEP_HOIST", True)
+    assert ap._resolve_chain_split(None, 256) == 1
+    assert ap._resolve_chain_split(3, 256) == 1
+    monkeypatch.setattr(ap, "SWEEP_HOIST", False)
+    with pytest.raises(ValueError, match="chain_split"):
+        ap._resolve_chain_split(None, 256)
+
+
+def test_coarse_schedule_handover_bitwise_on_cpu():
+    """Mixed-precision schedule (Settings.coarse_iters): on CPU the
+    DEFAULT matmul precision is f32-exact, so with matmul_precision
+    "highest" phase A computes the identical arithmetic to the precise
+    loop — the scheduled solve must be bitwise equal to the unscheduled
+    one. This pins the phase handover: ping-pong parity, the dvgN carry,
+    and iters/done bookkeeping across the loop boundary."""
+    prob = _problem(max_iter=60, check_termination=5,
+                    matmul_precision="highest")
+    B = 16
+    rng = np.random.default_rng(3)
+    scales = np.linspace(0.05, 0.45, B)[:, None]
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, 12)) * scales, jnp.float32)
+    sol0, res0 = jax.jit(lambda x: solve_fused(
+        prob, None, None, x, tile=B, interpret=True))(x0s)
+    probc = tm.with_settings(prob, coarse_iters=20)
+    solc, resc = jax.jit(lambda x: solve_fused(
+        probc, None, None, x, tile=B, interpret=True))(x0s)
+    np.testing.assert_array_equal(np.asarray(solc.iter), np.asarray(sol0.iter))
+    np.testing.assert_array_equal(np.asarray(solc.solved),
+                                  np.asarray(sol0.solved))
+    np.testing.assert_array_equal(np.asarray(solc.x), np.asarray(sol0.x))
+    np.testing.assert_array_equal(np.asarray(solc.u), np.asarray(sol0.u))
+    np.testing.assert_array_equal(np.asarray(resc), np.asarray(res0))
+
+
+def test_coarse_schedule_solutions_meet_tolerances():
+    """With "high" precision + a coarse phase, solved lanes' residuals
+    still satisfy the termination tolerances (the check measures actual
+    iterates, whatever arithmetic produced them) and iteration counts
+    stay on the check_termination grid."""
+    prob = _problem(max_iter=100, check_termination=5,
+                    matmul_precision="high")
+    probc = tm.with_settings(prob, coarse_iters=30)
+    B = 16
+    rng = np.random.default_rng(4)
+    scales = np.linspace(0.05, 0.4, B)[:, None]
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, 12)) * scales, jnp.float32)
+    sol, res = jax.jit(lambda x: solve_fused(
+        probc, None, None, x, tile=B, interpret=True))(x0s)
+    solved = np.asarray(sol.solved)
+    assert solved.any(), "premise: some lanes must converge"
+    r = np.asarray(res)
+    assert (r[:2, solved] < prob.settings.abs_pri_tol + 1e-6).all()
+    assert (r[2:4, solved] < prob.settings.abs_dua_tol + 1e-6).all()
+    it = np.asarray(sol.iter)
+    assert (it[solved] % 5 == 0).all()
+
+
+def test_coarse_schedule_rejected_off_fused_path():
+    """The XLA and streamed paths reject the schedule rather than
+    silently ignoring it."""
+    prob = _problem(max_iter=20, coarse_iters=10)
+    x0 = jnp.zeros(12, jnp.float32)
+    with pytest.raises(ValueError, match="coarse_iters"):
+        tm.solve(prob, tm.init_state(prob), x0=x0)
+    from tinympc_tpu.kernels import solve_fused_streamed
+    with pytest.raises(ValueError, match="coarse_iters"):
+        solve_fused_streamed(prob, None, None,
+                             jnp.zeros((8, 12), jnp.float32), interpret=True)
+
+
+def test_lane_vmem_budget_device_aware(monkeypatch):
+    """Round 5: the auto-tile VMEM budget derives from the device kind
+    with the v5e boundary as calibration — env override wins, 128 MiB-
+    class chips take the calibrated value, 16 MiB-class cores scale it,
+    unknown TPU kinds fail loudly with the override named."""
+    from tinympc_tpu.kernels import admm_pallas as ap
+
+    class FakeDev:
+        def __init__(self, kind):
+            self.device_kind = kind
+
+    def fake_devices(kind):
+        return lambda: [FakeDev(kind)]
+
+    monkeypatch.setenv("TINYMPC_VMEM_BUDGET_MIB", "12")
+    assert ap.lane_vmem_budget() == 12 * 2**20
+    monkeypatch.delenv("TINYMPC_VMEM_BUDGET_MIB")
+    import jax as _jax
+    monkeypatch.setattr(_jax, "devices", fake_devices("TPU v5 lite"))
+    assert ap.lane_vmem_budget() == ap._V5E_CALIBRATED_BUDGET
+    monkeypatch.setattr(_jax, "devices", fake_devices("TPU v5p"))
+    assert ap.lane_vmem_budget() == ap._V5E_CALIBRATED_BUDGET
+    monkeypatch.setattr(_jax, "devices", fake_devices("TPU v3"))
+    assert ap.lane_vmem_budget() == ap._V5E_CALIBRATED_BUDGET * 16 // 128
+    monkeypatch.setattr(_jax, "devices", fake_devices("cpu"))
+    assert ap.lane_vmem_budget() == ap._V5E_CALIBRATED_BUDGET
+    monkeypatch.setattr(_jax, "devices", fake_devices("TPU v99 mega"))
+    with pytest.raises(ValueError, match="TINYMPC_VMEM_BUDGET_MIB"):
+        ap.lane_vmem_budget()

@@ -686,6 +686,12 @@ def solve(prob: TinyProblem, state: SolverState, Xref=None, Uref=None,
     Returns (solution, final_state, final_cache). ``final_cache`` differs
     from ``prob.cache`` only when adaptive rho is enabled.
     """
+    if prob.settings.coarse_iters:
+        raise ValueError(
+            "coarse_iters (the mixed-precision iteration schedule) is "
+            "implemented on the resident fused kernel "
+            "(kernels.solve_fused) only; set coarse_iters=0 for the XLA "
+            "path")
     with matmul_precision_ctx(prob.settings):
         return _solve_impl(prob, state, Xref, Uref, x0)
 

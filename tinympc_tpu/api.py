@@ -253,6 +253,9 @@ def with_settings(prob: TinyProblem, **kw) -> TinyProblem:
             "adaptive_rho_tolerance must be >= 1 (1.0 = the reference's "
             "unconditional adaptation; >1 = OSQP guard, commit only when "
             "the step factor crosses the tolerance)")
+    if prob.settings.coarse_iters < 0:
+        raise ValueError("coarse_iters must be >= 0 (0 disables the "
+                         "mixed-precision schedule)")
     if prob.settings.adaptive_rho and prob.cache.dKinf_drho is None:
         prob = with_sensitivities(prob)
     return prob

@@ -86,7 +86,45 @@ AUTO_TILE_CAP = 4096
 # (28.7, 33.5) MiB across horizons. 30 MiB sits inside it and keeps every
 # measured-good auto tile (4096 @ N<=20, 1024 @ N=64, 512 @ N=128,
 # 128 @ N=512) while rejecting every measured-bad one.
-LANE_VMEM_BUDGET = 30 * 2**20
+_V5E_CALIBRATED_BUDGET = 30 * 2**20
+_V5E_VMEM_BYTES = 128 * 2**20          # physical VMEM/core the 30 MiB
+#                                        boundary was measured against
+
+
+def lane_vmem_budget() -> int:
+    """VMEM budget for the fused kernels, derived from the device kind
+    (round 5 — the budget used to be a bare v5e magic number).
+
+    The v5e-measured accept/reject boundary above is the calibration
+    point: 30 MiB of buffer-list estimate against 128 MiB of physical
+    VMEM (~23%, the rest being Mosaic's own temporaries). Chips in the
+    same 128 MiB-VMEM class (v4/v5p/v6 per public chip tables) take the
+    calibrated value directly; older 16 MiB-class cores (v2/v3) scale it
+    proportionally; CPU (interpret-mode tests) has no Mosaic VMEM
+    allocator and takes the calibrated default so auto-tile choices
+    match the chip's. Unknown TPU kinds fail loudly with the override
+    (``TINYMPC_VMEM_BUDGET_MIB``) rather than silently under- or
+    over-shooting.
+    """
+    env = os.environ.get("TINYMPC_VMEM_BUDGET_MIB")
+    if env is not None:
+        return int(float(env) * 2**20)
+    try:
+        import jax as _jax
+        kind = _jax.devices()[0].device_kind.lower()
+    except Exception:
+        return _V5E_CALIBRATED_BUDGET
+    if "tpu" not in kind:                  # cpu/gpu interpret-mode runs
+        return _V5E_CALIBRATED_BUDGET
+    if any(t in kind for t in ("v5 lite", "v5e", "v5p", "v5", "v4", "v6")):
+        return _V5E_CALIBRATED_BUDGET      # 128 MiB-VMEM class
+    if any(t in kind for t in ("v2", "v3")):
+        return _V5E_CALIBRATED_BUDGET * 16 // 128
+    raise ValueError(
+        f"unknown TPU device kind {kind!r}: the fused-kernel VMEM budget "
+        "is calibrated per VMEM class (admm_pallas.lane_vmem_budget); "
+        "set TINYMPC_VMEM_BUDGET_MIB=<MiB> explicitly (30 on a 128 MiB-"
+        "VMEM core is the measured-safe value)")
 
 
 def _lane_rows(spec, settings, warm: bool, final: bool = False) -> int:
@@ -128,7 +166,7 @@ def max_tile(prob, warm: bool = False, final: bool = False) -> int:
     """Widest power-of-two fused-kernel tile that fits the VMEM budget for
     this problem. `solve_fused(tile=None)` picks `min(max_tile, 4096)`."""
     per_lane = 4 * _lane_rows(prob.spec, prob.settings, warm, final)
-    fit = LANE_VMEM_BUDGET // per_lane
+    fit = lane_vmem_budget() // per_lane
     if fit < 1:
         raise ValueError(
             f"one problem of this size needs ~{per_lane / 2**20:.0f} MiB of "
@@ -328,7 +366,9 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                  adapt_period: int = 5,
                  consensus: bool = False, group: int = 0,
                  rho_c: float = 0.0, seg_mm: bool = False,
-                 mm_mode: str = "ambient", chain_split: int = 1):
+                 consensus_frozen: bool = False,
+                 mm_mode: str = "ambient", chain_split: int = 1,
+                 coarse_iters: int = 0):
     """Build the fused-solve kernel for a static constraint-family layout.
 
     Ref order (inputs → outputs → scratch) must match the spec/shape lists
@@ -512,120 +552,6 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             snap_x = nxt() if (any_extra or consensus) else None
             snap_u = nxt() if (any_extra or consensus) else None
 
-        # Matmul mode. "ambient" leaves jnp.dot under the trace-time
-        # precision context (DEFAULT = single-pass bf16, HIGHEST = 6-pass
-        # f32-accurate). "bf16x3" implements the 3-pass scheme Mosaic lacks
-        # (XLA's HIGH, bf16_3x) by hand: each operand splits into a bf16
-        # hi/lo pair and the A2*B2 term is dropped — ~16 mantissa bits.
-        # The three passes ride ONE MXU dot: these contractions are only
-        # nx(=12-ish) deep against a 128-deep systolic array, so stacking
-        # the passes along the contraction axis —
-        #   [Mhi | Mhi | Mlo] @ [vhi; vlo; vhi]
-        # — is free in MXU time (depth 3*nx <= 128) and replaces 3 dot
-        # issues with 1. Shared matrices split+stack once at load;
-        # per-iteration vectors split per call (vsplit hoists the split for
-        # values feeding >1 matmul).
-        bf16 = jnp.bfloat16
-        if mm_mode == "bf16x3":
-            lo_prec = jax.lax.Precision.DEFAULT
-
-            def dotd(a, b):
-                return jnp.dot(a, b, preferred_element_type=f32,
-                               precision=lo_prec)
-
-            def prep(M):
-                hi = M.astype(bf16)
-                lo = (M - hi.astype(f32)).astype(bf16)
-                return jnp.concatenate([hi, hi, lo], axis=1)
-
-            def vsplit(vv):
-                vhi = vv.astype(bf16)
-                vlo = (vv - vhi.astype(f32)).astype(bf16)
-                return jnp.concatenate([vhi, vlo, vhi], axis=0)
-
-            def mm(Mp, vv):
-                if vv.dtype != bf16:
-                    vv = vsplit(vv)
-                return dotd(Mp, vv)
-        else:
-            prep = lambda M: M
-            vsplit = lambda vv: vv
-
-            def mm(M, vv):
-                return jnp.dot(M, vv, preferred_element_type=f32)
-
-        A = prep(A_ref[:])
-        Bm = prep(B_ref[:])
-        BT = prep(BT_ref[:])
-        Kinf = prep(Kinf_ref[:])
-        KinfT = prep(KinfT_ref[:])
-        PinfT = PinfT_ref[:]              # VPU-only (terminal-cost sum)
-        Quu = prep(Quu_ref[:])
-        AmBKt = prep(AmBKt_ref[:])
-        # These contractions are only nx deep, so per-dot issue overhead
-        # dominates MXU time; the two matrices multiplying the same vector
-        # in each sweep step are stacked into one dot (backward: B^T and
-        # (A-BK)^T against the costate; forward: Kinf and A against the
-        # state) and the output rows split. Adaptive rho keeps the
-        # unstacked path (its per-lane drho axpys pair each base dot with
-        # a sensitivity dot of different row counts).
-        stack_sweeps = not adaptive
-        if stack_sweeps:
-            Mback = prep(jnp.concatenate([BT_ref[:], AmBKt_ref[:]], axis=0))
-            Mfwd = prep(jnp.concatenate([Kinf_ref[:], A_ref[:]], axis=0))
-            if consensus:
-                Mfwd0 = prep(jnp.concatenate([Kinf0_ref[:], A_ref[:]],
-                                             axis=0))
-        APf = APf_ref[:]          # (nx, 1) broadcasts over lanes
-        BPf = BPf_ref[:]
-        fvec = f_ref[:]
-        xmin = xmin_ref[:][:, :, None]
-        xmax = xmax_ref[:][:, :, None]
-        umin = umin_ref[:][:, :, None]
-        umax = umax_ref[:][:, :, None]
-        qx = Qdiag_ref[:]                  # (nx, 1)
-        ru = Rdiag_ref[:]
-        # -(ref .* costdiag) tables (admm.cpp:266,279), (N, nx, 1)-shaped.
-        neg_xref_q = -(xref_ref[:][:, :, None] * qx[None])
-        neg_uref_r = -(uref_ref[:][:, :, None] * ru[None])
-        # Terminal -Pinf^T Xref[N-1] as a VPU multiply+reduce: an MXU jnp.dot
-        # here runs single-pass bf16 and loses ~0.1% — enough to break
-        # bit-parity with the XLA path, which lowers this vector matvec in
-        # full f32.
-        pN_ref_term = -jnp.sum(PinfT * xref_ref[N - 1][None, :], axis=1,
-                               keepdims=True)  # (nx, 1)
-        if adaptive:
-            AT = prep(AT_ref[:])
-            Pinf = prep(Pinf_ref[:])
-            dK, dKT, dP = prep(dK_ref[:]), prep(dKT_ref[:]), prep(dP_ref[:])
-            dPT = dPT_ref[:]              # VPU-only (pN_ref_dP sum)
-            dC1 = prep(dC1_ref[:]) if apply_c else None
-            dC2 = prep(dC2_ref[:]) if apply_c else None
-            # Sensitivity term of the terminal reference row: the Taylor
-            # update shifts Pinf, so -Pinf_b^T Xref[N-1] gains
-            # drho * (-dPinf^T Xref[N-1]).
-            pN_ref_dP = -jnp.sum(dPT * xref_ref[N - 1][None, :], axis=1,
-                                 keepdims=True)  # (nx, 1)
-        if consensus:
-            Kinf0 = prep(Kinf0_ref[:])
-            Quu0 = prep(Quu0_ref[:])
-            if seg_mm:
-                # S/ST are one-hot (exact in bf16): only the data operand
-                # needs a hi/lo split, so the segment dots are 2-pass.
-                if mm_mode == "bf16x3":
-                    Sseg, STseg = S_ref[:].astype(bf16), ST_ref[:].astype(bf16)
-
-                    def seg_dot(vv, M):
-                        vhi = vv.astype(bf16)
-                        vlo = (vv - vhi.astype(f32)).astype(bf16)
-                        return dotd(vhi, M) + dotd(vlo, M)
-                else:
-                    Sseg, STseg = S_ref[:], ST_ref[:]
-
-                    def seg_dot(vv, M):
-                        return jnp.dot(vv, M, preferred_element_type=f32)
-            else:
-                Sseg = STseg = seg_dot = None
         mus_x = [cx_ref[k, 0] for k in range(len(state_cones))] if en_ssoc else []
         mus_u = [cu_ref[k, 0] for k in range(len(input_cones))] if en_isoc else []
 
@@ -689,9 +615,16 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                     ref[:] = jnp.zeros(ref.shape, ref.dtype)
         if consensus:
             if warm:
-                # Per-solve re-seed from the carried u (admm.
-                # seed_extra_slacks: zc0new = u[0]); the dual persists.
-                zc0[:] = uin_ref[0]
+                if consensus_frozen:
+                    # Two-level consensus (round 5,
+                    # shard.solve_fused_consensus_sharded): the slack is
+                    # the OUTER iterate — load it verbatim; no per-solve
+                    # re-seed.
+                    zc0[:] = zc0_in[:]
+                else:
+                    # Per-solve re-seed from the carried u (admm.
+                    # seed_extra_slacks: zc0new = u[0]); the dual persists.
+                    zc0[:] = uin_ref[0]
                 yc0[:] = yc0_in[:]
             else:
                 # Seed zc0new from the (zero) cold-start u and zero the
@@ -710,348 +643,502 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             sl = lambda v, g: v[..., g * Wcs:(g + 1) * Wcs]
             cat = lambda parts: jnp.concatenate(parts, axis=-1)
 
-        def iteration(it, dvgN):
-            # Per-lane rho (adaptive) or the static scalar. The Taylor-updated
-            # per-problem matrices never exist: each matvec is the base matrix
-            # plus a drho-scaled sensitivity matvec (see docstring).
-            if adaptive:
-                rho_b = rho_s[:]                 # (1, Bt)
-                drho = rho_b - rho
-                dr_gs = [sl(drho, gi) for gi in range(k_cs)]
+        def make_iteration(mode):
+            """One ADMM iteration closure at the given matmul scheme.
+
+            ``mode`` selects the dot implementation ("bf16x3" / "ambient"
+            / "coarse" — see the matmul-mode comment below); everything
+            else (refs, seeds, termination) is shared, so the
+            mixed-precision schedule's two phases are the same algorithm
+            differing only in MXU pass structure."""
+            # Matmul mode. "ambient" leaves jnp.dot under the trace-time
+            # precision context (DEFAULT = single-pass bf16, HIGHEST = 6-pass
+            # f32-accurate). "bf16x3" implements the 3-pass scheme Mosaic lacks
+            # (XLA's HIGH, bf16_3x) by hand: each operand splits into a bf16
+            # hi/lo pair and the A2*B2 term is dropped — ~16 mantissa bits.
+            # The three passes ride ONE MXU dot: these contractions are only
+            # nx(=12-ish) deep against a 128-deep systolic array, so stacking
+            # the passes along the contraction axis —
+            #   [Mhi | Mhi | Mlo] @ [vhi; vlo; vhi]
+            # — is free in MXU time (depth 3*nx <= 128) and replaces 3 dot
+            # issues with 1. Shared matrices split+stack once at load;
+            # per-iteration vectors split per call (vsplit hoists the split for
+            # values feeding >1 matmul).
+            bf16 = jnp.bfloat16
+            if mode == "bf16x3":
+                lo_prec = jax.lax.Precision.DEFAULT
+
+                def dotd(a, b):
+                    return jnp.dot(a, b, preferred_element_type=f32,
+                                   precision=lo_prec)
+
+                def prep(M):
+                    hi = M.astype(bf16)
+                    lo = (M - hi.astype(f32)).astype(bf16)
+                    return jnp.concatenate([hi, hi, lo], axis=1)
+
+                def vsplit(vv):
+                    vhi = vv.astype(bf16)
+                    vlo = (vv - vhi.astype(f32)).astype(bf16)
+                    return jnp.concatenate([vhi, vlo, vhi], axis=0)
+
+                def mm(Mp, vv):
+                    if vv.dtype != bf16:
+                        vv = vsplit(vv)
+                    return dotd(Mp, vv)
+            elif mode == "coarse":
+                # Single-pass bf16 (explicit DEFAULT precision, independent
+                # of the ambient context): the MXU truncates f32 operands
+                # to bf16 in hardware — no hi/lo operand splits, no VPU
+                # cast stream. Phase A of the mixed-precision schedule
+                # (Settings.coarse_iters).
+                prep = lambda M: M
+                vsplit = lambda vv: vv
+
+                def mm(M, vv):
+                    return jnp.dot(M, vv, preferred_element_type=f32,
+                                   precision=jax.lax.Precision.DEFAULT)
             else:
-                rho_b = rho
-                dr_gs = [None] * k_cs
+                prep = lambda M: M
+                vsplit = lambda vv: vv
 
-            def mmK(vv, dr):
-                o = mm(Kinf, vv)
-                return o + dr * mm(dK, vv) if adaptive else o
+                def mm(M, vv):
+                    return jnp.dot(M, vv, preferred_element_type=f32)
 
-            def mmKT(vv, dr):
-                o = mm(KinfT, vv)
-                return o + dr * mm(dKT, vv) if adaptive else o
-
-            def mmQuu(vv, dr):
-                o = mm(Quu, vv)
-                return o + dr * mm(dC1, vv) if (adaptive and apply_c) else o
-
-            def mmAmBKt(vv, dr):
-                o = mm(AmBKt, vv)
-                return o + dr * mm(dC2, vv) if (adaptive and apply_c) else o
-            # 1+2. Linear cost (admm.cpp:262-304) fused into the Riccati
-            # backward sweep (admm.cpp:13-20): q/r rows are formed on the
-            # fly, and the costate p rolls as a value. The terminal row uses
-            # the carried value of vnew[N-1] - g[N-1] from the previous
-            # iteration; extra-family terms are read directly (their slack
-            # and dual arrays still hold the previous iterate here).
-            pv = 1 - it % 2                          # previous ping-pong half
-
-            def form_r(i):
-                r_i = neg_uref_r[i] - rho_b * (znew[pv, i] - y[i])
-                if en_isoc:
-                    r_i = r_i - rho_b * (zc[i] - yc[i])
-                if n_input_lin:
-                    r_i = r_i - rho_b * (zl[i] - yl[i])
-                if n_tv_input_lin:
-                    r_i = r_i - rho_b * (ztv[i] - ytv[i])
-                if consensus and i == 0:
-                    # u[0]-only consensus prox (admm.update_linear_cost's
-                    # r[0] term, weighted by rho_c rather than rho).
-                    r_i = r_i - rho_c * (zc0[:] - yc0[:])
-                return r_i
-
-            def form_q(i):
-                q_i = neg_xref_q[i] - rho_b * (vnew[pv, i] - g[i])
-                if en_ssoc:
-                    q_i = q_i - rho_b * (vc[i] - gc[i])
-                if n_state_lin:
-                    q_i = q_i - rho_b * (vl[i] - gl[i])
-                if n_tv_state_lin:
-                    q_i = q_i - rho_b * (vtv[i] - gtv[i])
-                return q_i
-
-            pterm = (pN_ref_term + drho * pN_ref_dP) if adaptive else pN_ref_term
-            p_next = pterm - rho_b * dvgN
-            if en_ssoc:
-                p_next = p_next - rho_b * (vc[N - 1] - gc[N - 1])
-            if n_state_lin:
-                p_next = p_next - rho_b * (vl[N - 1] - gl[N - 1])
-            if n_tv_state_lin:
-                p_next = p_next - rho_b * (vtv[N - 1] - gtv[N - 1])
-
-            dvals = [[None] * k_cs for _ in range(N - 1)]
-            if stack_sweeps and SWEEP_HOIST:
-                # Scheduling experiment (see docs/DESIGN.md "Speed of
-                # light"): the KinfT@r dots never feed the costate chain,
-                # so emit them (and the r rows) *before* the sweep in
-                # program order — if Mosaic schedules in program order,
-                # the chain shortens from 3 dependent dots per step to 1
-                # (Mback@p) plus a d dot hanging off it. Identical
-                # expressions and operand values as the in-loop order:
-                # bit-identical results either way. (k=1 only; _fused_call
-                # guards the combination.)
-                rvals = [form_r(i) for i in range(N - 1)]
-                rKs = [mm(KinfT, r_i) for r_i in rvals]
-                for i in range(N - 2, -1, -1):
-                    pout = mm(Mback, p_next)
-                    bp, ap = pout[:nu], pout[nu:]
-                    Qm = Quu0 if (consensus and i == 0) else Quu
-                    dvals[i][0] = mm(Qm, bp + rvals[i] + BPf)
-                    p_next = form_q(i) + ap - rKs[i] + APf
-            else:
-                p_gs = [sl(p_next, gi) for gi in range(k_cs)]
-                for i in range(N - 2, -1, -1):          # static unroll
-                    r_i = form_r(i)
-                    q_i = form_q(i)
-                    for gi in range(k_cs):               # round-robin chains
-                        r_g = sl(r_i, gi)
-                        if stack_sweeps:
-                            pout = mm(Mback, p_gs[gi])
-                            bp, ap = pout[:nu], pout[nu:]
-                        else:
-                            ps = vsplit(p_gs[gi])  # feeds BT and AmBKt dots
-                            bp, ap = mm(BT, ps), mmAmBKt(ps, dr_gs[gi])
-                        if consensus and i == 0:
-                            # Step 0 carries the rho_c*I prox in its
-                            # dedicated gain (admm.backward_pass with
-                            # consensus=True).
-                            dvals[i][gi] = mm(Quu0, bp + r_g + BPf)
-                        else:
-                            dvals[i][gi] = mmQuu(bp + r_g + BPf, dr_gs[gi])
-                        p_gs[gi] = sl(q_i, gi) + ap - mmKT(r_g, dr_gs[gi]) + APf
-
-            # 3. forward rollout (admm.cpp:25-32)
-            x_gs = [sl(x0v, gi) for gi in range(k_cs)]
-            xvals = [[x_gs[gi]] for gi in range(k_cs)]
-            uvals = [[] for _ in range(k_cs)]
-            for i in range(N - 1):                  # static unroll
-                for gi in range(k_cs):               # round-robin chains
-                    if stack_sweeps:
-                        Mf = Mfwd0 if (consensus and i == 0) else Mfwd
-                        xout = mm(Mf, x_gs[gi])
-                        kx, ax = xout[:nu], xout[nu:]
-                    else:
-                        xsp = vsplit(x_gs[gi])  # feeds both Kinf and A dots
-                        kx = mm(Kinf0, xsp) if (consensus and i == 0) \
-                            else mmK(xsp, dr_gs[gi])
-                        ax = mm(A, xsp)
-                    u_i = -kx - dvals[i][gi]
-                    uvals[gi].append(u_i)
-                    x_gs[gi] = ax + mm(Bm, u_i) + fvec
-                    xvals[gi].append(x_gs[gi])
-
-            # 4. slack projection + 5. dual update (admm.cpp:81-256).
-            # vnew/v and znew/z are ping-pong halves: iteration `it` writes
-            # its projected slack into half it%2 and reads the previous
-            # iterate from the other half — the reference's v <- vnew copy
-            # (admm.cpp:445-446) costs nothing. All candidates are formed
-            # from pre-update duals (the reference runs update_slack for
-            # every family before update_dual touches any dual).
-            cur = it % 2
-            prev = 1 - cur
-            xs = cat([jnp.stack(v) for v in xvals])
-            us = cat([jnp.stack(v) for v in uvals])
-            if need_xu:
-                x[:] = xs
-                u[:] = us
-            vn = jnp.minimum(xmax, jnp.maximum(xmin, xs + g[:]))
-            zn = jnp.minimum(umax, jnp.maximum(umin, us + y[:]))
-            vnew[cur] = vn
-            znew[cur] = zn
-            gcn = ycn = gln = yln = gtvn = ytvn = None
-            if en_ssoc:
-                vcn = _apply_cones(xs + gc[:], state_cones, mus_x)
-                vc[:] = vcn
-                gcn = gc[:] + xs - vcn
-                gc[:] = gcn
-            if en_isoc:
-                zcn = _apply_cones(us + yc[:], input_cones, mus_u)
-                zc[:] = zcn
-                ycn = yc[:] + us - zcn
-                yc[:] = ycn
-            if n_state_lin:
-                vln = _apply_hyperplanes(xs + gl[:], Alx_ref, blx_ref,
-                                         n_state_lin)
-                vl[:] = vln
-                gln = gl[:] + xs - vln
-                gl[:] = gln
-            if n_input_lin:
-                zln = _apply_hyperplanes(us + yl[:], Alu_ref, blu_ref,
-                                         n_input_lin)
-                zl[:] = zln
-                yln = yl[:] + us - zln
-                yl[:] = yln
-            if n_tv_state_lin:
-                vtn = _apply_tv_hyperplanes(xs + gtv[:], tvAx_ref, tvbx_ref,
-                                            n_tv_state_lin)
-                vtv[:] = vtn
-                gtvn = gtv[:] + xs - vtn
-                gtv[:] = gtvn
-            if n_tv_input_lin:
-                ztn = _apply_tv_hyperplanes(us + ytv[:], tvAu_ref, tvbu_ref,
-                                            n_tv_input_lin)
-                ztv[:] = ztn
-                ytvn = ytv[:] + us - ztn
-                ytv[:] = ytvn
-            g_new = g[:] + xs - vn
-            y_new = y[:] + us - zn
-            g[:] = g_new
-            y[:] = y_new
-            dvgN_next = vn[N - 1] - g_new[N - 1]
-            if consensus:
-                # Consensus slack on u[0]: projection onto the all-equal
-                # subspace = scenario-group mean; scaled-dual ascent
-                # (admm.update_slack / update_dual en_consensus blocks).
-                cand0 = us[0] + yc0[:]                   # (nu, Bt)
-                zc0n = _segment_mean_lanes(cand0, group, Sseg, STseg, seg_dot)
-                zc0[:] = zc0n
-                yc0n = yc0[:] + us[0] - zc0n
-                yc0[:] = yc0n
-
-            # 6. termination (admm.cpp:310-328; bounds-family residuals
-            # only, like the reference); bookkeeping only for lanes not yet
-            # converged; solutions snapshot at first convergence. On warm
-            # solves "previous slack" at iteration 0 is the carried v/z —
-            # one iterate behind the carried vnew/znew because the
-            # reference skips the v <- vnew copy on the converging
-            # iteration (admm.cpp:444-446).
-            it1 = it + 1
-            active = done[0] == 0                      # (Bt,)
-
-            if adaptive:
-                # 5.5. adaptive rho every adapt_period iterations on active
-                # lanes (admm.cpp:397-422), matrix-free OSQP residuals
-                # exactly as rho_adapt.osqp_residuals/predict_rho but in
-                # kernel layout. The Taylor update itself is implicit: only
-                # the rho row changes; the next iteration's drho carries it
-                # into every matvec.
-                @pl.when((it > 0) & (it % adapt_period == 0))
-                def _():
-                    y_dyn = g_new[1:]                      # (N-1, nx, Bt)
-                    ax_dyn = jnp.stack(
-                        [mm(A, xs[i]) + mm(Bm, us[i]) - xs[i + 1]
-                         for i in range(N - 1)])
-                    mab = lambda a: jnp.max(jnp.abs(a), axis=(0, 1))
-                    pri_res = jnp.maximum(mab(us - zn), mab(ax_dyn - vn[1:]))
-                    pri_norm = jnp.maximum(
-                        jnp.maximum(mab(us), mab(ax_dyn)),
-                        jnp.maximum(mab(zn), mab(vn[1:])))
-                    # P x: Q-diag stages + per-problem terminal Pinf_b x[N-1]
-                    # (Pinf_b = Pinf + drho * dPinf, telescoped Taylor).
-                    pxN = mm(Pinf, xs[N - 1]) + drho * mm(dP, xs[N - 1])
-                    px_state = jnp.concatenate(
-                        [qx[None] * xs[:-1], pxN[None]], axis=0)
-                    q_state = qx[None] * xs
-                    ru_us = ru[None] * us       # = px_input = q_input
-                    aty_state = jnp.stack(
-                        [(mm(AT, y_dyn[i]) if i < N - 1 else
-                          jnp.zeros((nx, xs.shape[-1]), f32))
-                         - (y_dyn[i - 1] if i >= 1 else
-                            jnp.zeros((nx, xs.shape[-1]), f32))
-                         for i in range(N)])
-                    aty_input = y_new + jnp.stack(
-                        [mm(BT, y_dyn[i]) for i in range(N - 1)])
-                    dual_res = jnp.maximum(
-                        mab(px_state + q_state + aty_state),
-                        mab(2.0 * ru_us + aty_input))
-                    dual_norm = jnp.maximum(
-                        jnp.maximum(jnp.maximum(mab(px_state), mab(ru_us)),
-                                    jnp.maximum(mab(aty_state), mab(aty_input))),
-                        jnp.maximum(mab(q_state), mab(ru_us)))
-                    eps = 1e-10                            # rho_benchmark.cpp:183
-                    ratio = (pri_res / (pri_norm + eps)) / (
-                        dual_res / (dual_norm + eps) + eps)
-                    factor = jnp.sqrt(ratio)
-                    if rho_tol > 1.0:
-                        # Guarded policy (admm._solve_impl's accumulator):
-                        # every prediction updates the *virtual* rho; it
-                        # commits into the solver only when it has drifted
-                        # rho_tol-fold from the committed rho. Persistent
-                        # imbalance (mis-tuned rho) compounds and commits;
-                        # balanced noise random-walks and mostly doesn't.
-                        new_v = rho_vs[0] * factor
-                        if rho_clip:
-                            new_v = jnp.clip(new_v, rho_min, rho_max)
-                        commit = ((new_v >= rho_tol * rho_s[0])
-                                  | (new_v * rho_tol <= rho_s[0]))
-                        rho_vs[0] = jnp.where(active, new_v, rho_vs[0])
-                        rho_s[0] = jnp.where(active & commit, new_v,
-                                             rho_s[0])
-                    else:
-                        new_rho = rho_s[0] * factor
-                        if rho_clip:
-                            new_rho = jnp.clip(new_rho, rho_min, rho_max)
-                        rho_s[0] = jnp.where(active, new_rho, rho_s[0])
-
-            iters[0] = jnp.where(active, it1, iters[0])
-            checking = (it1 % check_termination) == 0
-
-            # Termination runs only on check iterations — the reference's
-            # amortised check (admm.cpp:312). The pl.when gate skips the
-            # four full-trajectory max-abs reductions (plus the dual-diff
-            # subtractions feeding them) on the other check_termination-1
-            # of every check_termination iterations; measured ~1.2x on the
-            # N=20 headline. Values on check iterations are untouched, so
-            # results stay bitwise identical. Dual residuals scale with the
-            # post-adaptation rho (admm.solve computes residuals with the
-            # adapted cache).
-            @pl.when(checking)
-            def _():
-                rho_t = rho_s[0] if adaptive else rho
-                if warm:
-                    vprev = jnp.where(it == 0, vstale[:], vnew[prev])
-                    zprev = jnp.where(it == 0, zstale[:], znew[prev])
-                else:
-                    vprev = vnew[prev]
-                    zprev = znew[prev]
-                pri_s = jnp.max(jnp.abs(xs - vn), axis=(0, 1))
-                pri_i = jnp.max(jnp.abs(us - zn), axis=(0, 1))
-                dua_s = jnp.max(jnp.abs(vprev - vn), axis=(0, 1)) * rho_t
-                dua_i = jnp.max(jnp.abs(zprev - zn), axis=(0, 1)) * rho_t
-                ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
-                    & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
+            A = prep(A_ref[:])
+            Bm = prep(B_ref[:])
+            BT = prep(BT_ref[:])
+            Kinf = prep(Kinf_ref[:])
+            KinfT = prep(KinfT_ref[:])
+            PinfT = PinfT_ref[:]              # VPU-only (terminal-cost sum)
+            Quu = prep(Quu_ref[:])
+            AmBKt = prep(AmBKt_ref[:])
+            # These contractions are only nx deep, so per-dot issue overhead
+            # dominates MXU time; the two matrices multiplying the same vector
+            # in each sweep step are stacked into one dot (backward: B^T and
+            # (A-BK)^T against the costate; forward: Kinf and A against the
+            # state) and the output rows split. Adaptive rho keeps the
+            # unstacked path (its per-lane drho axpys pair each base dot with
+            # a sensitivity dot of different row counts).
+            stack_sweeps = not adaptive
+            if stack_sweeps:
+                Mback = prep(jnp.concatenate([BT_ref[:], AmBKt_ref[:]], axis=0))
+                Mfwd = prep(jnp.concatenate([Kinf_ref[:], A_ref[:]], axis=0))
                 if consensus:
-                    # Consensus residual gates convergence like the XLA path
-                    # (admm._solve_impl's cres check); not recorded in res.
-                    cres = jnp.max(jnp.abs(us[0] - zc0n), axis=0)
-                    ok = ok & (cres < abs_pri_tol)
-                just = ok & active
+                    Mfwd0 = prep(jnp.concatenate([Kinf0_ref[:], A_ref[:]],
+                                                 axis=0))
+            APf = APf_ref[:]          # (nx, 1) broadcasts over lanes
+            BPf = BPf_ref[:]
+            fvec = f_ref[:]
+            xmin = xmin_ref[:][:, :, None]
+            xmax = xmax_ref[:][:, :, None]
+            umin = umin_ref[:][:, :, None]
+            umax = umax_ref[:][:, :, None]
+            qx = Qdiag_ref[:]                  # (nx, 1)
+            ru = Rdiag_ref[:]
+            # -(ref .* costdiag) tables (admm.cpp:266,279), (N, nx, 1)-shaped.
+            neg_xref_q = -(xref_ref[:][:, :, None] * qx[None])
+            neg_uref_r = -(uref_ref[:][:, :, None] * ru[None])
+            # Terminal -Pinf^T Xref[N-1] as a VPU multiply+reduce: an MXU jnp.dot
+            # here runs single-pass bf16 and loses ~0.1% — enough to break
+            # bit-parity with the XLA path, which lowers this vector matvec in
+            # full f32.
+            pN_ref_term = -jnp.sum(PinfT * xref_ref[N - 1][None, :], axis=1,
+                                   keepdims=True)  # (nx, 1)
+            if adaptive:
+                AT = prep(AT_ref[:])
+                Pinf = prep(Pinf_ref[:])
+                dK, dKT, dP = prep(dK_ref[:]), prep(dKT_ref[:]), prep(dP_ref[:])
+                dPT = dPT_ref[:]              # VPU-only (pN_ref_dP sum)
+                dC1 = prep(dC1_ref[:]) if apply_c else None
+                dC2 = prep(dC2_ref[:]) if apply_c else None
+                # Sensitivity term of the terminal reference row: the Taylor
+                # update shifts Pinf, so -Pinf_b^T Xref[N-1] gains
+                # drho * (-dPinf^T Xref[N-1]).
+                pN_ref_dP = -jnp.sum(dPT * xref_ref[N - 1][None, :], axis=1,
+                                     keepdims=True)  # (nx, 1)
+            if consensus:
+                Kinf0 = prep(Kinf0_ref[:])
+                Quu0 = prep(Quu0_ref[:])
+                if seg_mm:
+                    # S/ST are one-hot (exact in bf16): only the data operand
+                    # needs a hi/lo split, so the segment dots are 2-pass.
+                    if mode == "bf16x3":
+                        Sseg, STseg = S_ref[:].astype(bf16), ST_ref[:].astype(bf16)
 
-                res[0] = jnp.where(active, pri_s, res[0])
-                res[1] = jnp.where(active, pri_i, res[1])
-                res[2] = jnp.where(active, dua_s, res[2])
-                res[3] = jnp.where(active, dua_i, res[3])
-                done[0] = jnp.where(just, 1, done[0])
+                        def seg_dot(vv, M):
+                            vhi = vv.astype(bf16)
+                            vlo = (vv - vhi.astype(f32)).astype(bf16)
+                            return dotd(vhi, M) + dotd(vlo, M)
+                    else:
+                        Sseg, STseg = S_ref[:], ST_ref[:]
+                        segp = (jax.lax.Precision.DEFAULT if mode == "coarse"
+                                else None)
 
-                # Snapshot solutions (and, on warm solves, the per-lane
-                # carry — the XLA path's per-lane freeze) only on iterations
-                # where some lane converged: the read-modify-writes are
-                # wasted on the (typical) all-or-nothing iterations.
-                @pl.when(jnp.any(just))
+                        def seg_dot(vv, M):
+                            return jnp.dot(vv, M, preferred_element_type=f32,
+                                           precision=segp)
+                else:
+                    Sseg = STseg = seg_dot = None
+
+            def iteration(it, dvgN):
+                # Per-lane rho (adaptive) or the static scalar. The Taylor-updated
+                # per-problem matrices never exist: each matvec is the base matrix
+                # plus a drho-scaled sensitivity matvec (see docstring).
+                if adaptive:
+                    rho_b = rho_s[:]                 # (1, Bt)
+                    drho = rho_b - rho
+                    dr_gs = [sl(drho, gi) for gi in range(k_cs)]
+                else:
+                    rho_b = rho
+                    dr_gs = [None] * k_cs
+
+                def mmK(vv, dr):
+                    o = mm(Kinf, vv)
+                    return o + dr * mm(dK, vv) if adaptive else o
+
+                def mmKT(vv, dr):
+                    o = mm(KinfT, vv)
+                    return o + dr * mm(dKT, vv) if adaptive else o
+
+                def mmQuu(vv, dr):
+                    o = mm(Quu, vv)
+                    return o + dr * mm(dC1, vv) if (adaptive and apply_c) else o
+
+                def mmAmBKt(vv, dr):
+                    o = mm(AmBKt, vv)
+                    return o + dr * mm(dC2, vv) if (adaptive and apply_c) else o
+                # 1+2. Linear cost (admm.cpp:262-304) fused into the Riccati
+                # backward sweep (admm.cpp:13-20): q/r rows are formed on the
+                # fly, and the costate p rolls as a value. The terminal row uses
+                # the carried value of vnew[N-1] - g[N-1] from the previous
+                # iteration; extra-family terms are read directly (their slack
+                # and dual arrays still hold the previous iterate here).
+                pv = 1 - it % 2                          # previous ping-pong half
+
+                def form_r(i):
+                    r_i = neg_uref_r[i] - rho_b * (znew[pv, i] - y[i])
+                    if en_isoc:
+                        r_i = r_i - rho_b * (zc[i] - yc[i])
+                    if n_input_lin:
+                        r_i = r_i - rho_b * (zl[i] - yl[i])
+                    if n_tv_input_lin:
+                        r_i = r_i - rho_b * (ztv[i] - ytv[i])
+                    if consensus and i == 0:
+                        # u[0]-only consensus prox (admm.update_linear_cost's
+                        # r[0] term, weighted by rho_c rather than rho).
+                        r_i = r_i - rho_c * (zc0[:] - yc0[:])
+                    return r_i
+
+                def form_q(i):
+                    q_i = neg_xref_q[i] - rho_b * (vnew[pv, i] - g[i])
+                    if en_ssoc:
+                        q_i = q_i - rho_b * (vc[i] - gc[i])
+                    if n_state_lin:
+                        q_i = q_i - rho_b * (vl[i] - gl[i])
+                    if n_tv_state_lin:
+                        q_i = q_i - rho_b * (vtv[i] - gtv[i])
+                    return q_i
+
+                pterm = (pN_ref_term + drho * pN_ref_dP) if adaptive else pN_ref_term
+                p_next = pterm - rho_b * dvgN
+                if en_ssoc:
+                    p_next = p_next - rho_b * (vc[N - 1] - gc[N - 1])
+                if n_state_lin:
+                    p_next = p_next - rho_b * (vl[N - 1] - gl[N - 1])
+                if n_tv_state_lin:
+                    p_next = p_next - rho_b * (vtv[N - 1] - gtv[N - 1])
+
+                dvals = [[None] * k_cs for _ in range(N - 1)]
+                if stack_sweeps and SWEEP_HOIST:
+                    # Scheduling experiment (see docs/DESIGN.md "Speed of
+                    # light"): the KinfT@r dots never feed the costate chain,
+                    # so emit them (and the r rows) *before* the sweep in
+                    # program order — if Mosaic schedules in program order,
+                    # the chain shortens from 3 dependent dots per step to 1
+                    # (Mback@p) plus a d dot hanging off it. Identical
+                    # expressions and operand values as the in-loop order:
+                    # bit-identical results either way. (k=1 only; _fused_call
+                    # guards the combination.)
+                    rvals = [form_r(i) for i in range(N - 1)]
+                    rKs = [mm(KinfT, r_i) for r_i in rvals]
+                    for i in range(N - 2, -1, -1):
+                        pout = mm(Mback, p_next)
+                        bp, ap = pout[:nu], pout[nu:]
+                        Qm = Quu0 if (consensus and i == 0) else Quu
+                        dvals[i][0] = mm(Qm, bp + rvals[i] + BPf)
+                        p_next = form_q(i) + ap - rKs[i] + APf
+                else:
+                    p_gs = [sl(p_next, gi) for gi in range(k_cs)]
+                    for i in range(N - 2, -1, -1):          # static unroll
+                        r_i = form_r(i)
+                        q_i = form_q(i)
+                        for gi in range(k_cs):               # round-robin chains
+                            r_g = sl(r_i, gi)
+                            if stack_sweeps:
+                                pout = mm(Mback, p_gs[gi])
+                                bp, ap = pout[:nu], pout[nu:]
+                            else:
+                                ps = vsplit(p_gs[gi])  # feeds BT and AmBKt dots
+                                bp, ap = mm(BT, ps), mmAmBKt(ps, dr_gs[gi])
+                            if consensus and i == 0:
+                                # Step 0 carries the rho_c*I prox in its
+                                # dedicated gain (admm.backward_pass with
+                                # consensus=True).
+                                dvals[i][gi] = mm(Quu0, bp + r_g + BPf)
+                            else:
+                                dvals[i][gi] = mmQuu(bp + r_g + BPf, dr_gs[gi])
+                            p_gs[gi] = sl(q_i, gi) + ap - mmKT(r_g, dr_gs[gi]) + APf
+
+                # 3. forward rollout (admm.cpp:25-32)
+                x_gs = [sl(x0v, gi) for gi in range(k_cs)]
+                xvals = [[x_gs[gi]] for gi in range(k_cs)]
+                uvals = [[] for _ in range(k_cs)]
+                for i in range(N - 1):                  # static unroll
+                    for gi in range(k_cs):               # round-robin chains
+                        if stack_sweeps:
+                            Mf = Mfwd0 if (consensus and i == 0) else Mfwd
+                            xout = mm(Mf, x_gs[gi])
+                            kx, ax = xout[:nu], xout[nu:]
+                        else:
+                            xsp = vsplit(x_gs[gi])  # feeds both Kinf and A dots
+                            kx = mm(Kinf0, xsp) if (consensus and i == 0) \
+                                else mmK(xsp, dr_gs[gi])
+                            ax = mm(A, xsp)
+                        u_i = -kx - dvals[i][gi]
+                        uvals[gi].append(u_i)
+                        x_gs[gi] = ax + mm(Bm, u_i) + fvec
+                        xvals[gi].append(x_gs[gi])
+
+                # 4. slack projection + 5. dual update (admm.cpp:81-256).
+                # vnew/v and znew/z are ping-pong halves: iteration `it` writes
+                # its projected slack into half it%2 and reads the previous
+                # iterate from the other half — the reference's v <- vnew copy
+                # (admm.cpp:445-446) costs nothing. All candidates are formed
+                # from pre-update duals (the reference runs update_slack for
+                # every family before update_dual touches any dual).
+                cur = it % 2
+                prev = 1 - cur
+                xs = cat([jnp.stack(v) for v in xvals])
+                us = cat([jnp.stack(v) for v in uvals])
+                if need_xu:
+                    x[:] = xs
+                    u[:] = us
+                vn = jnp.minimum(xmax, jnp.maximum(xmin, xs + g[:]))
+                zn = jnp.minimum(umax, jnp.maximum(umin, us + y[:]))
+                vnew[cur] = vn
+                znew[cur] = zn
+                gcn = ycn = gln = yln = gtvn = ytvn = None
+                if en_ssoc:
+                    vcn = _apply_cones(xs + gc[:], state_cones, mus_x)
+                    vc[:] = vcn
+                    gcn = gc[:] + xs - vcn
+                    gc[:] = gcn
+                if en_isoc:
+                    zcn = _apply_cones(us + yc[:], input_cones, mus_u)
+                    zc[:] = zcn
+                    ycn = yc[:] + us - zcn
+                    yc[:] = ycn
+                if n_state_lin:
+                    vln = _apply_hyperplanes(xs + gl[:], Alx_ref, blx_ref,
+                                             n_state_lin)
+                    vl[:] = vln
+                    gln = gl[:] + xs - vln
+                    gl[:] = gln
+                if n_input_lin:
+                    zln = _apply_hyperplanes(us + yl[:], Alu_ref, blu_ref,
+                                             n_input_lin)
+                    zl[:] = zln
+                    yln = yl[:] + us - zln
+                    yl[:] = yln
+                if n_tv_state_lin:
+                    vtn = _apply_tv_hyperplanes(xs + gtv[:], tvAx_ref, tvbx_ref,
+                                                n_tv_state_lin)
+                    vtv[:] = vtn
+                    gtvn = gtv[:] + xs - vtn
+                    gtv[:] = gtvn
+                if n_tv_input_lin:
+                    ztn = _apply_tv_hyperplanes(us + ytv[:], tvAu_ref, tvbu_ref,
+                                                n_tv_input_lin)
+                    ztv[:] = ztn
+                    ytvn = ytv[:] + us - ztn
+                    ytv[:] = ytvn
+                g_new = g[:] + xs - vn
+                y_new = y[:] + us - zn
+                g[:] = g_new
+                y[:] = y_new
+                dvgN_next = vn[N - 1] - g_new[N - 1]
+                if consensus and consensus_frozen:
+                    # Two-level consensus (round 5): the slack/dual pair
+                    # is the OUTER iterate, frozen within this launch —
+                    # the inner solve is a plain prox-MPC toward the
+                    # constant center (the rho_c force in r[0] and the
+                    # step-0 gains); the exact cross-shard mean and dual
+                    # ascent run in the driver between launches
+                    # (shard.solve_fused_consensus_sharded). No
+                    # in-kernel mean matmuls at all.
+                    zc0n = zc0[:]
+                    yc0n = yc0[:]
+                elif consensus:
+                    # Consensus slack on u[0]: projection onto the all-equal
+                    # subspace = scenario-group mean; scaled-dual ascent
+                    # (admm.update_slack / update_dual en_consensus blocks).
+                    cand0 = us[0] + yc0[:]                   # (nu, Bt)
+                    zc0n = _segment_mean_lanes(cand0, group, Sseg, STseg, seg_dot)
+                    zc0[:] = zc0n
+                    yc0n = yc0[:] + us[0] - zc0n
+                    yc0[:] = yc0n
+
+                # 6. termination (admm.cpp:310-328; bounds-family residuals
+                # only, like the reference); bookkeeping only for lanes not yet
+                # converged; solutions snapshot at first convergence. On warm
+                # solves "previous slack" at iteration 0 is the carried v/z —
+                # one iterate behind the carried vnew/znew because the
+                # reference skips the v <- vnew copy on the converging
+                # iteration (admm.cpp:444-446).
+                it1 = it + 1
+                active = done[0] == 0                      # (Bt,)
+
+                if adaptive:
+                    # 5.5. adaptive rho every adapt_period iterations on active
+                    # lanes (admm.cpp:397-422), matrix-free OSQP residuals
+                    # exactly as rho_adapt.osqp_residuals/predict_rho but in
+                    # kernel layout. The Taylor update itself is implicit: only
+                    # the rho row changes; the next iteration's drho carries it
+                    # into every matvec.
+                    @pl.when((it > 0) & (it % adapt_period == 0))
+                    def _():
+                        y_dyn = g_new[1:]                      # (N-1, nx, Bt)
+                        ax_dyn = jnp.stack(
+                            [mm(A, xs[i]) + mm(Bm, us[i]) - xs[i + 1]
+                             for i in range(N - 1)])
+                        mab = lambda a: jnp.max(jnp.abs(a), axis=(0, 1))
+                        pri_res = jnp.maximum(mab(us - zn), mab(ax_dyn - vn[1:]))
+                        pri_norm = jnp.maximum(
+                            jnp.maximum(mab(us), mab(ax_dyn)),
+                            jnp.maximum(mab(zn), mab(vn[1:])))
+                        # P x: Q-diag stages + per-problem terminal Pinf_b x[N-1]
+                        # (Pinf_b = Pinf + drho * dPinf, telescoped Taylor).
+                        pxN = mm(Pinf, xs[N - 1]) + drho * mm(dP, xs[N - 1])
+                        px_state = jnp.concatenate(
+                            [qx[None] * xs[:-1], pxN[None]], axis=0)
+                        q_state = qx[None] * xs
+                        ru_us = ru[None] * us       # = px_input = q_input
+                        aty_state = jnp.stack(
+                            [(mm(AT, y_dyn[i]) if i < N - 1 else
+                              jnp.zeros((nx, xs.shape[-1]), f32))
+                             - (y_dyn[i - 1] if i >= 1 else
+                                jnp.zeros((nx, xs.shape[-1]), f32))
+                             for i in range(N)])
+                        aty_input = y_new + jnp.stack(
+                            [mm(BT, y_dyn[i]) for i in range(N - 1)])
+                        dual_res = jnp.maximum(
+                            mab(px_state + q_state + aty_state),
+                            mab(2.0 * ru_us + aty_input))
+                        dual_norm = jnp.maximum(
+                            jnp.maximum(jnp.maximum(mab(px_state), mab(ru_us)),
+                                        jnp.maximum(mab(aty_state), mab(aty_input))),
+                            jnp.maximum(mab(q_state), mab(ru_us)))
+                        eps = 1e-10                            # rho_benchmark.cpp:183
+                        ratio = (pri_res / (pri_norm + eps)) / (
+                            dual_res / (dual_norm + eps) + eps)
+                        factor = jnp.sqrt(ratio)
+                        if rho_tol > 1.0:
+                            # Guarded policy (admm._solve_impl's accumulator):
+                            # every prediction updates the *virtual* rho; it
+                            # commits into the solver only when it has drifted
+                            # rho_tol-fold from the committed rho. Persistent
+                            # imbalance (mis-tuned rho) compounds and commits;
+                            # balanced noise random-walks and mostly doesn't.
+                            new_v = rho_vs[0] * factor
+                            if rho_clip:
+                                new_v = jnp.clip(new_v, rho_min, rho_max)
+                            commit = ((new_v >= rho_tol * rho_s[0])
+                                      | (new_v * rho_tol <= rho_s[0]))
+                            rho_vs[0] = jnp.where(active, new_v, rho_vs[0])
+                            rho_s[0] = jnp.where(active & commit, new_v,
+                                                 rho_s[0])
+                        else:
+                            new_rho = rho_s[0] * factor
+                            if rho_clip:
+                                new_rho = jnp.clip(new_rho, rho_min, rho_max)
+                            rho_s[0] = jnp.where(active, new_rho, rho_s[0])
+
+                iters[0] = jnp.where(active, it1, iters[0])
+                checking = (it1 % check_termination) == 0
+
+                # Termination runs only on check iterations — the reference's
+                # amortised check (admm.cpp:312). The pl.when gate skips the
+                # four full-trajectory max-abs reductions (plus the dual-diff
+                # subtractions feeding them) on the other check_termination-1
+                # of every check_termination iterations; measured ~1.2x on the
+                # N=20 headline. Values on check iterations are untouched, so
+                # results stay bitwise identical. Dual residuals scale with the
+                # post-adaptation rho (admm.solve computes residuals with the
+                # adapted cache).
+                @pl.when(checking)
                 def _():
-                    jm = just[None, None, :]
-                    outx_ref[:] = jnp.where(jm, vn, outx_ref[:])
-                    outu_ref[:] = jnp.where(jm, zn, outu_ref[:])
-                    if snap:
-                        snap_v[:] = jnp.where(jm, vn, snap_v[:])
-                        snap_z[:] = jnp.where(jm, zn, snap_z[:])
-                        snap_g[:] = jnp.where(jm, g_new, snap_g[:])
-                        snap_y[:] = jnp.where(jm, y_new, snap_y[:])
-                        snap_vst[:] = jnp.where(jm, vprev, snap_vst[:])
-                        snap_zst[:] = jnp.where(jm, zprev, snap_zst[:])
-                        for sref, val in ((snap_gc, gcn), (snap_yc, ycn),
-                                          (snap_gl, gln), (snap_yl, yln),
-                                          (snap_gtv, gtvn), (snap_ytv, ytvn)):
-                            if sref is not None:
-                                sref[:] = jnp.where(jm, val, sref[:])
-                        if consensus:
-                            jm2 = just[None, :]
-                            snap_zc0[:] = jnp.where(jm2, zc0n, snap_zc0[:])
-                            snap_yc0[:] = jnp.where(jm2, yc0n, snap_yc0[:])
-                        if any_extra or consensus:
-                            snap_x[:] = jnp.where(jm, xs, snap_x[:])
-                            snap_u[:] = jnp.where(jm, us, snap_u[:])
+                    rho_t = rho_s[0] if adaptive else rho
+                    if warm:
+                        vprev = jnp.where(it == 0, vstale[:], vnew[prev])
+                        zprev = jnp.where(it == 0, zstale[:], znew[prev])
+                    else:
+                        vprev = vnew[prev]
+                        zprev = znew[prev]
+                    pri_s = jnp.max(jnp.abs(xs - vn), axis=(0, 1))
+                    pri_i = jnp.max(jnp.abs(us - zn), axis=(0, 1))
+                    dua_s = jnp.max(jnp.abs(vprev - vn), axis=(0, 1)) * rho_t
+                    dua_i = jnp.max(jnp.abs(zprev - zn), axis=(0, 1)) * rho_t
+                    ok = (pri_s < abs_pri_tol) & (pri_i < abs_pri_tol) \
+                        & (dua_s < abs_dua_tol) & (dua_i < abs_dua_tol)
+                    if consensus:
+                        # Consensus residual gates convergence like the XLA path
+                        # (admm._solve_impl's cres check); not recorded in res.
+                        cres = jnp.max(jnp.abs(us[0] - zc0n), axis=0)
+                        ok = ok & (cres < abs_pri_tol)
+                    just = ok & active
 
-            return jnp.all(done[0] == 1), dvgN_next
+                    res[0] = jnp.where(active, pri_s, res[0])
+                    res[1] = jnp.where(active, pri_i, res[1])
+                    res[2] = jnp.where(active, dua_s, res[2])
+                    res[3] = jnp.where(active, dua_i, res[3])
+                    done[0] = jnp.where(just, 1, done[0])
+
+                    # Snapshot solutions (and, on warm solves, the per-lane
+                    # carry — the XLA path's per-lane freeze) only on iterations
+                    # where some lane converged: the read-modify-writes are
+                    # wasted on the (typical) all-or-nothing iterations.
+                    @pl.when(jnp.any(just))
+                    def _():
+                        jm = just[None, None, :]
+                        outx_ref[:] = jnp.where(jm, vn, outx_ref[:])
+                        outu_ref[:] = jnp.where(jm, zn, outu_ref[:])
+                        if snap:
+                            snap_v[:] = jnp.where(jm, vn, snap_v[:])
+                            snap_z[:] = jnp.where(jm, zn, snap_z[:])
+                            snap_g[:] = jnp.where(jm, g_new, snap_g[:])
+                            snap_y[:] = jnp.where(jm, y_new, snap_y[:])
+                            snap_vst[:] = jnp.where(jm, vprev, snap_vst[:])
+                            snap_zst[:] = jnp.where(jm, zprev, snap_zst[:])
+                            for sref, val in ((snap_gc, gcn), (snap_yc, ycn),
+                                              (snap_gl, gln), (snap_yl, yln),
+                                              (snap_gtv, gtvn), (snap_ytv, ytvn)):
+                                if sref is not None:
+                                    sref[:] = jnp.where(jm, val, sref[:])
+                            if consensus:
+                                jm2 = just[None, :]
+                                snap_zc0[:] = jnp.where(jm2, zc0n, snap_zc0[:])
+                                snap_yc0[:] = jnp.where(jm2, yc0n, snap_yc0[:])
+                            if any_extra or consensus:
+                                snap_x[:] = jnp.where(jm, xs, snap_x[:])
+                                snap_u[:] = jnp.where(jm, us, snap_u[:])
+
+                return jnp.all(done[0] == 1), dvgN_next
+
+            return iteration
+
+
+        iteration = make_iteration(mm_mode)
 
         def cond(carry):
             it, all_done, _ = carry
@@ -1064,9 +1151,31 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
 
         dvgN0 = (vnew[1, N - 1] - g[N - 1]) if warm \
             else jnp.zeros((nx, Bt), f32)
-        it_final, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), False, dvgN0),
-        )
+        carry0 = (jnp.int32(0), False, dvgN0)
+        if coarse_iters > 0:
+            # Mixed-precision schedule (Settings.coarse_iters): phase A
+            # runs the same iteration body with single-pass-bf16 dots for
+            # up to coarse_iters iterations — termination commits stay
+            # live, so lanes that genuinely pass the check converge
+            # exactly as they would in a full-coarse solve — then the
+            # precise loop below resumes the SAME state (the VMEM refs
+            # plus this (it, all_done, dvgN) carry) and refines to
+            # termination. coarse_iters == 0 leaves this trace
+            # byte-identical to the single-loop kernel.
+            iteration_c = make_iteration("coarse")
+            bound_c = min(coarse_iters, max_iter)
+
+            def cond_c(carry):
+                it, all_done, _ = carry
+                return (it < bound_c) & jnp.logical_not(all_done)
+
+            def body_c(carry):
+                it, _, dvgN = carry
+                all_done, dvgN_next = iteration_c(it, dvgN)
+                return it + 1, all_done, dvgN_next
+
+            carry0 = jax.lax.while_loop(cond_c, body_c, carry0)
+        it_final, _, _ = jax.lax.while_loop(cond, body, carry0)
 
         # Unconverged lanes: report the final iterates (admm.cpp:450-453)
         # from the last-written ping-pong half.
@@ -1161,7 +1270,8 @@ def solve_fused_warm(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
                      carry: FusedCarry = None, *,
                      tile: Optional[int] = None, final: bool = False,
                      interpret: bool = False,
-                     chain_split: Optional[int] = None):
+                     chain_split: Optional[int] = None,
+                     consensus_frozen: bool = False):
     """Warm-started batched solve: the receding-horizon pattern with an
     *external* plant (set x0 → solve → apply u[0] to the real system →
     repeat), at fused-kernel speed.
@@ -1184,7 +1294,8 @@ def solve_fused_warm(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
         raise ValueError("solve_fused_warm needs a carry; start from "
                          "init_carry(prob, B)")
     return _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final,
-                       chain_split=chain_split)
+                       chain_split=chain_split,
+                       consensus_frozen=consensus_frozen)
 
 
 def _resolve_chain_split(chain_split: Optional[int], Bt: int) -> int:
@@ -1193,6 +1304,11 @@ def _resolve_chain_split(chain_split: Optional[int], Bt: int) -> int:
     Explicit arg > TINYMPC_CHAIN_SPLIT env (the A/B lever) > default (1).
     SWEEP_HOIST (a k=1-only scheduling experiment) forces k=1.
     """
+    if SWEEP_HOIST:
+        # Forced k=1 short-circuits BEFORE validation: the hoist override
+        # must win even when a (then-ignored) TINYMPC_CHAIN_SPLIT doesn't
+        # divide this tile.
+        return 1
     if chain_split is None:
         env = os.environ.get("TINYMPC_CHAIN_SPLIT")
         chain_split = int(env) if env is not None else 1
@@ -1201,13 +1317,11 @@ def _resolve_chain_split(chain_split: Optional[int], Bt: int) -> int:
         raise ValueError(
             f"chain_split {k} must cut tile {Bt} into equal groups of a "
             "multiple of 128 lanes")
-    if SWEEP_HOIST:
-        k = 1
     return k
 
 
 def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False,
-                chain_split=None):
+                chain_split=None, consensus_frozen=False):
     spec, settings = prob.spec, prob.settings
     warm = carry is not None
     adaptive = settings.adaptive_rho
@@ -1236,7 +1350,8 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False,
         x0s = x0s.reshape(-1, nx)
     B = x0s.shape[0]
     per_lane = 4 * _lane_rows(spec, settings, warm, final)
-    fit = LANE_VMEM_BUDGET // per_lane
+    budget = lane_vmem_budget()
+    fit = budget // per_lane
     if tile is None:
         Bt = min(B, fit, AUTO_TILE_CAP)
         if B % Bt:   # largest power of two that still divides the batch
@@ -1255,7 +1370,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False,
     if Bt > fit:
         raise ValueError(
             f"tile {Bt} needs ~{Bt * per_lane / 2**20:.0f} MiB of VMEM for "
-            f"this problem (budget {LANE_VMEM_BUDGET / 2**20:.0f} MiB); pass "
+            f"this problem (budget {budget / 2**20:.0f} MiB); pass "
             f"tile <= {fit} or tile=None for auto selection")
 
     if Xref is None:
@@ -1356,6 +1471,9 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False,
         if adaptive:
             args.append(jnp.asarray(carry.rho, dtype))   # rho_in, last input
             n_lane_in += 1
+    if consensus_frozen and not (consensus and warm):
+        raise ValueError("consensus_frozen is a warm-consensus mode "
+                         "(two-level consensus driver)")
 
     rep = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                  memory_space=pltpu.VMEM)
@@ -1384,6 +1502,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False,
         rho_tol=settings.adaptive_rho_tolerance,
         adapt_period=ADAPTIVE_RHO_PERIOD,
         consensus=consensus, group=group, seg_mm=seg_mm,
+        consensus_frozen=consensus_frozen,
         rho_c=(float(c.rho) if settings.consensus_rho is None
                else float(settings.consensus_rho)) if consensus else 0.0,
         # Mosaic has no HIGH dot precision; "high" maps to the hand-rolled
@@ -1391,6 +1510,11 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False,
         # precision context).
         mm_mode="bf16x3" if settings.matmul_precision == "high" else "ambient",
         chain_split=_resolve_chain_split(chain_split, Bt),
+        # Mixed-precision schedule: at "default" precision the main loop
+        # already runs single-pass bf16, so a coarse phase would be an
+        # identical duplicate — drop it statically.
+        coarse_iters=(settings.coarse_iters
+                      if settings.matmul_precision != "default" else 0),
     )
 
     zx = lambda: pltpu.VMEM((N, nx, Bt), dtype)

@@ -221,6 +221,22 @@ class Settings:
     # behaves like "highest" there — the ~1.7x bf16x3 speedup applies to
     # the sequential-scan and fused-kernel paths only.
     matmul_precision: str = "highest"
+    # Mixed-precision iteration schedule (round 5; no reference analog —
+    # the reference solves in f64 everywhere, types.hpp:15): the first
+    # ``coarse_iters`` ADMM iterations run their matmuls single-pass bf16
+    # (precision DEFAULT — no hi/lo operand casts, the serial-VPU-stream
+    # cost the fused iteration is bound by, docs/DESIGN.md "Round-4
+    # revision"), then the remaining budget runs at ``matmul_precision``.
+    # Sound because early iterations sit far above the ~1e-2 bf16 iterate
+    # noise floor (docs/PARITY.md "Numerical precision on TPU"): the
+    # termination check measures actual residuals of actual iterates, so
+    # a lane that genuinely passes it during the coarse phase has a
+    # genuinely converged solution; marginal lanes simply keep iterating
+    # and refine to tolerance in the precise phase. 0 disables (the
+    # kernel trace is byte-identical to pre-schedule). Consumed by the
+    # resident fused kernel (kernels/admm_pallas); the XLA and streamed
+    # paths reject it rather than silently ignore.
+    coarse_iters: int = 0
 
 
 @_pytree_dataclass
