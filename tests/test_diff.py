@@ -288,20 +288,20 @@ def test_param_grads_sysid_descent():
 
 
 def test_diff_unsupported_specs_raise():
+    """Round 5 closed every make_differentiable cell (consensus+conic,
+    adaptive rho) and consensus params; the one deliberately open cell —
+    adaptive-rho parameter gradients — raises with the written reason
+    (diff._params_diff_supported / docs/PARITY.md)."""
     prob = _cartpole()
-    # Box-family consensus differentiates (round 4); consensus combined
-    # with conic families, adaptive rho, and params-diff consensus raise.
+    from tinympc_tpu.diff import make_differentiable_params
+    with pytest.raises(ValueError, match="adaptive"):
+        make_differentiable_params(tm.with_settings(prob, adaptive_rho=True))
+    # The closed cells construct without raising.
     a = np.zeros(4); a[0] = 1.0
     conic = tm.with_linear_constraints(prob, Alin_x=a[None], blin_x=[10.0])
-    with pytest.raises(ValueError):
-        make_differentiable(tm.with_consensus(conic))
-    with pytest.raises(ValueError):
-        make_differentiable(tm.with_settings(prob, adaptive_rho=True))
-    from tinympc_tpu.diff import make_differentiable_params
-    with pytest.raises(ValueError):
-        make_differentiable_params(tm.with_consensus(prob))
-    with pytest.raises(ValueError):
-        make_differentiable_params(tm.with_settings(prob, adaptive_rho=True))
+    make_differentiable(tm.with_consensus(conic))
+    make_differentiable(tm.with_settings(prob, adaptive_rho=True))
+    make_differentiable_params(tm.with_consensus(prob))
 
 
 # ------------------------- conic families (hyperplane / SOC active sets)
@@ -504,3 +504,162 @@ def test_inactive_extra_family_grads_match_fd():
     g = jax.grad(loss, argnums=(0, 1))(x0, Xref, Uref)
     for argi in range(2):
         _fd_check(loss, (x0, Xref, Uref), g, argi, n=4, rtol=5e-3)
+
+
+# ------------------- round-5 cells: adaptive rho, consensus+conic, params
+
+def test_grad_adaptive_rho_matches_fd():
+    """Adaptive-rho specs differentiate at the committed final rho
+    (piecewise-constant treatment): the forward solve adapts 10x away
+    from rho0 (premise-checked) and the adjoint rebuilds the KKT system
+    at the committed rho with the Taylor cost-to-go; gradients match FD
+    of the actual adaptive solver map."""
+    s = systems.cartpole()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=5.0, N=10,
+                    dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-1e9, x_max=1e9, u_min=-0.3, u_max=0.3)
+    prob = tm.with_settings(prob, max_iter=50000, abs_pri_tol=1e-11,
+                            abs_dua_tol=1e-11, adaptive_rho=True,
+                            adaptive_rho_min=0.5, adaptive_rho_max=1000.0)
+    sol, _, fc = tm.solve(prob, tm.init_state(prob), Xref=XREF, Uref=UREF,
+                          x0=X0)
+    assert bool(sol.solved)
+    assert float(fc.rho) < 0.6 * 5.0, \
+        f"premise: rho must actually adapt (final {float(fc.rho)})"
+
+    f = make_differentiable(prob)
+
+    def loss(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum(sol.x[:, 0] ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(X0, XREF, UREF)
+    for argi in range(3):
+        _fd_check(loss, (X0, XREF, UREF), g, argi, rtol=2e-3)
+
+
+def test_grad_adaptive_rho_batched_per_problem_rho():
+    """Batched adaptive solves commit *different* rho per problem; the
+    adjoint builds each problem's KKT at its own committed rho. The
+    batched gradient must equal the per-problem unbatched gradients."""
+    s = systems.cartpole()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=5.0, N=10,
+                    dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-1e9, x_max=1e9, u_min=-0.3, u_max=0.3)
+    prob = tm.with_settings(prob, max_iter=20000, abs_pri_tol=1e-10,
+                            abs_dua_tol=1e-10, adaptive_rho=True,
+                            adaptive_rho_min=0.5, adaptive_rho_max=1000.0)
+    f = make_differentiable(prob)
+    x0s = jnp.asarray([[0.5, 0.0, 0.1, 0.0], [-0.2, 0.1, -0.05, 0.02]])
+
+    def loss_b(x0s, Xref, Uref):
+        sol = f(x0s, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum(sol.x[..., 0] ** 2)
+
+    def loss_1(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum(sol.x[:, 0] ** 2)
+
+    gb = jax.grad(loss_b)(x0s, XREF, UREF)
+    for b in range(2):
+        g1 = jax.grad(loss_1)(x0s[b], XREF, UREF)
+        np.testing.assert_allclose(np.asarray(gb[b]), np.asarray(g1),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_grad_consensus_conic_matches_fd():
+    """Consensus + conic families (round 5): the consensus projection is
+    differentiated as one more slack family — the group mean on u_0 —
+    inside the group-extended projection system (_ext_matrix_group),
+    alongside a binding state hyperplane. FD-validated in float64."""
+    # A binding velocity cap (the position barely moves over N=10 steps,
+    # so a position ceiling would be either infeasible from t=1 or never
+    # active); consensus + hyperplane has a slow ADMM tail, hence the
+    # large iteration budget at 1e-9.
+    s = systems.cartpole()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=20.0, N=10,
+                    dtype=jnp.float64)
+    prob = tm.with_bounds(prob, x_min=-1e9, x_max=1e9, u_min=-1e9, u_max=1e9)
+    a = np.zeros(4); a[1] = 1.0
+    prob = tm.with_linear_constraints(prob, Alin_x=a[None], blin_x=[0.12])
+    prob = tm.with_settings(prob, max_iter=250000, abs_pri_tol=1e-9,
+                            abs_dua_tol=1e-9)
+    prob = tm.with_consensus(prob, rho_c=20.0)
+    f = make_differentiable(prob)
+    ng, G = 1, 3
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.uniform(-0.4, 0.4, (ng, G, 4)))
+
+    sol = f(x0, XREF, UREF)
+    assert np.asarray(sol.solved).all()
+    u0 = np.asarray(sol.u[0])
+    assert np.ptp(u0, axis=1).max() < 1e-6, "consensus must couple"
+    assert float(np.max(np.asarray(sol.x)[1:, ..., 1])) >= 0.12 - 1e-6, \
+        "test premise: the hyperplane must bind"
+
+    def loss(x0, Xref, Uref):
+        sol = f(x0, Xref, Uref)
+        return jnp.sum(sol.u ** 2) + jnp.sum((sol.x[..., 0] - 0.5) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(x0, XREF, UREF)
+    # eps=1e-4: the consensus+hyperplane ADMM tail leaves O(1e-9)
+    # solution error, which at eps=1e-6 central differences amplifies to
+    # ~1e-3 FD noise. x0/Xref gradients are O(1) and check cleanly;
+    # the Uref gradient is genuinely ~0 on this workload (measured FD
+    # shrinks 1e-3 -> 1e-5 -> 5e-7 as eps grows 1e-6 -> 1e-4 -> 1e-3,
+    # i.e. pure solve-tail noise), so it gets an absolute noise-floor
+    # bound instead of a relative FD match.
+    for argi in range(2):
+        _fd_check(loss, (x0, XREF, UREF), g, argi, n=3, eps=1e-4,
+                  rtol=5e-3)
+    # arg 2 at eps=1e-3 with an absolute noise-floor slack: Uref[0] is
+    # consensus-coupled and its gradient is genuinely ~0, below what FD
+    # can resolve against the solve tail at any smaller eps.
+    gaf = np.asarray(g[2]).ravel()
+    flat = np.asarray(UREF, float).ravel()
+    for i in (0, 4, 8):
+        eps = 1e-3
+
+        def at(v):
+            a = flat.copy(); a[i] = v
+            return float(loss(x0, XREF, jnp.asarray(a.reshape(9, 1))))
+        fd = (at(flat[i] + eps) - at(flat[i] - eps)) / (2 * eps)
+        assert abs(fd - gaf[i]) <= 5e-3 * abs(fd) + 5e-5, \
+            f"Uref coord {i}: implicit {gaf[i]}, FD {fd}"
+    jax.clear_caches()   # see test_grad_consensus_matches_fd
+
+
+def test_param_grads_consensus_matches_fd():
+    """make_differentiable_params with consensus groups (round 5): the
+    group adjoint supplies per-member multipliers; parameter cotangents
+    (A, B, Q, R, f) match FD through the coupled solve, including the
+    Riccati implicit chain and the consensus-gain rebake."""
+    from tinympc_tpu.diff import make_differentiable_params
+    s = systems.cartpole()
+    template = tm.with_consensus(_cartpole(u_bounds=(-1.5, 1.5), tol=1e-11),
+                                 rho_c=20.0)
+    g = make_differentiable_params(template)
+    ng, G = 1, 2
+    rng = np.random.default_rng(6)
+    x0 = jnp.asarray(rng.uniform(-0.4, 0.4, (ng, G, 4)))
+
+    A = jnp.asarray(s["A"], jnp.float64)
+    B = jnp.asarray(s["B"], jnp.float64)
+    Q = jnp.asarray(s["Qdiag"], jnp.float64)
+    R = jnp.asarray(s["Rdiag"], jnp.float64)
+    fv = jnp.asarray([0.0, 0.01, 0.0, -0.02])
+    args = (A, B, Q, R, fv)
+
+    sol = g(A, B, Q, R, fv, x0, XREF, UREF)
+    assert np.asarray(sol.solved).all()
+    assert np.ptp(np.asarray(sol.u[0]), axis=1).max() < 1e-6
+
+    def loss(A, B, Q, R, fv):
+        sol = g(A, B, Q, R, fv, x0, XREF, UREF)
+        return (jnp.sum(sol.u ** 2) + jnp.sum(sol.x[..., 0] ** 2)
+                + jnp.sum(sol.x[-1] ** 2))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    for argi in range(5):
+        _fd_check_args(loss, args, grads, argi, rtol=2e-3)
+    jax.clear_caches()

@@ -46,11 +46,19 @@ once-augmented ``Qdiag = Q_user + rho`` — see ``_kkt_matrix``.
 
 Scope: consensus specs differentiate through the *group-coupled* KKT
 (round 4 — G per-scenario copies of the effective QP plus the u_0
-equality coupling whose multipliers are the scaled consensus duals;
-box families). Adaptive-rho specs and consensus-with-conic-families
-raise. :func:`make_differentiable` (solve inputs) covers everything
-else; :func:`make_differentiable_params` (dynamics/cost parameters)
-covers every non-consensus family.
+equality coupling whose multipliers are the scaled consensus duals).
+Adaptive-rho specs differentiate at the committed final per-problem rho
+(round 5 — piecewise-constant treatment: the adaptation path is a
+discrete stride-gated process whose own input sensitivity is excluded,
+and the Taylor cache biases the gains O((rho_b - rho0)^2); see
+docs/PARITY.md "Differentiation coverage"). :func:`make_differentiable`
+(solve inputs) covers every spec the solver accepts;
+:func:`make_differentiable_params` (dynamics/cost parameters) covers
+every family including consensus groups (round 5), except adaptive rho
+— there the parameter gradient would additionally need the adaptation
+trajectory's dependence on (A, B, Q, R) through every residual it
+measured, which the piecewise-constant treatment cannot see; it raises
+with this reason.
 """
 from __future__ import annotations
 
@@ -68,11 +76,27 @@ from .types import init_state as _init_state
 
 
 def _diff_supported(prob: TinyProblem) -> bool:
-    return not (prob.spec.en_consensus or prob.settings.adaptive_rho)
+    # Every spec the solver accepts is differentiable through
+    # make_differentiable (round 5): box/conic families, consensus
+    # groups, adaptive rho (piecewise-constant at the committed rho).
+    return True
 
 
 def _params_diff_supported(prob: TinyProblem) -> bool:
-    return _diff_supported(prob)
+    # Parameter gradients cover every family including consensus groups
+    # (round 5) but not adaptive rho. The piecewise-constant treatment
+    # that closes make_differentiable's adaptive cell does not transfer:
+    # (1) the adapted terminal cost Pinf_b = Pinf(rho_b; A, B, Q, R)
+    # would need the DARE implicit pass evaluated at rho_b, but the
+    # solver's Taylor cache only approximates that point to first order
+    # — the gradient would compound two uncontrolled approximations;
+    # (2) the committed rho itself depends on (A, B, Q, R) through every
+    # OSQP residual the adaptation measured (and through the
+    # sensitivity tables dK/dP, themselves functions of the
+    # parameters), a discrete stride-gated chain with no usable
+    # implicit characterization. See docs/PARITY.md "Differentiation
+    # coverage" for the full adjudication.
+    return not prob.settings.adaptive_rho
 
 
 def _family_counts(spec):
@@ -87,7 +111,7 @@ def _family_counts(spec):
     return nfx, nfu
 
 
-def _kkt_matrix(prob: TinyProblem):
+def _kkt_matrix(prob: TinyProblem, rho_b=None, Pinf_b=None):
     """Dense KKT matrix of the effective equality-constrained QP (no
     actives yet). Layout: z = [x_0..x_{N-1}, u_0..u_{N-2}], constraints =
     [x_0 = x0, x_{i} - A x_{i-1} - B u_{i-1} = f].
@@ -96,7 +120,16 @@ def _kkt_matrix(prob: TinyProblem):
     once-augmented (Qdiag = Q_user + rho), the primal step augments by one
     more rho, and each of the n_fam slack families cancels one rho at the
     fixed point — net ``Qdiag + (1 - n_fam) rho`` (box-only: Qdiag).
-    Likewise the terminal block is ``Pinf - n_fam rho I``."""
+    Likewise the terminal block is ``Pinf - n_fam rho I``.
+
+    ``rho_b``/``Pinf_b`` (adaptive rho, round 5): the per-problem
+    *committed final* rho and its Taylor cost-to-go
+    ``Pinf + (rho_b - rho0) dPinf``. The solver's prox/augmentation run
+    at rho_b while the stored linear-cost diagonal keeps the setup-time
+    rho0 (the reference never rebuilds work->Q on adaptation,
+    rho_benchmark.cpp:199-212 vs tiny_api.cpp:117), so the effective
+    stage diagonal becomes ``Qdiag - rho0 + (2 - n_fam) rho_b`` — at
+    rho_b == rho0 this reduces exactly to the fixed-rho expression."""
     spec = prob.spec
     N, nx, nu = spec.N, spec.nx, spec.nu
     dtype = prob.dtype
@@ -104,11 +137,13 @@ def _kkt_matrix(prob: TinyProblem):
     nz = nzx + (N - 1) * nu
     nc = N * nx
 
-    rho = jnp.asarray(prob.cache.rho, dtype)
+    rho0 = jnp.asarray(prob.cache.rho, dtype)
+    rho = rho0 if rho_b is None else jnp.asarray(rho_b, dtype)
+    Pinf = prob.cache.Pinf if Pinf_b is None else Pinf_b
     nfx, nfu = _family_counts(spec)
-    Pterm = prob.cache.Pinf - nfx * rho * jnp.eye(nx, dtype=dtype)
-    Qd = prob.Qdiag + (1 - nfx) * rho
-    Rd = prob.Rdiag + (1 - nfu) * rho
+    Pterm = Pinf - nfx * rho * jnp.eye(nx, dtype=dtype)
+    Qd = prob.Qdiag - rho0 + (2 - nfx) * rho
+    Rd = prob.Rdiag - rho0 + (2 - nfu) * rho
 
     H = jnp.zeros((nz, nz), dtype)
     for i in range(N - 1):
@@ -180,7 +215,9 @@ def _vjp_group(prob: TinyProblem, Sg, m_z, gx, gu, G):
     group (consensus specs, box families). ``m_z`` is the concatenated
     per-member inactive mask (G*nz,); ``gx``/``gu`` are (G, N, nx) /
     (G, N-1, nu) member cotangents. Returns (gx0 (G, nx),
-    gXref (G, N, nx), gUref (G, N-1, nu)).
+    gXref (G, N, nx), gUref (G, N-1, nu)) plus the per-member adjoint
+    stacks (w_x (G, N, nx), w_u (G, N-1, nu), w_lam (G, N, nx)) that
+    the parameter adjoint contracts against (round 5).
 
     Coupling rows stay live while either side is free: with one side
     pinned the row correctly pins the other; only a row with *both*
@@ -204,17 +241,125 @@ def _vjp_group(prob: TinyProblem, Sg, m_z, gx, gu, G):
     rhs = jnp.concatenate([gz, jnp.zeros(G * nc + ncc, dtype)])
     w = jnp.linalg.solve(Sm, rhs)
 
-    gx0s, gXrefs, gUrefs = [], [], []
+    gx0s, gXrefs, gUrefs, wxs, wus, wls = [], [], [], [], [], []
     for j in range(G):
         w_x = w[j * nz:j * nz + nzx].reshape(N, nx)
         w_u = w[j * nz + nzx:(j + 1) * nz].reshape(N - 1, nu)
+        w_lam = w[G * nz + j * nc:G * nz + (j + 1) * nc].reshape(N, nx)
         gXref = prob.Qdiag * w_x
         gXref = gXref.at[N - 1].set(prob.cache.Pinf @ w_x[N - 1])
         gUref = prob.Rdiag * w_u
         gx0s.append(w[G * nz + j * nc:G * nz + j * nc + nx])
         gXrefs.append(gXref)
         gUrefs.append(gUref)
-    return jnp.stack(gx0s), jnp.stack(gXrefs), jnp.stack(gUrefs)
+        wxs.append(w_x)
+        wus.append(w_u)
+        wls.append(w_lam)
+    return (jnp.stack(gx0s), jnp.stack(gXrefs), jnp.stack(gUrefs),
+            jnp.stack(wxs), jnp.stack(wus), jnp.stack(wls))
+
+
+def _consensus_rho(prob: TinyProblem):
+    return float(prob.cache.rho if prob.settings.consensus_rho is None
+                 else prob.settings.consensus_rho)
+
+
+def _ext_matrix_group(prob: TinyProblem, S, G, sxg, sug, dualsg):
+    """Group extension of :func:`_ext_matrix` for consensus specs with
+    conic families (round 5): G member copies of the projection-operator
+    fixed-point system, plus the consensus projection differentiated as
+    *one more slack family* — its operator is the group mean on the u_0
+    coordinates (``z = P_c(z + yc0)`` with ``P_c = (1/G) kron(1_{GxG},
+    I_nu)``), weighted rho_c in the stationarity rows (the exact-prox
+    step-0 weight, see admm.update_linear_cost's consensus term). This
+    avoids explicit equality-coupling rows entirely: the mean operator's
+    Jacobian carries the coupling, exactly as the solver iterates it.
+
+    ``sxg``/``sug`` are (G, N, nx)/(G, N-1, nu); ``dualsg`` maps dual
+    names to (G, T, F) arrays. Returns the dense group system matrix.
+    Like the box-consensus path, a group whose u_0 is *fully* saturated
+    in every member would make the mean rows redundant with the box
+    rows (no strict complementarity); gradients are a.e. exact away from
+    that degenerate set."""
+    spec = prob.spec
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    nzx = N * nx
+    nz = nzx + (N - 1) * nu
+    nc = N * nx
+    dtype = S.dtype
+    rho = jnp.asarray(prob.cache.rho, dtype)
+    rho_c = jnp.asarray(_consensus_rho(prob), dtype)
+
+    H = S[:nz, :nz]
+    D = S[nz:, :nz]
+    fams_m = [_family_dps(prob, sxg[j], sug[j],
+                          {k: v[j] for k, v in dualsg.items()})
+              for j in range(G)]
+    n_extra_m = sum(d for _, d, _ in fams_m[0])
+    ncon = G * nu
+    n_tot = G * (nz + nc) + G * n_extra_m + ncon
+    A = jnp.zeros((n_tot, n_tot), dtype)
+    for j in range(G):
+        zo, lo = j * nz, G * nz + j * nc
+        A = A.at[zo:zo + nz, zo:zo + nz].set(H)
+        A = A.at[lo:lo + nc, zo:zo + nz].set(D)
+        A = A.at[zo:zo + nz, lo:lo + nc].set(D.T)
+    off = G * (nz + nc)
+    for j, fams in enumerate(fams_m):
+        for coff, dim, DP in fams:
+            eye = jnp.eye(dim, dtype=dtype)
+            zo = j * nz + coff
+            A = A.at[zo:zo + dim, off:off + dim].set(rho * eye)
+            A = A.at[off:off + dim, zo:zo + dim].set(eye - DP)
+            A = A.at[off:off + dim, off:off + dim].set(-DP)
+            off += dim
+    # Consensus family: scattered u_0 coordinates across members.
+    idx = jnp.concatenate(
+        [j * nz + nzx + jnp.arange(nu) for j in range(G)])
+    M = jnp.kron(jnp.full((G, G), 1.0 / G, dtype), jnp.eye(nu, dtype=dtype))
+    ce = jnp.eye(ncon, dtype=dtype)
+    cols = off + jnp.arange(ncon)
+    A = A.at[idx[:, None], cols[None, :]].set(rho_c * ce)
+    A = A.at[cols[:, None], idx[None, :]].set(ce - M)
+    A = A.at[off:off + ncon, off:off + ncon].set(-M)
+    return A
+
+
+def _dp_vjp_group(prob: TinyProblem, S, G, sxg, sug, dualsg, gxg, gug):
+    """Adjoint of the group-extended projection fixed point (consensus +
+    conic specs) for one scenario group. Member cotangents ``gxg``/
+    ``gug`` are (G, N, nx)/(G, N-1, nu). Returns (gx0 (G, nx), gXref
+    (G, N, nx), gUref (G, N-1, nu), w_x, w_u, w_lam, lam) — the last
+    four feed the parameter adjoint (per-member stacks)."""
+    spec = prob.spec
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    nzx = N * nx
+    nz = nzx + (N - 1) * nu
+    nc = N * nx
+    dtype = S.dtype
+
+    A = _ext_matrix_group(prob, S, G, sxg, sug, dualsg)
+    gz = jnp.concatenate([
+        jnp.concatenate([gxg[j].reshape(-1), gug[j].reshape(-1)])
+        for j in range(G)])
+    rhs = jnp.concatenate([gz, jnp.zeros(A.shape[0] - G * nz, dtype)])
+    w = jnp.linalg.solve(A.T, rhs)
+
+    gx0s, gXrefs, gUrefs, wxs, wus, wls = [], [], [], [], [], []
+    for j in range(G):
+        w_x = w[j * nz:j * nz + nzx].reshape(N, nx)
+        w_u = w[j * nz + nzx:(j + 1) * nz].reshape(N - 1, nu)
+        w_lam = w[G * nz + j * nc:G * nz + (j + 1) * nc].reshape(N, nx)
+        gXref = prob.Qdiag * w_x
+        gXref = gXref.at[N - 1].set(prob.cache.Pinf @ w_x[N - 1])
+        gx0s.append(w[G * nz + j * nc:G * nz + j * nc + nx])
+        gXrefs.append(gXref)
+        gUrefs.append(prob.Rdiag * w_u)
+        wxs.append(w_x)
+        wus.append(w_u)
+        wls.append(w_lam)
+    return (jnp.stack(gx0s), jnp.stack(gXrefs), jnp.stack(gUrefs),
+            jnp.stack(wxs), jnp.stack(wus), jnp.stack(wls))
 
 
 def _active_mask(prob: TinyProblem, sol_x, sol_u):
@@ -358,7 +503,7 @@ def _family_dps(prob: TinyProblem, sx, su, duals):
     return fams
 
 
-def _ext_matrix(prob: TinyProblem, S, sx, su, duals):
+def _ext_matrix(prob: TinyProblem, S, sx, su, duals, rho_b=None):
     """Linearized projection-operator fixed-point matrix for conic specs.
 
     Unknowns (dz, dlam, dy_f per family) satisfy::
@@ -369,13 +514,15 @@ def _ext_matrix(prob: TinyProblem, S, sx, su, duals):
 
     where the last rows differentiate ``z = P_f(z + y_f)``. Nonsymmetric
     (DP_f is not a projection onto the constraint tangent in general — see
-    _family_dps). Returns the dense (nz+nc+n_extra)^2 matrix."""
+    _family_dps). Returns the dense (nz+nc+n_extra)^2 matrix. ``rho_b``
+    overrides the dual-coupling weight (adaptive rho: the slack families'
+    linear-cost terms run at the committed final rho)."""
     spec = prob.spec
     N, nx, nu = spec.N, spec.nx, spec.nu
     nz = N * nx + (N - 1) * nu
     nc = N * nx
     dtype = S.dtype
-    rho = jnp.asarray(prob.cache.rho, dtype)
+    rho = jnp.asarray(prob.cache.rho if rho_b is None else rho_b, dtype)
 
     fams = _family_dps(prob, sx, su, duals)
     n_extra = sum(d for _, d, _ in fams)
@@ -418,17 +565,21 @@ def _dual_coord_sums(prob: TinyProblem, duals):
     return jnp.concatenate([ysum_x.reshape(-1), ysum_u.reshape(-1)])
 
 
-def _dp_vjp_one(prob: TinyProblem, S, gx, gu, sx, su, duals):
+def _dp_vjp_one(prob: TinyProblem, S, gx, gu, sx, su, duals,
+                rho_b=None, Pinf_b=None):
     """Adjoint of the full projection-operator fixed point (conic specs):
     solve the transpose of :func:`_ext_matrix`'s system densely per
-    problem. Returns (gx0, gXref, gUref) like _vjp_one."""
+    problem. Returns (gx0, gXref, gUref) like _vjp_one. ``rho_b``/
+    ``Pinf_b`` override the dual weight and terminal cost-to-go
+    (adaptive rho)."""
     spec = prob.spec
     N, nx, nu = spec.N, spec.nx, spec.nu
     nzx = N * nx
     nz = nzx + (N - 1) * nu
     dtype = S.dtype
+    Pinf = prob.cache.Pinf if Pinf_b is None else Pinf_b
 
-    A = _ext_matrix(prob, S, sx, su, duals)
+    A = _ext_matrix(prob, S, sx, su, duals, rho_b=rho_b)
     gz = jnp.concatenate([gx.reshape(-1), gu.reshape(-1)])
     rhs = jnp.concatenate([gz, jnp.zeros(A.shape[0] - nz, dtype)])
     w = jnp.linalg.solve(A.T, rhs)
@@ -436,20 +587,22 @@ def _dp_vjp_one(prob: TinyProblem, S, gx, gu, sx, su, duals):
     w_x = w[:nzx].reshape(N, nx)
     w_u = w[nzx:nz].reshape(N - 1, nu)
     gXref = prob.Qdiag * w_x
-    gXref = gXref.at[N - 1].set(prob.cache.Pinf @ w_x[N - 1])
+    gXref = gXref.at[N - 1].set(Pinf @ w_x[N - 1])
     gUref = prob.Rdiag * w_u
     gx0 = w[nz:nz + nx]
     return gx0, gXref, gUref
 
 
-def _vjp_one(prob: TinyProblem, S, m_z, gx, gu):
+def _vjp_one(prob: TinyProblem, S, m_z, gx, gu, Pinf_b=None):
     """Solve the adjoint KKT system for one problem's cotangents
-    (box-only specs; conic specs go through _dp_vjp_one)."""
+    (box-only specs; conic specs go through _dp_vjp_one). ``Pinf_b``
+    overrides the terminal reference row's cost-to-go (adaptive rho)."""
     spec = prob.spec
     N, nx, nu = spec.N, spec.nx, spec.nu
     nzx = N * nx
     nz = nzx + (N - 1) * nu
     dtype = S.dtype
+    Pinf = prob.cache.Pinf if Pinf_b is None else Pinf_b
 
     m = jnp.concatenate([m_z, jnp.ones(N * nx, dtype)])
     # Pin active coordinates: zero their rows/cols, identity diagonal.
@@ -462,10 +615,10 @@ def _vjp_one(prob: TinyProblem, S, m_z, gx, gu):
     w_x = w[:nzx].reshape(N, nx)
     w_u = w[nzx:nz].reshape(N - 1, nu)
     # dL/dXref_i = Qdiag * w_x_i (c_i = -Qdiag.*Xref_i); terminal row uses
-    # the Pinf' matvec of update_linear_cost (admm.py), so its adjoint is
-    # Pinf @ w.
+    # the Pinf' matvec of update_linear_cost (admm.py) — the *adapted*
+    # Pinf_b under adaptive rho — so its adjoint is Pinf @ w.
     gXref = prob.Qdiag * w_x
-    gXref = gXref.at[N - 1].set(prob.cache.Pinf @ w_x[N - 1])
+    gXref = gXref.at[N - 1].set(Pinf @ w_x[N - 1])
     gUref = prob.Rdiag * w_u
     gx0 = w[nz:nz + nx]
     return gx0, gXref, gUref
@@ -544,12 +697,17 @@ def make_differentiable(prob: TinyProblem, state: Optional[SolverState] = None):
     three arguments (unbatched ``(nx,)`` or batched ``(B, nx)`` x0, with
     Xref/Uref shared ``(N, nx)``/``(N-1, nu)`` or batched likewise).
 
-    Supports every projection family except consensus: box-only specs use
-    the symmetric pinned-KKT adjoint (:func:`_vjp_one`); conic specs (SOC /
+    Supports every spec the solver accepts: box-only specs use the
+    symmetric pinned-KKT adjoint (:func:`_vjp_one`); conic specs (SOC /
     hyperplane / tv-hyperplane) differentiate the projection operators
     themselves (:func:`_dp_vjp_one`), which handles cone curvature, the
     reference's scaled-SOC quirk, and sequential hyperplane composition
-    exactly (a.e.).
+    exactly (a.e.); consensus groups couple through the group KKT
+    (:func:`_vjp_group` for box, :func:`_ext_matrix_group` — where the
+    consensus projection is just one more differentiated family, the
+    group mean — when combined with conic families, round 5); adaptive
+    rho differentiates at the committed final per-problem rho
+    (piecewise-constant treatment — module docstring).
 
     Gradients flow through ``Solution.x``/``Solution.u``; iteration counts
     and flags are non-differentiable bookkeeping. ``state`` optionally
@@ -558,58 +716,67 @@ def make_differentiable(prob: TinyProblem, state: Optional[SolverState] = None):
     """
     consensus = prob.spec.en_consensus
     extra = _has_extra_families(prob.spec)
-    if prob.settings.adaptive_rho or (consensus and extra):
-        raise ValueError(
-            "make_differentiable supports fixed-rho specs (consensus "
-            "groups differentiate through the group-coupled KKT for box "
-            "families; consensus combined with SOC/hyperplane families "
-            "and adaptive-rho active sets are not differentiated)")
-    S = _kkt_matrix(prob)
+    adaptive = prob.settings.adaptive_rho
+    S = None if adaptive else _kkt_matrix(prob)
+    rho0 = prob.cache.rho
 
     def _solve(x0, Xref, Uref):
         b = x0.shape[:-1]
         st = state if state is not None else _init_state(
             prob.spec, b, prob.dtype)
-        sol, st, _ = admm.solve(prob, st, Xref=Xref, Uref=Uref, x0=x0)
-        return sol, st
+        return admm.solve(prob, st, Xref=Xref, Uref=Uref, x0=x0)
 
     @jax.custom_vjp
     def f(x0, Xref, Uref):
         return _solve(x0, Xref, Uref)[0]
 
     def fwd(x0, Xref, Uref):
-        sol, st = _solve(x0, Xref, Uref)
+        sol, st, fc = _solve(x0, Xref, Uref)
         duals = {k: getattr(st, k) for k in _DUAL_FIELDS
                  if getattr(st, k, None) is not None} if extra else {}
-        return sol, (sol.x, sol.u, duals,
+        # Adaptive rho: save the committed final per-problem rho — the
+        # adjoint differentiates at that fixed rho (piecewise-constant
+        # treatment, see bwd).
+        rho_b = fc.rho if adaptive else None
+        return sol, (sol.x, sol.u, duals, rho_b,
                      x0.shape, Xref.shape, Uref.shape)
 
     def bwd(res, ct):
-        sol_x, sol_u, duals, x0_shape, xref_shape, uref_shape = res
+        sol_x, sol_u, duals, rho_b, x0_shape, xref_shape, uref_shape = res
         gx, gu = ct.x, ct.u
         batched = len(x0_shape) > 1
 
         if consensus:
             # Group-coupled adjoint: one pinned KKT solve per scenario
-            # group (see _kkt_matrix_group), vmapped over groups.
+            # group (see _kkt_matrix_group) for box families, or the
+            # group-extended projection system (_ext_matrix_group —
+            # consensus-as-a-family) when conic families are enabled
+            # (round 5); vmapped over groups.
             if len(x0_shape) != 3:
                 raise ValueError("consensus diff takes x0 as "
                                  "(n_groups, group, nx)")
             G = x0_shape[1]
-            Sg = _kkt_matrix_group(prob, G)
+            Sg = None if extra else _kkt_matrix_group(prob, G)
 
-            def one_group(sx_g, su_g, gx_g, gu_g):
+            def one_group(sx_g, su_g, gx_g, gu_g, duals_g):
                 sxm = jnp.moveaxis(sx_g, 1, 0)          # (G, N, nx)
                 sum_ = jnp.moveaxis(su_g, 1, 0)
+                gxm = jnp.moveaxis(gx_g, 1, 0)
+                gum = jnp.moveaxis(gu_g, 1, 0)
+                if extra:
+                    dm = {k: jnp.moveaxis(v, 1, 0)
+                          for k, v in duals_g.items()}
+                    out = _dp_vjp_group(prob, S, G, sxm, sum_, dm,
+                                        gxm, gum)
+                    return out[0], out[1], out[2]
                 m_z = jnp.concatenate([
                     _active_mask(prob, sxm[j], sum_[j]) for j in range(G)])
-                return _vjp_group(prob, Sg, m_z,
-                                  jnp.moveaxis(gx_g, 1, 0),
-                                  jnp.moveaxis(gu_g, 1, 0), G)
+                return _vjp_group(prob, Sg, m_z, gxm, gum, G)[:3]
 
             gb = lambda a: jnp.moveaxis(a, 1, 0)    # (T,ng,G,F)->(ng,T,G,F)
             gx0, gXref, gUref = jax.vmap(one_group)(
-                gb(sol_x), gb(sol_u), gb(gx), gb(gu))
+                gb(sol_x), gb(sol_u), gb(gx), gb(gu),
+                {k: gb(v) for k, v in duals.items()})
             # gx0 (ng, G, nx); gXref (ng, G, N, nx); gUref (ng, G, N-1, nu)
             gXref = (jnp.sum(gXref, axis=(0, 1)) if len(xref_shape) == 2
                      else jnp.moveaxis(gXref, 2, 0))
@@ -617,25 +784,46 @@ def make_differentiable(prob: TinyProblem, state: Optional[SolverState] = None):
                      else jnp.moveaxis(gUref, 2, 0))
             return gx0, gXref, gUref
 
-        def one(sx, su, gxi, gui, duals_i):
+        def one(sx, su, gxi, gui, duals_i, rho_i):
+            # Adaptive rho (piecewise-constant treatment): the committed
+            # final rho is the fixed point the solver actually converged
+            # to, so the adjoint holds it constant — the KKT matrix and
+            # the Taylor cost-to-go Pinf_b are rebuilt per problem at
+            # rho_i. The adaptation path's own sensitivity to the inputs
+            # is deliberately excluded (it is a discrete, stride-gated
+            # process); the Taylor cache additionally biases the gains
+            # O((rho_b - rho0)^2) — see docs/PARITY.md "Differentiation
+            # coverage".
+            if adaptive:
+                Pinf_b = prob.cache.Pinf + (rho_i - rho0) \
+                    * prob.cache.dPinf_drho
+                Si = _kkt_matrix(prob, rho_b=rho_i, Pinf_b=Pinf_b)
+            else:
+                Pinf_b = None
+                Si = S
             if not extra:
                 m_z = _active_mask(prob, sx, su)
-                return _vjp_one(prob, S, m_z, gxi, gui)
-            return _dp_vjp_one(prob, S, gxi, gui, sx, su, duals_i)
+                return _vjp_one(prob, Si, m_z, gxi, gui, Pinf_b=Pinf_b)
+            return _dp_vjp_one(prob, Si, gxi, gui, sx, su, duals_i,
+                               rho_b=(rho_i if adaptive else None),
+                               Pinf_b=Pinf_b)
 
         if batched:
             # Solution arrays are (T, B, F) — move batch in front for vmap.
             tb = lambda a: jnp.moveaxis(a, 1, 0)
             gx0, gXref, gUref = jax.vmap(one)(
                 tb(sol_x), tb(sol_u), tb(gx), tb(gu),
-                {k: tb(v) for k, v in duals.items()})
+                {k: tb(v) for k, v in duals.items()},
+                rho_b if adaptive else jnp.zeros(x0_shape[0], sol_x.dtype))
             # Shared (unbatched) references accumulate over the batch.
             gXref = (jnp.sum(gXref, axis=0) if len(xref_shape) == 2
                      else jnp.moveaxis(gXref, 0, 1))
             gUref = (jnp.sum(gUref, axis=0) if len(uref_shape) == 2
                      else jnp.moveaxis(gUref, 0, 1))
         else:
-            gx0, gXref, gUref = one(sol_x, sol_u, gx, gu, duals)
+            gx0, gXref, gUref = one(
+                sol_x, sol_u, gx, gu, duals,
+                rho_b if adaptive else jnp.zeros((), sol_x.dtype))
         return gx0, gXref, gUref
 
     f.defvjp(fwd, bwd)
@@ -664,22 +852,34 @@ def make_differentiable_params(template: TinyProblem,
     assumption holds to gradient accuracy. Unbatched or batched x0, like
     :func:`make_differentiable`.
 
-    Supports the same spec families as :func:`make_differentiable`: box
-    specs use the pinned-KKT adjoint, conic specs (SOC / hyperplane /
-    tv-hyperplane) the projection-Jacobian extended system — the dynamics
-    multipliers the parameter cotangents contract against are recovered
-    from the value-level stationarity ``H z + c + D' lam + rho sum_f y_f
-    = 0`` using the solver's converged duals (see :func:`_dual_coord_sums`).
+    Supports every fixed-rho spec family: box specs use the pinned-KKT
+    adjoint, conic specs (SOC / hyperplane / tv-hyperplane) the
+    projection-Jacobian extended system — the dynamics multipliers the
+    parameter cotangents contract against are recovered from the
+    value-level stationarity ``H z + c + D' lam + rho sum_f y_f = 0``
+    using the solver's converged duals (see :func:`_dual_coord_sums`) —
+    and consensus groups (round 5) run the group adjoint with per-member
+    value solves carrying the consensus force ``rho_c yc0`` on the u_0
+    rows. Adaptive rho raises with the written reason
+    (:func:`_params_diff_supported`).
     """
     if not _params_diff_supported(template):
-        raise ValueError("make_differentiable_params supports fixed-rho "
-                         "non-consensus specs; consensus groups and "
-                         "adaptive-rho active sets are not differentiated")
+        raise ValueError(
+            "make_differentiable_params does not differentiate adaptive-"
+            "rho specs: the committed rho depends on (A, B, Q, R) through "
+            "every OSQP residual the adaptation measured and through the "
+            "sensitivity tables themselves, and the adapted terminal "
+            "cost-to-go would need the DARE implicit pass at rho_b where "
+            "the solver only holds a first-order Taylor cache — see "
+            "_params_diff_supported / docs/PARITY.md 'Differentiation "
+            "coverage'. Solve-input gradients for adaptive specs are "
+            "available via make_differentiable.")
     rho = template.cache.rho
     spec = template.spec
     N, nx, nu = spec.N, spec.nx, spec.nu
     nzx = N * nx
     extra = _has_extra_families(spec)
+    consensus = spec.en_consensus
 
     def build(A, B, Q, R, f):
         dtype = template.dtype
@@ -690,8 +890,15 @@ def make_differentiable_params(template: TinyProblem,
         f = jnp.asarray(f, dtype)
         cache = precompute_cache(A, B, f, Qd, Rd, rho, tol=riccati_tol,
                                  max_iters=100_000)
-        return template.replace(A=A, B=B, f=f, Qdiag=Qd, Rdiag=Rd,
+        prob = template.replace(A=A, B=B, f=f, Qdiag=Qd, Rdiag=Rd,
                                 cache=cache)
+        if consensus:
+            # The step-0 consensus gain pair derives from the rebuilt
+            # cache (with_consensus's bake, api._bake_consensus_gains).
+            from .api import _bake_consensus_gains
+            prob = prob.replace(cache=_bake_consensus_gains(
+                prob, template.settings.consensus_rho))
+        return prob
 
     def _solve(prob, x0, Xref, Uref):
         st = _init_state(prob.spec, x0.shape[:-1], prob.dtype)
@@ -707,6 +914,10 @@ def make_differentiable_params(template: TinyProblem,
         sol, st = _solve(prob, x0, Xref, Uref)
         duals = {k: getattr(st, k) for k in _DUAL_FIELDS
                  if getattr(st, k, None) is not None} if extra else {}
+        if consensus:
+            # The consensus force rho_c * yc0 enters the value-level
+            # stationarity the multipliers are recovered from.
+            duals = dict(duals, yc0=st.yc0)
         return sol, (prob, sol.x, sol.u, duals, x0, Xref, Uref,
                      x0.shape, Xref.shape, Uref.shape)
 
@@ -762,14 +973,7 @@ def make_differentiable_params(template: TinyProblem,
             lam = wv[nz:].reshape(N, nx)
             return gx0, gXref, gUref, w_x, w_u, w_lam, lam
 
-        def one(sx, su, gxi, gui, x0i, Xrefi, Urefi, duals_i):
-            if extra:
-                gx0, gXref, gUref, w_x, w_u, w_lam, lam = one_conic(
-                    sx, su, gxi, gui, x0i, Xrefi, Urefi, duals_i)
-            else:
-                gx0, gXref, gUref, w_x, w_u, w_lam, lam = one_box(
-                    sx, su, gxi, gui, x0i, Xrefi, Urefi)
-
+        def contract(sx, su, Xrefi, Urefi, w_x, w_u, w_lam, lam):
             # dL/dtheta = -w' dF/dtheta at (z*, lambda*).
             # Stationarity x_i rows carry -A'lam_{i+1}; dynamics rows -A x_i.
             Abar = (jnp.einsum("ti,tj->ij", lam[1:], w_x[:-1])
@@ -784,9 +988,94 @@ def make_differentiable_params(template: TinyProblem,
             # in H; c_{N-1} = -Pinf' Xref_{N-1}.
             Pbar = (-jnp.outer(w_x[-1], sx[-1])
                     + jnp.outer(Xrefi[-1], w_x[-1]))
-            return gx0, gXref, gUref, Abar, Bbar, fbar, Qdbar, Rdbar, Pbar
+            return Abar, Bbar, fbar, Qdbar, Rdbar, Pbar
 
-        if batched:
+        def one(sx, su, gxi, gui, x0i, Xrefi, Urefi, duals_i):
+            if extra:
+                gx0, gXref, gUref, w_x, w_u, w_lam, lam = one_conic(
+                    sx, su, gxi, gui, x0i, Xrefi, Urefi, duals_i)
+            else:
+                gx0, gXref, gUref, w_x, w_u, w_lam, lam = one_box(
+                    sx, su, gxi, gui, x0i, Xrefi, Urefi)
+            return (gx0, gXref, gUref,
+                    *contract(sx, su, Xrefi, Urefi, w_x, w_u, w_lam, lam))
+
+        if consensus:
+            # Scenario groups (round 5): the group adjoint supplies the
+            # per-member (w_x, w_u, w_lam); the value-level multipliers
+            # come from *per-member* solves with the consensus force
+            # rho_c * yc0 on the u_0 rows (the known converged dual —
+            # the group coupling enters the value system only through
+            # it), then the standard parameter contraction runs per
+            # member and sums.
+            if len(x0_shape) != 3:
+                raise ValueError("consensus params diff takes x0 as "
+                                 "(n_groups, group, nx)")
+            G = x0_shape[1]
+            Sg = None if extra else _kkt_matrix_group(prob, G)
+            rho_c = jnp.asarray(_consensus_rho(prob), S.dtype)
+            rho_ = jnp.asarray(prob.cache.rho, S.dtype)
+
+            def lam_one(sx, su, x0i, Xrefi, Urefi, yc0_j, duals_j):
+                c, e = _cvec_evec(prob, Xrefi, Urefi, x0i)
+                c = c.at[nzx:nzx + nu].add(rho_c * yc0_j)
+                if extra:
+                    ysum = _dual_coord_sums(prob, duals_j)
+                    wv = jnp.linalg.solve(
+                        S, jnp.concatenate([-c - rho_ * ysum, e]))
+                    return wv[nz:].reshape(N, nx)
+                m_z = _active_mask(prob, sx, su)
+                _, lam = _kkt_values(prob, S, m_z, sx, su, c, e)
+                return lam.reshape(N, nx)
+
+            def one_group(sx_g, su_g, gx_g, gu_g, x0_g, Xref_g, Uref_g,
+                          duals_g):
+                mf = lambda a: jnp.moveaxis(a, 1, 0)   # (T,G,F)->(G,T,F)
+                sxm, sum_ = mf(sx_g), mf(su_g)
+                gxm, gum = mf(gx_g), mf(gu_g)
+                Xm, Um = mf(Xref_g), mf(Uref_g)
+                yc0_g = duals_g["yc0"]                  # (G, nu)
+                fam_d = {k: mf(v) for k, v in duals_g.items()
+                         if k != "yc0"}
+                if extra:
+                    gx0, gXref, gUref, w_x, w_u, w_lam = _dp_vjp_group(
+                        prob, S, G, sxm, sum_, fam_d, gxm, gum)
+                else:
+                    m_z = jnp.concatenate([
+                        _active_mask(prob, sxm[j], sum_[j])
+                        for j in range(G)])
+                    gx0, gXref, gUref, w_x, w_u, w_lam = _vjp_group(
+                        prob, Sg, m_z, gxm, gum, G)
+                outs = [contract(
+                    sxm[j], sum_[j], Xm[j], Um[j], w_x[j], w_u[j],
+                    w_lam[j],
+                    lam_one(sxm[j], sum_[j], x0_g[j], Xm[j], Um[j],
+                            yc0_g[j], {k: v[j] for k, v in fam_d.items()}))
+                    for j in range(G)]
+                sums = [sum(ts) for ts in zip(*outs)]
+                return (gx0, gXref, gUref, *sums)
+
+            gb = lambda a: jnp.moveaxis(a, 1, 0)  # (T,ng,G,F)->(ng,T,G,F)
+            ng = x0_shape[0]
+            bXref = (Xref if len(xref_shape) == 4
+                     else jnp.broadcast_to(Xref[:, None, None],
+                                           (N, ng, G, nx)))
+            bUref = (Uref if len(uref_shape) == 4
+                     else jnp.broadcast_to(Uref[:, None, None],
+                                           (N - 1, ng, G, nu)))
+            outs = jax.vmap(one_group)(
+                gb(sol_x), gb(sol_u), gb(ct.x), gb(ct.u), x0,
+                gb(bXref), gb(bUref),
+                {k: (v if k == "yc0" else gb(v))
+                 for k, v in duals.items()})
+            gx0 = outs[0]
+            gXref = (jnp.sum(outs[1], axis=(0, 1)) if len(xref_shape) == 2
+                     else jnp.moveaxis(outs[1], 2, 0))
+            gUref = (jnp.sum(outs[2], axis=(0, 1)) if len(uref_shape) == 2
+                     else jnp.moveaxis(outs[2], 2, 0))
+            Abar, Bbar, fbar, Qdbar, Rdbar, Pbar = [
+                jnp.sum(o, axis=0) for o in outs[3:]]
+        elif batched:
             tb = lambda a: jnp.moveaxis(a, 1, 0)
             Bn = x0_shape[0]
             bXref = (Xref if len(xref_shape) == 3
