@@ -18,6 +18,13 @@ int main(int argc, char** argv) {
     int max_iter = argc > 2 ? atoi(argv[2]) : 100;
     int adaptive = argc > 3 ? atoi(argv[3]) : 0;  // adaptive-rho on/off
     int check_term = argc > 4 ? atoi(argv[4]) : 1;  // termination stride
+    // Optional 5th arg: path to a text file of initial states (one x0
+    // per line, NSTATES whitespace-separated values). Used to feed the
+    // oracle the *exact* x0 batch a TPU benchmark solved, so the
+    // solved-fraction comparison separates RNG-draw variance from
+    // precision effects (round 5; tools/solved_frac_decompose.py dumps
+    // the batch from bench.py's generator).
+    const char* x0_path = argc > 5 ? argv[5] : nullptr;
 
     TinySolver* solver;
     tinyMatrix Adyn = Map<Matrix<tinytype, NSTATES, NSTATES, RowMajor>>(Adyn_data);
@@ -62,10 +69,30 @@ int main(int argc, char** argv) {
     std::mt19937 gen(0);
     std::uniform_real_distribution<double> dist(-0.5, 0.5);
 
-    // Pre-generate initial states.
-    std::vector<tinyVector> x0s(num_solves, tinyVector(NSTATES));
-    for (auto& x0 : x0s)
-        for (int i = 0; i < NSTATES; i++) x0(i) = dist(gen);
+    // Pre-generate initial states (or load the exact batch from a file).
+    std::vector<tinyVector> x0s;
+    if (x0_path) {
+        FILE* fp = fopen(x0_path, "r");
+        if (!fp) { fprintf(stderr, "cannot open %s\n", x0_path); return 1; }
+        tinyVector x0(NSTATES);
+        while (true) {
+            int got = 0;
+            for (int i = 0; i < NSTATES; i++) {
+                double v;
+                if (fscanf(fp, "%lf", &v) == 1) { x0(i) = v; got++; }
+            }
+            if (got < NSTATES) break;
+            x0s.push_back(x0);
+            if ((int)x0s.size() >= num_solves && num_solves > 0) break;
+        }
+        fclose(fp);
+        num_solves = (int)x0s.size();
+        if (!num_solves) { fprintf(stderr, "no x0s in %s\n", x0_path); return 1; }
+    } else {
+        x0s.assign(num_solves, tinyVector(NSTATES));
+        for (auto& x0 : x0s)
+            for (int i = 0; i < NSTATES; i++) x0(i) = dist(gen);
+    }
 
     long total_iters = 0;
     long num_solved = 0;
