@@ -212,6 +212,161 @@ def solve_fused_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
     )(x0s)
 
 
+def solve_fused_consensus_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
+                                  axis: Optional[AxisLike] = None,
+                                  sync_stride: int = 5,
+                                  tile: Optional[int] = None,
+                                  interpret: bool = False):
+    """Cross-shard consensus ADMM on the *fused* kernel (round 5): the
+    scenario-group member axis is sharded over the mesh, each device runs
+    the resident fused kernel over its local members, and the global
+    group mean is refreshed by one ``pmean`` of a per-group ``(ng, nu)``
+    row every ``sync_stride`` iterations — the reference's amortised-
+    check collective discipline (admm.cpp:312) applied to the consensus
+    family. This puts the BASELINE pod-slice consensus workload on the
+    kernel that owns the throughput; the XLA path
+    (``Settings.consensus_axis_name``) remains the per-iteration-pmean
+    semantics.
+
+    Mechanism: between chunked warm launches (``FusedCarry`` hand-over,
+    exactly the compaction driver's boundary semantics — consensus slack
+    re-seeds from the carried u[0] like a sequence of warm reference
+    solves, admm.cpp:352-376) the driver computes the *stale offset*
+    ``delta = global_mean − local_mean`` of the consensus candidate
+    ``u[0] + yc0`` and the kernel adds it to its in-kernel local group
+    mean every iteration (``consensus_delta``). Within a chunk the
+    offset is stale; at any consensus fixed point it is exact, so the
+    scheme's fixed points are precisely the global-consensus solutions,
+    and the in-kernel termination gate (residuals + ``|u0 − zc0|``)
+    certifies them. Iterates therefore differ from the per-iteration
+    XLA path along the way but agree at convergence (test:
+    tests/test_shard.py::test_fused_consensus_sharded).
+
+    Args: x0s ``(n_groups, G_global, nx)`` with the member axis dividing
+    over the mesh axes (each shard holds ``G_global / n_devices``
+    members of every group — a power of two). ``sync_stride`` must be a
+    multiple of ``settings.check_termination``. Returns
+    ``(Solution, residuals)`` shaped like the consensus
+    :func:`~tinympc_tpu.kernels.solve_fused`.
+    """
+    import dataclasses
+    import jax.numpy as jnp
+    from jax import shard_map
+    from .kernels import init_carry, solve_fused_warm
+    from .types import Solution
+
+    settings = prob.settings
+    if not prob.spec.en_consensus:
+        raise ValueError("solve_fused_consensus_sharded needs a consensus "
+                         "problem (with_consensus)")
+    if sync_stride < 1 or sync_stride % settings.check_termination:
+        raise ValueError(
+            f"sync_stride ({sync_stride}) must be a positive multiple of "
+            f"check_termination ({settings.check_termination}) so in-"
+            "kernel residual checks land on sync boundaries")
+    ax = _axes(mesh, axis)
+    n = int(np.prod([mesh.shape[a] for a in ax]))
+    ng, Gg, nx = x0s.shape
+    if Gg % n:
+        raise ValueError(f"global group size {Gg} must divide over the "
+                         f"{n}-device mesh")
+    Gl = Gg // n
+    if Gl & (Gl - 1):
+        raise ValueError(f"per-shard group slice {Gl} must be a power of "
+                         "two (kernel group constraint)")
+    N, nu = prob.spec.N, prob.spec.nu
+    total = settings.max_iter
+    p_chunk = prob.replace(settings=dataclasses.replace(
+        settings, max_iter=sync_stride))
+    axname = ax[0] if len(ax) == 1 else ax
+    f32 = jnp.float32
+
+    def local(x0l):                       # (ng, Gl, nx)
+        import dataclasses as _dc
+        B = ng * Gl
+
+        def outer_update(carry):
+            # Exact outer consensus step on the current inner solution:
+            # z = global mean of (u0 + y) via ONE pmean of an (nu, ng)
+            # row; scaled-dual ascent. This is the admm.update_slack /
+            # update_dual consensus pair, executed at the sync stride
+            # instead of per iteration — two-level ADMM with the inner
+            # prox-MPC solved by the fused kernel.
+            u0 = carry.u[0]                          # (nu, B)
+            cand = u0 + carry.yc0
+            lm = cand.reshape(nu, ng, Gl).mean(axis=2)   # (nu, ng)
+            gm = jax.lax.pmean(lm, axname)
+            zc0 = jnp.repeat(gm[:, :, None], Gl, axis=2).reshape(nu, B)
+            yc0 = carry.yc0 + u0 - zc0
+            return _dc.replace(carry, zc0=zc0, yc0=yc0), gm
+
+        def chunk(state):
+            used, _, ox, ou, oit, osv, ores, carry = state
+            carry, _ = outer_update(carry)
+            sol, res, carry = solve_fused_warm(
+                p_chunk, Xref, Uref, x0l, carry, tile=tile, final=True,
+                interpret=interpret, consensus_frozen=True)
+            fx = sol.x.reshape(N, B, nx)
+            fu = sol.u.reshape(N - 1, B, nu)
+            fit = sol.iter.reshape(B)
+            fsv = sol.solved.reshape(B)
+            fres = res.reshape(res.shape[0], B)
+            live = jnp.logical_not(osv)
+            lx = live[None, :, None]
+            ox = jnp.where(lx, fx, ox)
+            ou = jnp.where(lx, fu, ou)
+            oit = jnp.where(live, used + fit, oit)
+            ores = jnp.where(live[None, :], fres, ores)
+            # Commit gate: the in-kernel cres measured against the
+            # frozen outer slack; certify against the TRUE current
+            # global mean of the group state (frozen outputs for solved
+            # lanes, carry for live ones) so a committed lane has the
+            # same freeze-time guarantee as the XLA per-iteration path.
+            u0_eff = jnp.where((osv | fsv)[:, None], ou[0],
+                               carry.u[0].T)              # (B, nu)
+            lm2 = u0_eff.reshape(ng, Gl, nu).mean(axis=1)
+            gm2 = jax.lax.pmean(lm2, axname)              # (ng, nu)
+            cres = jnp.max(jnp.abs(
+                u0_eff - jnp.repeat(gm2, Gl, axis=0)), axis=1)
+            osv = osv | (fsv & (cres < settings.abs_pri_tol))
+            # Global convergence check inside the body (a collective in
+            # the while *cond* would be a channel op in the predicate).
+            all_done = jax.lax.pmean(
+                jnp.all(osv).astype(f32), axname) == 1.0
+            return (used + sync_stride, all_done,
+                    ox, ou, oit, osv, ores, carry)
+
+        def cond(state):
+            used, all_done = state[0], state[1]
+            return (used < total) & jnp.logical_not(all_done)
+
+        carry0 = init_carry(prob, B)
+        nres = 5 if settings.adaptive_rho else 4
+        state0 = (jnp.int32(0), jnp.asarray(False),
+                  jnp.zeros((N, B, nx), f32),
+                  jnp.zeros((N - 1, B, nu), f32),
+                  jnp.zeros((B,), jnp.int32),
+                  jnp.zeros((B,), bool),
+                  jnp.zeros((nres, B), f32),
+                  carry0)
+        _, _, ox, ou, oit, osv, ores, _ = jax.lax.while_loop(
+            cond, chunk, state0)
+        sol = Solution(iter=oit.reshape(ng, Gl),
+                       solved=osv.reshape(ng, Gl),
+                       x=ox.reshape(N, ng, Gl, nx),
+                       u=ou.reshape(N - 1, ng, Gl, nu))
+        return sol, ores.reshape(nres, ng, Gl)
+
+    sol_specs = Solution(iter=P(None, ax), solved=P(None, ax),
+                         x=P(None, None, ax), u=P(None, None, ax))
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=P(None, ax),
+        out_specs=(sol_specs, P(None, None, ax)),
+        check_vma=False,
+    )(x0s)
+
+
 def solve_fused_streamed_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
                                  axis: Optional[AxisLike] = None,
                                  tile: Optional[int] = None,
