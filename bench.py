@@ -46,13 +46,19 @@ import time
 
 import numpy as np
 
-CPP_BASELINE = {  # oracle_bench <n> <max_iter> 0 <ct> @ 2026-08-21
+# Reference-oracle baselines measured on THIS machine 2026-08-21.
+# Regenerate with:
+#   cmake -S tools/oracle -B /tmp/oracle -DCMAKE_BUILD_TYPE=Release
+#   cmake --build /tmp/oracle -j && /tmp/oracle/oracle_bench <n> <mi> 0 <ct>
+CPP_BASELINE = {  # (max_iter, check_termination) -> solves/s
     (100, 1): 1826.3,
     (100, 25): 1968.3,
     (500, 1): 400.1,
     (500, 25): 431.4,
 }
-CPP_BASELINE_500_SOLVED_FRAC = 0.208
+CPP_BASELINE_500_SOLVED_FRAC = 0.208   # own-RNG draw; on the chip's exact
+#                                        x0 batch the oracle solves 0.2057
+#                                        (tools/solved_frac_decompose.py)
 
 N_HORIZON = 20
 MAX_ITER = 100

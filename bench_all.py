@@ -163,13 +163,21 @@ def main():
         B = 32768
         x0h20 = jnp.asarray(
             np.random.default_rng(0).uniform(-0.5, 0.5, (B, 12)), f32)
-        hstep = bench_headline.build(B, f32)
+        coarse = int(os.environ.get("BENCH_COARSE", 50))
+        hstep = bench_headline.build(B, f32, coarse_iters=coarse)
         out, dt, sp = bench("headline", hstep, x0h20)
         record("quadrotor_20hz N=20 cold solve (fused, ct=25) HEADLINE", B,
                B / dt, "solves/s",
-               f"= bench.py value; "
+               f"= bench.py value; coarse_iters={coarse} (mixed-precision "
+               f"schedule, docs/DESIGN.md); "
                f"avg_iters={float(np.mean(np.asarray(out[1]))):.1f}; "
                "oracle at same stride: 1968 solves/s", sp)
+        hstep0 = bench_headline.build(B, f32, coarse_iters=0)
+        out, dt, sp = bench("headline_nosched", hstep0, x0h20)
+        record("quadrotor_20hz N=20 cold solve (fused, ct=25, no schedule)",
+               B, B / dt, "solves/s",
+               f"coarse_iters=0 reference; "
+               f"avg_iters={float(np.mean(np.asarray(out[1]))):.1f}", sp)
 
     # --- SOC rocket landing (XLA path) ---
     prob, s = _mk("rocket_landing_20hz", 10, f32, abs_pri_tol=2e-3)
@@ -224,6 +232,63 @@ def main():
     record("consensus G=16 cold solve (fused)", B, B / dt, "solves/s",
            f"avg_iters={float(np.mean(np.asarray(out.iter))):.1f}, "
            f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}", sp)
+
+    # --- cross-shard consensus on the fused kernel (round 5): two-level
+    # scheme (shard.solve_fused_consensus_sharded) on a 1-device mesh —
+    # the machinery a pod slice runs (chunked frozen-consensus launches +
+    # one pmean per sync_stride), benchable on one chip. The coupling
+    # advances once per sync_stride inner iterations, so the outer-
+    # equivalent budget is 5x the XLA row's (2500 inner ~ 500 coupled). ---
+    with section("consensus_xshard"):
+        from tinympc_tpu import shard as _shard
+        p_x = tm.with_settings(prob, max_iter=2500, check_termination=5)
+        mesh1 = _shard.make_mesh(devices=jax.devices()[:1])
+        xsolve = jax.jit(lambda x0s: _shard.solve_fused_consensus_sharded(
+            p_x, Xref, None, x0s, mesh1, sync_stride=5)[0])
+        out, dt, sp = bench("consensus_xshard", xsolve, x0s)
+        record("consensus G=16 cross-shard scheme (fused two-level)", B,
+               B / dt, "solves/s",
+               f"sync_stride=5, 2500 inner iters (outer-equivalent to the "
+               f"XLA row's 500), "
+               f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}",
+               sp)
+
+    # --- heterogeneous fleet: 16 different systems, bucketed fused
+    # dispatch (round 5, kernels.make_fleet_solver) vs the vmapped-XLA
+    # fallback (per-problem matrices = batched small matmuls). ---
+    with section("hetero_fleet"):
+        from tinympc_tpu.kernels import make_fleet_solver
+        n_sys, per = 16, 2048
+        Bf = n_sys * per
+        s_q = systems.quadrotor_20hz()
+        fleet_probs = []
+        for i in range(n_sys):
+            scale = 1.0 + 0.002 * (i - n_sys // 2)
+            A_i = np.asarray(s_q["A"]) * np.where(np.eye(12) == 1, 1.0,
+                                                  scale)
+            p_i = tm.setup(A_i, s_q["B"], s_q["Qdiag"], s_q["Rdiag"],
+                           rho=s_q["rho"], N=10, dtype=f32)
+            p_i = tm.with_bounds(p_i, x_min=-5.0, x_max=5.0, u_min=-0.5,
+                                 u_max=0.5)
+            fleet_probs.append(tm.with_settings(
+                p_i, max_iter=100, check_termination=25,
+                matmul_precision="high"))
+        x0f = jnp.asarray(rng.uniform(-0.5, 0.5, (Bf, 12)), f32)
+        assign = np.repeat(np.arange(n_sys), per)
+        fsolver = make_fleet_solver(fleet_probs, tile=2048)
+        fstep = lambda x0: fsolver(assign, x0)
+        out, dt, sp = bench("fleet_fused", fstep, x0f)
+        record("hetero fleet 16 systems (bucketed fused)", Bf, Bf / dt,
+               "solves/s", "one fused launch per system bucket", sp)
+        stackedp = jax.tree.map(lambda *ls: jnp.stack(ls), *fleet_probs)
+        x0v = x0f.reshape(n_sys, per, 12)
+        vsolve = jax.jit(jax.vmap(
+            lambda p, x0: tm.solve_(p, tm.init_state(p, (per,)), None,
+                                    None, x0)[0].u[0]))
+        out, dt, sp = bench("fleet_vmap", vsolve, stackedp, x0v)
+        record("hetero fleet 16 systems (vmap XLA fallback)", Bf, Bf / dt,
+               "solves/s", "per-problem matrices, batched small matmuls",
+               sp)
 
     # --- long-horizon: XLA sequential vs blocked scans vs fused kernel ---
     # The fused kernel holds the whole trajectory per lane in VMEM, so long

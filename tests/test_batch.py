@@ -109,3 +109,84 @@ def test_vmap_heterogeneous_systems():
         sol_1, _, _ = tm.solve(p, tm.init_state(p), Xref=Xref, x0=x0)
         np.testing.assert_allclose(sol_v.x[i], sol_1.x, atol=1e-10)
         assert int(sol_v.iter[i]) == int(sol_1.iter)
+
+
+def test_fleet_solver_matches_direct_per_bucket():
+    """Heterogeneous fleets at fused-kernel speed (round 5,
+    kernels.make_fleet_solver): single-launch bucketed dispatch
+    (solve_fused_multi) — each system's lanes must match a direct
+    solve_fused of the same gathered batch, and the scatter must route
+    every lane to its own system's solution. Iteration counts and
+    solved masks are exact; iterates get tight allclose on CPU (the
+    one-launch multi-system program fuses FMAs differently than the
+    per-bucket program under XLA:CPU; on the chip every tile runs the
+    same Mosaic binary)."""
+    from tinympc_tpu.kernels import make_fleet_solver, solve_fused
+    s = systems.quadrotor_20hz()
+    probs = []
+    for scale in (1.0, 1.01, 0.99, 1.02):
+        A = np.asarray(s["A"]) * np.where(np.eye(12) == 1, 1.0, scale)
+        p = tm.setup(A, s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"], N=10,
+                     dtype=jnp.float32)
+        p = tm.with_bounds(p, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+        probs.append(tm.with_settings(p, max_iter=40))
+
+    B = 64
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), jnp.float32)
+    assignments = rng.integers(0, 4, B)
+    # Uneven buckets incl. one requiring padding to a power of two.
+    assignments[:5] = 3
+
+    solver = make_fleet_solver(probs, tile=64, interpret=True)
+    sol, res = solver(assignments, x0s)
+
+    for sys_i in range(4):
+        idx = np.flatnonzero(assignments == sys_i)
+        k = idx.size
+        P = 1 << (k - 1).bit_length()
+        pad = np.concatenate([idx, np.full(P - k, idx[0])]) if P > k else idx
+        sol_d, res_d = jax.jit(lambda x0, p=probs[sys_i]: solve_fused(
+            p, None, None, x0, tile=64, interpret=True))(
+                jnp.take(x0s, jnp.asarray(pad), axis=0))
+        it_f = np.asarray(sol.iter[idx]); it_d = np.asarray(sol_d.iter[:k])
+        # CPU cross-program noise can flip a knife-edge residual check on
+        # the odd lane (iter +-1); on-chip the comparison is bitwise
+        # (tools/run_tpu_checks.py's fleet check).
+        assert np.abs(it_f - it_d).max() <= 1
+        same = it_f == it_d
+        assert same.mean() >= 0.9, f"too many flipped lanes: {same.mean()}"
+        np.testing.assert_array_equal(np.asarray(sol.solved[idx]),
+                                      np.asarray(sol_d.solved[:k]))
+        for a, b in ((sol.x[:, idx], sol_d.x[:, :k]),
+                     (sol.u[:, idx], sol_d.u[:, :k]),
+                     (res[:, idx], res_d[:, :k])):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(np.compress(same, a, axis=1),
+                                       np.compress(same, b, axis=1),
+                                       atol=5e-5)
+            np.testing.assert_allclose(a, b, atol=5e-2)
+
+    # Cross-check one lane per system against the XLA path.
+    for sys_i in range(4):
+        i = int(np.flatnonzero(assignments == sys_i)[0])
+        sol_1, _, _ = tm.solve(probs[sys_i], tm.init_state(probs[sys_i]),
+                               x0=x0s[i])
+        np.testing.assert_allclose(np.asarray(sol.x[:, i]),
+                                   np.asarray(sol_1.x), atol=1e-4)
+
+
+def test_fleet_solver_validation():
+    from tinympc_tpu.kernels import make_fleet_solver
+    s = systems.quadrotor_20hz()
+    p1 = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"], N=10,
+                  dtype=jnp.float32)
+    p1 = tm.with_bounds(p1, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    p2 = tm.with_settings(p1, max_iter=77)      # differing settings
+    with pytest.raises(ValueError, match="spec/settings"):
+        make_fleet_solver([p1, p2])
+    solver = make_fleet_solver([p1])
+    with pytest.raises(ValueError, match="assignments"):
+        solver(np.zeros(3, int), jnp.zeros((4, 12), jnp.float32))
+    with pytest.raises(ValueError, match="out of range"):
+        solver(np.full(4, 2), jnp.zeros((4, 12), jnp.float32))

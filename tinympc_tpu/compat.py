@@ -63,7 +63,8 @@ _SPEC_FLAGS = {
 _EXTRA_SETTINGS = {
     "adaptive_rho", "adaptive_rho_min", "adaptive_rho_max",
     "adaptive_rho_clip", "adaptive_rho_apply_c", "adaptive_rho_tolerance",
-    "horizon_parallel", "matmul_precision",
+    "horizon_parallel", "matmul_precision", "coarse_iters",
+    "consensus_rho", "consensus_axis_name",
 }
 
 

@@ -368,7 +368,7 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
                  rho_c: float = 0.0, seg_mm: bool = False,
                  consensus_frozen: bool = False,
                  mm_mode: str = "ambient", chain_split: int = 1,
-                 coarse_iters: int = 0):
+                 coarse_iters: int = 0, multi_tps: int = 0):
     """Build the fused-solve kernel for a static constraint-family layout.
 
     Ref order (inputs → outputs → scratch) must match the spec/shape lists
@@ -498,6 +498,52 @@ def _make_kernel(*, N: int, nx: int, nu: int, max_iter: int,
             xin_ref = nxt() if (any_extra or consensus) else None
             uin_ref = nxt() if (any_extra or consensus) else None
             rho_in = nxt() if adaptive else None
+        if multi_tps:
+            # Multi-system launch (solve_fused_multi): every shared input
+            # is the per-system stack replicated whole to each tile
+            # (grid-invariant DMA, one fetch — per-tile BlockSpec
+            # streaming of the small matrices measured ~35% SLOWER);
+            # reads select this tile's system by a dynamic leading-axis
+            # index derived from the grid position.
+            sysid = pl.program_id(0) // multi_tps
+
+            class _SysView:
+                __slots__ = ("ref",)
+
+                def __init__(self, ref):
+                    self.ref = ref
+
+                def __getitem__(self, idx):
+                    blk = self.ref[sysid]
+                    if isinstance(idx, slice) and idx == slice(None):
+                        return blk
+                    return blk[idx]
+
+            def _wrap(r):
+                return None if r is None else _SysView(r)
+
+            (xref_ref, uref_ref, xmin_ref, xmax_ref, umin_ref, umax_ref,
+             A_ref, B_ref, BT_ref, Kinf_ref, KinfT_ref, PinfT_ref,
+             Quu_ref, AmBKt_ref, APf_ref, BPf_ref, f_ref, Qdiag_ref,
+             Rdiag_ref) = map(_wrap, (
+                 xref_ref, uref_ref, xmin_ref, xmax_ref, umin_ref,
+                 umax_ref, A_ref, B_ref, BT_ref, Kinf_ref, KinfT_ref,
+                 PinfT_ref, Quu_ref, AmBKt_ref, APf_ref, BPf_ref, f_ref,
+                 Qdiag_ref, Rdiag_ref))
+            if adaptive:
+                AT_ref, Pinf_ref, dK_ref, dKT_ref, dP_ref, dPT_ref = map(
+                    _wrap, (AT_ref, Pinf_ref, dK_ref, dKT_ref, dP_ref,
+                            dPT_ref))
+                dC1_ref, dC2_ref = _wrap(dC1_ref), _wrap(dC2_ref)
+            if consensus:
+                Kinf0_ref, Quu0_ref = _wrap(Kinf0_ref), _wrap(Quu0_ref)
+                if seg_mm:
+                    S_ref, ST_ref = _wrap(S_ref), _wrap(ST_ref)
+            cx_ref, cu_ref = _wrap(cx_ref), _wrap(cu_ref)
+            Alx_ref, blx_ref = _wrap(Alx_ref), _wrap(blx_ref)
+            Alu_ref, blu_ref = _wrap(Alu_ref), _wrap(blu_ref)
+            tvAx_ref, tvbx_ref = _wrap(tvAx_ref), _wrap(tvbx_ref)
+            tvAu_ref, tvbu_ref = _wrap(tvAu_ref), _wrap(tvbu_ref)
         # --- outputs
         outx_ref, outu_ref = nxt(), nxt()
         iters_ref, solved_ref, res_ref = nxt(), nxt(), nxt()
@@ -1266,6 +1312,58 @@ def solve_fused(prob: TinyProblem, Xref=None, Uref=None, x0s=None, *,
     return sol, res
 
 
+def solve_fused_multi(probs, x0s, Xrefs=None, Urefs=None, *,
+                      tile: Optional[int] = None, interpret: bool = False):
+    """Heterogeneous multi-system cold solve in ONE kernel launch.
+
+    ``x0s`` is ``(n_sys * per, nx)`` laid out system-major (system s owns
+    rows ``[s*per, (s+1)*per)``); each system's batch tiles read that
+    system's matrices via BlockSpec index maps (``shared_args`` in
+    :func:`_fused_call`), so a 16-system fleet pays one launch instead of
+    16 — measured ~1.8 ms of fixed per-launch cost each on the v5e
+    (kernels/fleet.py uses this as its dispatch).
+
+    All problems must share spec/settings and the setup rho (the kernel
+    bakes rho as a trace constant). ``Xrefs``/``Urefs``: per-system
+    sequences, or a single shared array, or None. The per-system bucket
+    must divide by the tile. Cold solves only (warm fleet carries are a
+    straightforward extension; no caller needs them yet).
+    """
+    probs = list(probs)
+    n_sys = len(probs)
+    if n_sys == 0:
+        raise ValueError("empty system list")
+    spec0, set0 = probs[0].spec, probs[0].settings
+    rho0 = float(probs[0].cache.rho)
+    for i, p in enumerate(probs[1:], 1):
+        if p.spec != spec0 or p.settings != set0:
+            raise ValueError(f"system {i} differs in spec/settings")
+        if float(p.cache.rho) != rho0:
+            raise ValueError(
+                f"system {i} has rho {float(p.cache.rho)} != {rho0}; the "
+                "kernel bakes rho as a trace constant — fleets must share "
+                "the setup rho")
+    if spec0.en_consensus:
+        raise ValueError("multi-system launch does not support consensus "
+                         "specs yet; use per-bucket solve_fused")
+    x0s = jnp.asarray(x0s)
+    B = x0s.shape[0]
+    if B % n_sys:
+        raise ValueError(f"batch {B} must split into {n_sys} equal "
+                         "system buckets")
+    per = B // n_sys
+    Bt = min(tile if tile else min(per, AUTO_TILE_CAP), per)
+    if per % Bt:
+        raise ValueError(f"per-system bucket {per} must divide by tile "
+                         f"{Bt}")
+    def seq(v):
+        return list(v) if isinstance(v, (list, tuple)) else [v] * n_sys
+    sol, res, _ = _fused_call(
+        probs[0], None, None, x0s, None, Bt, interpret,
+        multi=(probs, seq(Xrefs), seq(Urefs), per // Bt))
+    return sol, res
+
+
 def solve_fused_warm(prob: TinyProblem, Xref=None, Uref=None, x0s=None,
                      carry: FusedCarry = None, *,
                      tile: Optional[int] = None, final: bool = False,
@@ -1321,7 +1419,7 @@ def _resolve_chain_split(chain_split: Optional[int], Bt: int) -> int:
 
 
 def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False,
-                chain_split=None, consensus_frozen=False):
+                chain_split=None, consensus_frozen=False, multi=None):
     spec, settings = prob.spec, prob.settings
     warm = carry is not None
     adaptive = settings.adaptive_rho
@@ -1373,73 +1471,95 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False,
             f"this problem (budget {budget / 2**20:.0f} MiB); pass "
             f"tile <= {fit} or tile=None for auto selection")
 
-    if Xref is None:
-        Xref = jnp.zeros((N, nx), dtype)
-    if Uref is None:
-        Uref = jnp.zeros((N - 1, nu), dtype)
-
-    c = prob.cache
-    cons = prob.cons
-    fin = jnp.finfo(dtype).max
-    big = jnp.asarray(fin, dtype)
-    xmin = cons.x_min if spec.en_state_bound else jnp.full((N, nx), -big)
-    xmax = cons.x_max if spec.en_state_bound else jnp.full((N, nx), big)
-    umin = cons.u_min if spec.en_input_bound else jnp.full((N - 1, nu), -big)
-    umax = cons.u_max if spec.en_input_bound else jnp.full((N - 1, nu), big)
-    # f32 infinities would poison the box projection's arithmetic identity;
-    # clamp +-inf bounds to the finite float32 extremes.
-    xmin = jnp.clip(jnp.asarray(xmin, dtype), -fin, fin)
-    xmax = jnp.clip(jnp.asarray(xmax, dtype), -fin, fin)
-    umin = jnp.clip(jnp.asarray(umin, dtype), -fin, fin)
-    umax = jnp.clip(jnp.asarray(umax, dtype), -fin, fin)
-
-    x0T = jnp.asarray(x0s, dtype).T                     # (nx, B)
-
-    col = lambda a: jnp.asarray(a, dtype).reshape(-1, 1)
-    args = [
-        x0T, jnp.asarray(Xref, dtype), jnp.asarray(Uref, dtype),
-        xmin, xmax, umin, umax,
-        jnp.asarray(prob.A, dtype), jnp.asarray(prob.B, dtype),
-        jnp.asarray(prob.B, dtype).T,
-        jnp.asarray(c.Kinf, dtype), jnp.asarray(c.Kinf, dtype).T,
-        jnp.asarray(c.Pinf, dtype).T,
-        jnp.asarray(c.Quu_inv, dtype), jnp.asarray(c.AmBKt, dtype),
-        col(c.APf), col(c.BPf), col(prob.f), col(prob.Qdiag), col(prob.Rdiag),
-    ]
-    if adaptive:
-        args += [
-            jnp.asarray(prob.A, dtype).T, jnp.asarray(c.Pinf, dtype),
-            jnp.asarray(c.dKinf_drho, dtype),
-            jnp.asarray(c.dKinf_drho, dtype).T,
-            jnp.asarray(c.dPinf_drho, dtype),
-            jnp.asarray(c.dPinf_drho, dtype).T,
-        ]
-        if settings.adaptive_rho_apply_c:
-            args += [jnp.asarray(c.dC1_drho, dtype),
-                     jnp.asarray(c.dC2_drho, dtype)]
+    c = prob.cache        # trace-time constants (rho, rho_c) come from
+    #                       the primary problem; multi-mode asserts parity
     seg_mm = consensus and 1 < group < Bt
-    if consensus:
-        args += [jnp.asarray(c.Kinf0, dtype), jnp.asarray(c.Quu0_inv, dtype)]
-        if seg_mm:
-            args += list(_segment_matrices(Bt, group))
     en_ssoc = bool(spec.enabled_state_cones)
     en_isoc = bool(spec.enabled_input_cones)
     nsl, nil = spec.n_state_lin, spec.n_input_lin
     ntsl, ntil = spec.n_tv_state_lin, spec.n_tv_input_lin
-    if en_ssoc:
-        args.append(col(cons.cx))
-    if en_isoc:
-        args.append(col(cons.cu))
-    if nsl:
-        args += [jnp.asarray(cons.Alin_x, dtype), col(cons.blin_x)]
-    if nil:
-        args += [jnp.asarray(cons.Alin_u, dtype), col(cons.blin_u)]
-    if ntsl:
-        args += [jnp.asarray(cons.tv_Alin_x, dtype),
-                 jnp.asarray(cons.tv_blin_x, dtype)]
-    if ntil:
-        args += [jnp.asarray(cons.tv_Alin_u, dtype),
-                 jnp.asarray(cons.tv_blin_u, dtype)]
+    fin = jnp.finfo(dtype).max
+    big = jnp.asarray(fin, dtype)
+    col = lambda a: jnp.asarray(a, dtype).reshape(-1, 1)
+
+    def shared_args(p, Xr, Ur):
+        """The grid-invariant (non-lane-tiled) kernel inputs for one
+        system. In multi-system mode (solve_fused_multi) this runs per
+        system and the lists concatenate along axis 0, with BlockSpec
+        index maps steering each batch tile to its own system's rows —
+        one launch for a whole heterogeneous fleet."""
+        if Xr is None:
+            Xr = jnp.zeros((N, nx), dtype)
+        if Ur is None:
+            Ur = jnp.zeros((N - 1, nu), dtype)
+        c = p.cache
+        cons = p.cons
+        xmin = cons.x_min if spec.en_state_bound else jnp.full((N, nx), -big)
+        xmax = cons.x_max if spec.en_state_bound else jnp.full((N, nx), big)
+        umin = cons.u_min if spec.en_input_bound \
+            else jnp.full((N - 1, nu), -big)
+        umax = cons.u_max if spec.en_input_bound \
+            else jnp.full((N - 1, nu), big)
+        # f32 infinities would poison the box projection's arithmetic
+        # identity; clamp +-inf bounds to the finite float32 extremes.
+        xmin = jnp.clip(jnp.asarray(xmin, dtype), -fin, fin)
+        xmax = jnp.clip(jnp.asarray(xmax, dtype), -fin, fin)
+        umin = jnp.clip(jnp.asarray(umin, dtype), -fin, fin)
+        umax = jnp.clip(jnp.asarray(umax, dtype), -fin, fin)
+        out = [
+            jnp.asarray(Xr, dtype), jnp.asarray(Ur, dtype),
+            xmin, xmax, umin, umax,
+            jnp.asarray(p.A, dtype), jnp.asarray(p.B, dtype),
+            jnp.asarray(p.B, dtype).T,
+            jnp.asarray(c.Kinf, dtype), jnp.asarray(c.Kinf, dtype).T,
+            jnp.asarray(c.Pinf, dtype).T,
+            jnp.asarray(c.Quu_inv, dtype), jnp.asarray(c.AmBKt, dtype),
+            col(c.APf), col(c.BPf), col(p.f), col(p.Qdiag), col(p.Rdiag),
+        ]
+        if adaptive:
+            out += [
+                jnp.asarray(p.A, dtype).T, jnp.asarray(c.Pinf, dtype),
+                jnp.asarray(c.dKinf_drho, dtype),
+                jnp.asarray(c.dKinf_drho, dtype).T,
+                jnp.asarray(c.dPinf_drho, dtype),
+                jnp.asarray(c.dPinf_drho, dtype).T,
+            ]
+            if settings.adaptive_rho_apply_c:
+                out += [jnp.asarray(c.dC1_drho, dtype),
+                        jnp.asarray(c.dC2_drho, dtype)]
+        if consensus:
+            out += [jnp.asarray(c.Kinf0, dtype),
+                    jnp.asarray(c.Quu0_inv, dtype)]
+            if seg_mm:
+                out += list(_segment_matrices(Bt, group))
+        if en_ssoc:
+            out.append(col(cons.cx))
+        if en_isoc:
+            out.append(col(cons.cu))
+        if nsl:
+            out += [jnp.asarray(cons.Alin_x, dtype), col(cons.blin_x)]
+        if nil:
+            out += [jnp.asarray(cons.Alin_u, dtype), col(cons.blin_u)]
+        if ntsl:
+            out += [jnp.asarray(cons.tv_Alin_x, dtype),
+                    jnp.asarray(cons.tv_blin_x, dtype)]
+        if ntil:
+            out += [jnp.asarray(cons.tv_Alin_u, dtype),
+                    jnp.asarray(cons.tv_blin_u, dtype)]
+        return out
+
+    x0T = jnp.asarray(x0s, dtype).T                     # (nx, B)
+    if multi is None:
+        args = [x0T] + shared_args(prob, Xref, Uref)
+        tps = 0
+    else:
+        probs_m, Xrefs_m, Urefs_m, tps = multi
+        lists = [shared_args(p, Xr, Ur)
+                 for p, Xr, Ur in zip(probs_m, Xrefs_m, Urefs_m)]
+        # New leading system axis; replicated whole to each tile, indexed
+        # dynamically in-kernel (see _make_kernel's multi_tps block).
+        args = [x0T] + [jnp.stack(parts, axis=0)
+                        for parts in zip(*lists)]
 
     any_extra = spec.any_extra_family
     # Warm carry rides as extra lane-tiled inputs/outputs in FusedCarry
@@ -1482,6 +1602,10 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False,
         memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec((nx, Bt), lambda i: (0, i), memory_space=pltpu.VMEM)]
     n_shared = len(args) - n_lane_in
+    # Multi-system launch: the shared inputs are per-system STACKS
+    # replicated whole to every tile (rep covers both cases — the stack
+    # is tiny, ~tens of KiB for a 16-system fleet); the kernel selects
+    # its tile's system by dynamic leading-axis indexing (multi_tps).
     in_specs += [rep(a) for a in args[1:n_shared]]
     in_specs += [lane_spec(a) for a in args[n_shared:]]
 
@@ -1503,6 +1627,7 @@ def _fused_call(prob, Xref, Uref, x0s, carry, tile, interpret, final=False,
         adapt_period=ADAPTIVE_RHO_PERIOD,
         consensus=consensus, group=group, seg_mm=seg_mm,
         consensus_frozen=consensus_frozen,
+        multi_tps=tps,
         rho_c=(float(c.rho) if settings.consensus_rho is None
                else float(settings.consensus_rho)) if consensus else 0.0,
         # Mosaic has no HIGH dot precision; "high" maps to the hand-rolled

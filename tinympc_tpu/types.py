@@ -233,7 +233,12 @@ class Settings:
     # a lane that genuinely passes it during the coarse phase has a
     # genuinely converged solution; marginal lanes simply keep iterating
     # and refine to tolerance in the precise phase. 0 disables (the
-    # kernel trace is byte-identical to pre-schedule). Consumed by the
+    # kernel trace is byte-identical to pre-schedule). Applicability:
+    # the workload's convergence tail must be long relative to the
+    # coarse phase (the fixed-work headline: <=3% of lanes converge
+    # before iteration 50); on easy/warm workloads the coarse phase
+    # visibly eats converging lanes — keep 0 there (measured table in
+    # docs/DESIGN.md "Mixed-precision schedule"). Consumed by the
     # resident fused kernel (kernels/admm_pallas); the XLA and streamed
     # paths reject it rather than silently ignore.
     coarse_iters: int = 0
