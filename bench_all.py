@@ -257,6 +257,7 @@ def main():
     # dispatch (round 5, kernels.make_fleet_solver) vs the vmapped-XLA
     # fallback (per-problem matrices = batched small matmuls). ---
     with section("hetero_fleet"):
+        from tinympc_tpu import systems
         from tinympc_tpu.kernels import make_fleet_solver
         n_sys, per = 16, 2048
         Bf = n_sys * per
