@@ -38,22 +38,44 @@ CLAIMS = [
      r"tinympc-tpu, XLA path \(1× v5e chip\):\s*([\d,]+) solves/s",
      "quadrotor_20hz N=20 cold solve (XLA)", 1, 0.0),
     ("README.md",
+     r"the schedule-free kernel still does ([\d,]+)",
+     "quadrotor_20hz N=20 cold solve (fused, ct=25, no schedule)", 1, 0.0),
+    ("README.md",
      r"the fused kernel does ([\d.]+)M solves/s vs the oracle's 1,826",
      "__ct1__", 1e6, 0.05),
     ("README.md",
      r"max_iter 500\): ([\d,]+)k solves/s",
      "__toconv__", 1e3, 0.05),
+    ("README.md",
+     r"([\d.]+)M solves/s at 16 systems × 2048 problems",
+     "hetero fleet 16 systems (bucketed fused)", 1e6, 0.05),
+    ("README.md",
+     r"([\d.]+)M at its stride sweet spot",
+     "closed-loop MPC steps (fused kernel, ct=5)", 1e6, 0.05),
     # STATUS performance section
     ("STATUS.md",
-     r"\*\*([\d,]+) solves/s\*\* on the fixed-work headline",
+     r"HEADLINE row\): ([\d,]+) quadrotor N=20 solves/s",
      "quadrotor_20hz N=20 cold solve (fused, ct=25) HEADLINE", 1, 0.0),
+    ("STATUS.md",
+     r"coarse_iters=50 mixed-precision schedule; ([\d,]+)\s*\nschedule-free",
+     "quadrotor_20hz N=20 cold solve (fused, ct=25, no schedule)", 1, 0.0),
+    # DESIGN numbers table
+    ("docs/DESIGN.md",
+     r"fused Pallas kernel, 1× v5e \(coarse_iters=50\) \| ([\d.]+)M",
+     "quadrotor_20hz N=20 cold solve (fused, ct=25) HEADLINE", 1e6, 0.05),
+    ("docs/DESIGN.md",
+     r"fused kernel, schedule-free \| ([\d.]+)M",
+     "quadrotor_20hz N=20 cold solve (fused, ct=25, no schedule)", 1e6, 0.05),
     # SERVING decision tree
     ("docs/SERVING.md",
-     r"([\d.]+)M MPC steps/s.*ct=5",
+     r"headline: ([\d.]+)M quadrotor N=20 solves/s",
+     "quadrotor_20hz N=20 cold solve (fused, ct=25) HEADLINE", 1e6, 0.05),
+    ("docs/SERVING.md",
+     r"([\d.]+)M MPC steps/s at ct=5",
      "closed-loop MPC steps (fused kernel, ct=5)", 1e6, 0.05),
     ("docs/SERVING.md",
-     r"cold fleet sweeps.*?([\d.]+)M solves/s",
-     "quadrotor_20hz N=20 cold solve (fused, ct=25) HEADLINE", 1e6, 0.05),
+     r"([\d.]+)M solves/s = 3.1× the vmap-XLA fallback",
+     "hetero fleet 16 systems (bucketed fused)", 1e6, 0.05),
 ]
 
 # Synthetic keys resolved from bench.py-style artifacts rather than
@@ -70,27 +92,21 @@ def load_results():
 
 def resolve(rows, key):
     """-> (value, spread) for a claim key."""
-    if key == "__ct1__":
-        # The ct=1 strict-parity number lives in the driver-captured
-        # bench.py JSON (BENCH_r*.json newest) — fall back to the last
-        # recorded value.
+    if key in SYNTHETIC:
+        # The ct=1 / to-convergence rows live in the driver-captured
+        # bench.py JSON (BENCH_r*.json, newest first; the record may be
+        # wrapped as {"parsed": {...}}).
+        field = {"__ct1__": "ct1_solves_per_s",
+                 "__toconv__": "to_convergence_solves_per_s"}[key]
+        sfield = field.replace("solves_per_s", "spread_pct")
         for fn in sorted(os.listdir(ROOT), reverse=True):
             if re.match(r"BENCH_r\d+\.json$", fn):
                 with open(os.path.join(ROOT, fn)) as fh:
                     rec = json.load(fh)
-                if "ct1_solves_per_s" in rec:
-                    return rec["ct1_solves_per_s"], \
-                        rec.get("ct1_spread_pct", 5) / 100 + 0.02
-        raise KeyError("no BENCH_r*.json with ct1_solves_per_s")
-    if key == "__toconv__":
-        for fn in sorted(os.listdir(ROOT), reverse=True):
-            if re.match(r"BENCH_r\d+\.json$", fn):
-                with open(os.path.join(ROOT, fn)) as fh:
-                    rec = json.load(fh)
-                if "to_convergence_solves_per_s" in rec:
-                    return rec["to_convergence_solves_per_s"], \
-                        rec.get("to_convergence_spread_pct", 5) / 100 + 0.02
-        raise KeyError("no BENCH_r*.json with to_convergence_solves_per_s")
+                rec = rec.get("parsed", rec)
+                if field in rec:
+                    return rec[field], rec.get(sfield, 5) / 100 + 0.02
+        raise KeyError(f"no BENCH_r*.json with {field}")
     row = rows[key]
     return row["value"], row.get("spread", 0.0)
 
