@@ -95,6 +95,31 @@ def main():
           f"(warm consensus carry); u0 intra-tree spread "
           f"{spread:.2e} (consensus tol {prob.settings.abs_pri_tol})")
 
+    # Trees too large for one device span the mesh (round 5): the
+    # two-level scheme runs frozen-consensus fused chunks per shard and
+    # ONE pmean per sync_stride for the exact global branch mean. On
+    # this single chip the mesh is one device, but the code — and the
+    # results, which are mesh-size-invariant — is exactly what a pod
+    # slice runs with the branch axis sharded (docs/DESIGN.md).
+    from tinympc_tpu import shard
+    # Budget outer-equivalently: the coupling advances once per
+    # sync_stride inner iterations (docs/SERVING.md step 6). Jit the
+    # whole driver so repeat calls skip retracing the chunk loop.
+    p_x = tm.with_settings(prob, max_iter=2500, check_termination=5)
+    mesh = shard.make_mesh()
+    xsolve = jax.jit(lambda x0: shard.solve_fused_consensus_sharded(
+        p_x, Xref, None, x0, mesh, sync_stride=5))
+    solx, resx = xsolve(x0)
+    jax.block_until_ready(solx.x)
+    t0 = time.perf_counter()
+    solx, resx = xsolve(x0)
+    jax.block_until_ready(solx.x)
+    dt = time.perf_counter() - t0
+    sv = np.asarray(solx.solved)
+    print(f"cross-shard scheme (1-device mesh, cold, 2500 inner iters): "
+          f"{ng * G / dt:,.0f} scenario-solves/s, solved {sv.mean():.2f}, "
+          f"u0 spread {np.ptp(np.asarray(solx.u[0]), axis=1).max():.2e}")
+
 
 if __name__ == "__main__":
     main()

@@ -190,3 +190,62 @@ def test_fleet_solver_validation():
         solver(np.zeros(3, int), jnp.zeros((4, 12), jnp.float32))
     with pytest.raises(ValueError, match="out of range"):
         solver(np.full(4, 2), jnp.zeros((4, 12), jnp.float32))
+
+
+def test_fleet_solver_warm_sequence_matches_direct():
+    """Warm fleet solver (round 5): the receding-horizon variant threads
+    a fleet-order FusedCarry through bucketed warm launches — each
+    system's lanes must track a direct solve_fused_warm sequence of the
+    same lanes (iter/solved exact; iterates to CPU cross-program
+    noise)."""
+    from tinympc_tpu.kernels import (init_carry, make_fleet_solver,
+                                     solve_fused_warm)
+    s = systems.quadrotor_20hz()
+    probs = []
+    for scale in (1.0, 1.015):
+        A = np.asarray(s["A"]) * np.where(np.eye(12) == 1, 1.0, scale)
+        p = tm.setup(A, s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"], N=10,
+                     dtype=jnp.float32)
+        p = tm.with_bounds(p, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+        probs.append(tm.with_settings(p, max_iter=30))
+
+    B = 16
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 12)), jnp.float32)
+    assignments = np.asarray([0, 1] * 8)
+
+    solver = make_fleet_solver(probs, tile=16, warm=True, interpret=True)
+    carry = init_carry(probs[0], B)
+
+    # Direct per-system references (same padded gathers as the dispatch).
+    refs = {}
+    for sys_i in range(2):
+        idx = np.flatnonzero(assignments == sys_i)
+        refs[sys_i] = (idx, init_carry(probs[sys_i], idx.size),
+                       jax.jit(lambda x0, c, p=probs[sys_i]:
+                               solve_fused_warm(p, None, None, x0, c,
+                                                tile=16, interpret=True)))
+
+    x_cur = x0s
+    for step in range(3):
+        sol, res, carry = solver(assignments, x_cur, carry)
+        for sys_i in range(2):
+            idx, c_ref, fn = refs[sys_i]
+            sol_d, res_d, c_ref = fn(jnp.take(x_cur, jnp.asarray(idx),
+                                              axis=0), c_ref)
+            refs[sys_i] = (idx, c_ref, fn)
+            np.testing.assert_array_equal(np.asarray(sol.iter[idx]),
+                                          np.asarray(sol_d.iter))
+            np.testing.assert_array_equal(np.asarray(sol.solved[idx]),
+                                          np.asarray(sol_d.solved))
+            np.testing.assert_allclose(np.asarray(sol.u[:, idx]),
+                                       np.asarray(sol_d.u), atol=5e-5)
+        # Advance every plant with its own system's dynamics.
+        un = np.asarray(sol.u[0])
+        xn = np.empty((B, 12), np.float32)
+        for sys_i in range(2):
+            idx = np.flatnonzero(assignments == sys_i)
+            p = probs[sys_i]
+            xn[idx] = (np.asarray(x_cur)[idx] @ np.asarray(p.A).T
+                       + un[idx] @ np.asarray(p.B).T + np.asarray(p.f))
+        x_cur = jnp.asarray(xn)

@@ -453,3 +453,42 @@ def test_lane_vmem_budget_device_aware(monkeypatch):
     monkeypatch.setattr(_jax, "devices", fake_devices("TPU v99 mega"))
     with pytest.raises(ValueError, match="TINYMPC_VMEM_BUDGET_MIB"):
         ap.lane_vmem_budget()
+
+
+def test_solve_fused_multi_validation():
+    """solve_fused_multi (the recorded single-launch experiment) guards
+    its preconditions: shared spec/settings and setup rho, no consensus,
+    even bucket split."""
+    from tinympc_tpu.kernels import solve_fused_multi
+    p1 = _problem(max_iter=10)
+    p2 = _problem(max_iter=20)
+    x0 = jnp.zeros((8, 12), jnp.float32)
+    with pytest.raises(ValueError, match="spec/settings"):
+        solve_fused_multi([p1, p2], x0, tile=4, interpret=True)
+    s = systems.quadrotor_20hz()
+    p3 = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=7.7, N=10,
+                  dtype=jnp.float32)
+    p3 = tm.with_bounds(p3, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    p3 = tm.with_settings(p3, max_iter=10)
+    with pytest.raises(ValueError, match="rho"):
+        solve_fused_multi([p1, p3], x0, tile=4, interpret=True)
+    with pytest.raises(ValueError, match="consensus"):
+        solve_fused_multi([tm.with_consensus(p1, rho_c=10.0)] * 2,
+                          jnp.zeros((2, 4, 12), jnp.float32),
+                          interpret=True)
+    with pytest.raises(ValueError, match="equal"):
+        solve_fused_multi([p1, p1, p1], jnp.zeros((8, 12), jnp.float32),
+                          tile=4, interpret=True)
+
+    # And the happy path matches per-system direct solves on CPU.
+    from tinympc_tpu.kernels import solve_fused
+    rng = np.random.default_rng(9)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 12)), jnp.float32)
+    pA = _problem(max_iter=15)
+    sol_m, res_m = solve_fused_multi([pA, pA], x0s, tile=4, interpret=True)
+    sol_d, _ = jax.jit(lambda x: solve_fused(pA, None, None, x, tile=4,
+                                             interpret=True))(x0s)
+    np.testing.assert_array_equal(np.asarray(sol_m.iter),
+                                  np.asarray(sol_d.iter))
+    np.testing.assert_allclose(np.asarray(sol_m.x), np.asarray(sol_d.x),
+                               atol=5e-5)

@@ -293,3 +293,37 @@ def test_fused_consensus_sharded_validation():
         shard.solve_fused_consensus_sharded(
             prob, None, None, jnp.zeros((2, 6, 12), jnp.float32),
             shard.make_mesh(), interpret=True)
+
+
+def test_fused_consensus_cross_shard_warm_sequence():
+    """Warm receding-horizon scenario trees at pod scale (round 5): the
+    cross-shard driver threads its FusedCarry across calls. A 2-call
+    warm sequence must equal one budget-doubled cold call... is NOT
+    expected (outer updates land at different points); instead assert
+    the warm second call (a) starts from the first call's consensus
+    state (converges in far fewer inner iterations on an identical
+    problem) and (b) stays mesh-size-invariant."""
+    prob = _consensus_prob(max_iter=400, rho_c=200.0, tol=5e-3)
+    ng, Gg = 2, 16
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.uniform(-1, 1, (ng, Gg, 12)) * 0.04, jnp.float32)
+
+    outs = {}
+    for nd in (1, 8):
+        mesh = shard.make_mesh(devices=jax.devices()[:nd])
+        sol1, res1, carry = shard.solve_fused_consensus_sharded(
+            prob, None, None, x0s, mesh, sync_stride=5,
+            return_carry=True, interpret=True)
+        sol2, res2, carry = shard.solve_fused_consensus_sharded(
+            prob, None, None, x0s, mesh, sync_stride=5, carry=carry,
+            return_carry=True, interpret=True)
+        outs[nd] = (np.asarray(sol1.iter), np.asarray(sol2.iter),
+                    np.asarray(sol2.x), np.asarray(sol2.solved))
+    it1, it2 = outs[1][0], outs[1][1]
+    assert it1.max() > 0
+    # Warm resolve of the identical problem: far cheaper than cold.
+    assert it2.mean() <= 0.5 * it1.mean(), (it1.mean(), it2.mean())
+    # Mesh invariance holds through the carry round-trip.
+    np.testing.assert_array_equal(outs[8][1], outs[1][1])
+    np.testing.assert_array_equal(outs[8][3], outs[1][3])
+    np.testing.assert_allclose(outs[8][2], outs[1][2], atol=1e-4)

@@ -30,6 +30,7 @@ tick.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -37,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..types import Solution, TinyProblem
-from .admm_pallas import solve_fused
+from .admm_pallas import init_carry, solve_fused, solve_fused_warm
 
 
 def _next_pow2(n: int) -> int:
@@ -46,6 +47,7 @@ def _next_pow2(n: int) -> int:
 
 def make_fleet_solver(probs: Sequence[TinyProblem], *,
                       tile: Optional[int] = None,
+                      warm: bool = False,
                       interpret: bool = False):
     """Build a reusable heterogeneous-fleet solver.
 
@@ -54,6 +56,13 @@ def make_fleet_solver(probs: Sequence[TinyProblem], *,
         static layout (spec dims/families and settings) — they differ in
         numeric data (A, B, f, costs, bounds, cache).
       tile: forwarded to each bucket's fused launch (None = auto).
+      warm: build the receding-horizon variant —
+        ``solve(assignments, x0s, carry, Xref=None, Uref=None) ->
+        (Solution, residuals, carry')`` with a fleet-order
+        :class:`~.admm_pallas.FusedCarry` (start from
+        ``init_carry(probs[0], B)``), per-lane freeze semantics exactly
+        like :func:`~.admm_pallas.solve_fused_warm` per system — the
+        external-plant serving loop for a mixed-robot fleet.
       interpret: run kernels in interpreter mode (tests).
 
     Returns ``solve(assignments, x0s, Xref=None, Uref=None) ->
@@ -133,9 +142,39 @@ def make_fleet_solver(probs: Sequence[TinyProblem], *,
             return (Solution(iter=out_iter, solved=out_solved, x=out_x,
                              u=out_u), out_res)
 
-        return run
+        # The receding-horizon variant: the fleet-order carry is
+        # gathered/scattered per bucket on its lane (last) axis; the
+        # incoming carry buffers are donated into the outputs.
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run_warm(x0s, carry, Xref, Uref):
+            out_x = jnp.zeros((N, B, nx), jnp.float32)
+            out_u = jnp.zeros((N - 1, B, nu), jnp.float32)
+            out_iter = jnp.zeros((B,), jnp.int32)
+            out_solved = jnp.zeros((B,), bool)
+            out_res = jnp.zeros((nres, B), jnp.float32)
+            out_carry = carry
+            for s, k, sel, pad in buckets:
+                Xs = Xref[s] if isinstance(Xref, (list, tuple)) else Xref
+                Us = Uref[s] if isinstance(Uref, (list, tuple)) else Uref
+                sub_c = jax.tree_util.tree_map(
+                    lambda a: jnp.take(a, pad, axis=-1), carry)
+                sol, res, c_out = solve_fused_warm(
+                    probs[s], Xs, Us, jnp.take(x0s, pad, axis=0), sub_c,
+                    tile=tile, interpret=interpret)
+                out_x = out_x.at[:, sel].set(sol.x[:, :k])
+                out_u = out_u.at[:, sel].set(sol.u[:, :k])
+                out_iter = out_iter.at[sel].set(sol.iter[:k])
+                out_solved = out_solved.at[sel].set(sol.solved[:k])
+                out_res = out_res.at[:, sel].set(res[:, :k])
+                out_carry = jax.tree_util.tree_map(
+                    lambda o, n: o.at[..., sel].set(n[..., :k]),
+                    out_carry, c_out)
+            return (Solution(iter=out_iter, solved=out_solved, x=out_x,
+                             u=out_u), out_res, out_carry)
 
-    def solve(assignments, x0s, Xref=None, Uref=None):
+        return run_warm if warm else run
+
+    def solve(assignments, x0s, *args, Xref=None, Uref=None):
         assignments = np.asarray(assignments)
         x0s = jnp.asarray(x0s)
         B = x0s.shape[0]
@@ -144,9 +183,22 @@ def make_fleet_solver(probs: Sequence[TinyProblem], *,
                              f"{assignments.shape}")
         if assignments.min() < 0 or assignments.max() >= n_sys:
             raise ValueError(f"assignments out of range [0, {n_sys})")
+        if warm:
+            if not args:
+                raise ValueError(
+                    "warm fleet solver takes (assignments, x0s, carry, "
+                    "...); start from init_carry(probs[0], B)")
+            carry, args = args[0], args[1:]
+        if args:
+            # Positional (Xref[, Uref]) for parity with the cold form.
+            Xref = args[0]
+            if len(args) > 1:
+                Uref = args[1]
         key = assignments.tobytes()
         if key not in dispatch_cache:
             dispatch_cache[key] = build_dispatch(assignments)
+        if warm:
+            return dispatch_cache[key](x0s, carry, Xref, Uref)
         return dispatch_cache[key](x0s, Xref, Uref)
 
     return solve

@@ -216,6 +216,7 @@ def solve_fused_consensus_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
                                   axis: Optional[AxisLike] = None,
                                   sync_stride: int = 5,
                                   tile: Optional[int] = None,
+                                  carry=None, return_carry: bool = False,
                                   interpret: bool = False):
     """Cross-shard consensus ADMM on the *fused* kernel (round 5): the
     scenario-group member axis is sharded over the mesh, each device runs
@@ -248,6 +249,14 @@ def solve_fused_consensus_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
     multiple of ``settings.check_termination``. Returns
     ``(Solution, residuals)`` shaped like the consensus
     :func:`~tinympc_tpu.kernels.solve_fused`.
+
+    ``carry``/``return_carry`` (round 5): warm receding-horizon trees at
+    pod scale — pass the previous call's carry (a sharded flat-lane
+    :class:`~tinympc_tpu.kernels.FusedCarry`; ``None`` = cold) and set
+    ``return_carry=True`` to get ``(Solution, residuals, carry')``. The
+    carried consensus slack/dual pair is the outer iterate; it persists
+    across calls like the per-``tiny_solve`` dual persistence of the
+    single-device path.
     """
     import dataclasses
     import jax.numpy as jnp
@@ -281,7 +290,7 @@ def solve_fused_consensus_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
     axname = ax[0] if len(ax) == 1 else ax
     f32 = jnp.float32
 
-    def local(x0l):                       # (ng, Gl, nx)
+    def local_impl(x0l, carry_l):         # (ng, Gl, nx)
         import dataclasses as _dc
         B = ng * Gl
 
@@ -340,7 +349,7 @@ def solve_fused_consensus_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
             used, all_done = state[0], state[1]
             return (used < total) & jnp.logical_not(all_done)
 
-        carry0 = init_carry(prob, B)
+        carry0 = carry_l if carry_l is not None else init_carry(prob, B)
         nres = 5 if settings.adaptive_rho else 4
         state0 = (jnp.int32(0), jnp.asarray(False),
                   jnp.zeros((N, B, nx), f32),
@@ -349,22 +358,39 @@ def solve_fused_consensus_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,
                   jnp.zeros((B,), bool),
                   jnp.zeros((nres, B), f32),
                   carry0)
-        _, _, ox, ou, oit, osv, ores, _ = jax.lax.while_loop(
+        _, _, ox, ou, oit, osv, ores, carry_out = jax.lax.while_loop(
             cond, chunk, state0)
         sol = Solution(iter=oit.reshape(ng, Gl),
                        solved=osv.reshape(ng, Gl),
                        x=ox.reshape(N, ng, Gl, nx),
                        u=ou.reshape(N - 1, ng, Gl, nu))
-        return sol, ores.reshape(nres, ng, Gl)
+        return sol, ores.reshape(nres, ng, Gl), carry_out
 
     sol_specs = Solution(iter=P(None, ax), solved=P(None, ax),
                          x=P(None, None, ax), u=P(None, None, ax))
-    return shard_map(
-        local, mesh=mesh,
-        in_specs=P(None, ax),
-        out_specs=(sol_specs, P(None, None, ax)),
-        check_vma=False,
-    )(x0s)
+    # Carry leaves are lane-last (..., B_local): shard the last axis.
+    def _cspec(leaf):
+        return P(*([None] * (leaf.ndim - 1) + [ax]))
+    if carry is not None:
+        cspecs = jax.tree.map(_cspec, carry)
+        sol, res, carry_out = shard_map(
+            local_impl, mesh=mesh,
+            in_specs=(P(None, ax), cspecs),
+            out_specs=(sol_specs, P(None, None, ax), cspecs),
+            check_vma=False,
+        )(x0s, carry)
+    else:
+        probe = init_carry(prob, 1)
+        cspecs = jax.tree.map(_cspec, probe)
+        sol, res, carry_out = shard_map(
+            lambda x0l: local_impl(x0l, None), mesh=mesh,
+            in_specs=P(None, ax),
+            out_specs=(sol_specs, P(None, None, ax), cspecs),
+            check_vma=False,
+        )(x0s)
+    if return_carry:
+        return sol, res, carry_out
+    return sol, res
 
 
 def solve_fused_streamed_sharded(prob, Xref, Uref, x0s, mesh: Mesh, *,

@@ -593,6 +593,75 @@ def check_coarse_schedule():
     assert (r[2:4, svc] < prob.settings.abs_dua_tol + 1e-6).all()
 
 
+@check("two-level consensus: sharded driver bitwise == manual frozen chunks")
+def check_two_level_consensus():
+    """shard.solve_fused_consensus_sharded on a 1-device mesh must be
+    BITWISE identical to manually chaining frozen-consensus warm chunks
+    with the exact outer mean/dual updates between them (round 5) —
+    this pins the consensus_frozen kernel mode and the driver's outer
+    update/commit-gate on real hardware."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu import shard
+    from tinympc_tpu.kernels import init_carry, solve_fused_warm
+
+    prob = tm.with_consensus(
+        _quadrotor(max_iter=40, N=10, check_termination=5), rho_c=50.0)
+    ng, G = 2, 8
+    B = ng * G
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rng.uniform(-0.2, 0.2, (ng, G, 12)), jnp.float32)
+
+    mesh1 = shard.make_mesh(devices=jax.devices()[:1])
+    sol_s, res_s = shard.solve_fused_consensus_sharded(
+        prob, None, None, x0s, mesh1, sync_stride=5)
+
+    # Manual reference: same chunks, host-side outer updates + gate.
+    p5 = prob.replace(settings=dataclasses.replace(prob.settings,
+                                                   max_iter=5))
+    carry = init_carry(prob, B)
+    nu = prob.spec.nu
+    out = None
+    used = 0
+    for _ in range(8):
+        u0 = carry.u[0]
+        cand = u0 + carry.yc0
+        gm = cand.reshape(nu, ng, G).mean(axis=2)
+        zc0 = jnp.repeat(gm[:, :, None], G, axis=2).reshape(nu, B)
+        carry = dataclasses.replace(carry, zc0=zc0,
+                                    yc0=carry.yc0 + u0 - zc0)
+        sol, res, carry = solve_fused_warm(
+            prob.replace(settings=p5.settings), None, None, x0s, carry,
+            final=True, consensus_frozen=True)
+        fu = sol.u.reshape(9, B, 4)
+        fx = sol.x.reshape(10, B, 12)
+        fit = sol.iter.reshape(B)
+        fsv = sol.solved.reshape(B)
+        if out is None:
+            out = [fx, fu, fit + 0, jnp.zeros(B, bool)]
+        live = ~out[3]
+        out[0] = jnp.where(live[None, :, None], fx, out[0])
+        out[1] = jnp.where(live[None, :, None], fu, out[1])
+        out[2] = jnp.where(live, used + fit, out[2])
+        u0_eff = jnp.where((out[3] | fsv)[:, None], out[1][0],
+                           carry.u[0].T)
+        lm2 = u0_eff.reshape(ng, G, nu).mean(axis=1)
+        cres = jnp.max(jnp.abs(u0_eff - jnp.repeat(lm2, G, axis=0)),
+                       axis=1)
+        out[3] = out[3] | (fsv & (cres < prob.settings.abs_pri_tol))
+        used += 5
+        if bool(jnp.all(out[3])):
+            break
+    assert np.array_equal(np.asarray(sol_s.iter).reshape(B),
+                          np.asarray(out[2]))
+    assert np.array_equal(np.asarray(sol_s.solved).reshape(B),
+                          np.asarray(out[3]))
+    assert np.array_equal(np.asarray(sol_s.x).reshape(10, B, 12),
+                          np.asarray(out[0]))
+
+
 def main():
     import jax
     dev = jax.devices()[0]
