@@ -414,3 +414,62 @@ def test_compact_consensus_staggered_multi_round(backend):
                                np.asarray(out[0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(sol_c.u.reshape(9, B, 4)),
                                np.asarray(out[1]), atol=1e-4)
+
+
+def test_compact_precise_tail_recovers_stragglers():
+    """Precision-recovery ladder (round 5): lanes unsolved at the base
+    budget warm-resume at matmul_precision='highest' for up to
+    precise_tail extra iterations. The mechanism contract: base-solved
+    lanes are untouched (bitwise vs the tail-free solver), recovered
+    lanes report iter > max_iter and satisfy the tolerances, and the
+    solved fraction can only grow. (The noise-floor recovery itself is
+    chip behavior — tools/run_tpu_checks.py's ladder check and the
+    PARITY decomposition.)"""
+    from tinympc_tpu.kernels import make_compact_solver
+    prob = _quadrotor(max_iter=30, matmul_precision="high")
+    B = 16
+    x0s = _mixed_x0s(B)
+    base = make_compact_solver(prob, chunk=15, tile=B, min_batch=4,
+                               interpret=True)(x0s)
+    tail = make_compact_solver(prob, chunk=15, tile=B, min_batch=4,
+                               precise_tail=100, interpret=True)(x0s)
+    sv_b = np.asarray(base[0].solved)
+    sv_t = np.asarray(tail[0].solved)
+    assert (~sv_b).any(), "premise: the base budget must leave stragglers"
+    assert (sv_t & ~sv_b).any(), "tail recovered nothing"
+    assert (sv_t | ~sv_b).all()        # solved set only grows
+    # Base-solved lanes are untouched.
+    np.testing.assert_array_equal(np.asarray(tail[0].x)[:, sv_b],
+                                  np.asarray(base[0].x)[:, sv_b])
+    np.testing.assert_array_equal(np.asarray(tail[0].iter)[sv_b],
+                                  np.asarray(base[0].iter)[sv_b])
+    # Recovered lanes: past the nominal budget, within tolerances.
+    rec = sv_t & ~sv_b
+    assert (np.asarray(tail[0].iter)[rec] > 30).all()
+    r = np.asarray(tail[1])
+    assert (r[:4, rec] < prob.settings.abs_pri_tol + 1e-6).all()
+
+
+def test_compact_precise_tail_consensus_groups():
+    """The ladder composes with group-unit consensus compaction: live
+    groups warm-resume whole at 'highest', frozen lanes stay frozen."""
+    from tinympc_tpu.kernels import make_compact_solver
+    prob = tm.with_consensus(
+        _quadrotor(max_iter=20, abs_pri_tol=2e-2, abs_dua_tol=2e-2,
+                   matmul_precision="high"), rho_c=50.0)
+    ng, G = 8, 4
+    rng = np.random.default_rng(7)
+    scales = np.asarray([0.005, 0.01, 0.02, 0.03, 0.05, 0.08, 0.12,
+                         0.2])[:, None, None]
+    x0s = jnp.asarray(rng.uniform(-1, 1, (ng, G, 12)) * scales, jnp.float32)
+    base = make_compact_solver(prob, chunk=10, tile=ng * G, min_batch=G,
+                               interpret=True)(x0s)
+    tail = make_compact_solver(prob, chunk=10, tile=ng * G, min_batch=G,
+                               precise_tail=100, interpret=True)(x0s)
+    sv_b = np.asarray(base[0].solved)
+    sv_t = np.asarray(tail[0].solved)
+    assert (~sv_b).any(), "premise: stragglers must remain at 20 iters"
+    assert sv_t.sum() >= sv_b.sum()
+    # Frozen (base-solved) lanes keep their first-convergence outputs.
+    np.testing.assert_array_equal(np.asarray(tail[0].x)[:, sv_b],
+                                  np.asarray(base[0].x)[:, sv_b])

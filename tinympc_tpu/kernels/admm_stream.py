@@ -733,8 +733,10 @@ def _stream_solve(prob, Xref, Uref, x0s, carry, tile, chunk, interpret,
     if prob.settings.coarse_iters:
         raise ValueError(
             "coarse_iters (the mixed-precision iteration schedule) is "
-            "implemented on the resident fused kernel only; set "
-            "coarse_iters=0 for the streamed kernel")
+            "implemented on the resident fused kernel only — the "
+            "streamed iteration is mostly HBM-bound (raw bf16 measured "
+            "+13% vs +27% resident; docs/DESIGN.md 'Mixed-precision "
+            "schedule'); set coarse_iters=0 for the streamed kernel")
     adaptive = prob.settings.adaptive_rho
     apply_c = prob.settings.adaptive_rho_apply_c
     spec0 = prob.spec

@@ -72,6 +72,7 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
                         tile: Optional[int] = None, min_batch: int = 256,
                         segment: Optional[int] = None,
                         backend: str = "auto",
+                        precise_tail: Optional[int] = None,
                         interpret: bool = False):
     """Build a reusable to-convergence compaction solver for ``prob``.
 
@@ -120,6 +121,17 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
         compaction on mixed batches (measured 10.8k vs 8.6k solves/s at
         N=256, B=4096 — BENCH_TABLE.md); reach for streamed compaction
         when the live set shrinks far below a tile.
+      precise_tail: the precision-recovery ladder (round 5,
+        docs/PARITY.md "The oracle solved-fraction gap, decomposed"):
+        after the base budget, lanes still unsolved — at
+        matmul_precision "high" those sitting at the bf16x3 noise floor
+        — warm-resume for up to this many extra iterations at
+        "highest". The carry hands over exactly (precision changes the
+        arithmetic, not the layout), so a straggler continues from its
+        current iterate instead of restarting; recovered lanes report
+        ``iter > max_iter`` (base budget + tail iterations). Costs only
+        ``unsolved_frac x tail / (3x rate)`` instead of the 3x of
+        running the whole fleet at "highest". None = off.
       interpret: run the kernels in interpreter mode (tests).
     """
     settings = prob.settings
@@ -153,6 +165,25 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
         return min(c, remaining)
 
     phase_fns = {}
+
+    def run_tail(Xref, Uref, x0_sub, carry_sub):
+        if "tail" not in phase_fns:
+            p = prob.replace(settings=dataclasses.replace(
+                settings, max_iter=precise_tail,
+                matmul_precision="highest"))
+            if use_stream:
+                from .admm_stream import solve_fused_streamed_warm
+                phase_fns["tail"] = jax.jit(
+                    lambda X, U, x0, c: solve_fused_streamed_warm(
+                        p, X, U, x0, c, tile=tile, interpret=interpret),
+                    donate_argnums=(3,))
+            else:
+                phase_fns["tail"] = jax.jit(
+                    lambda X, U, x0, c: solve_fused_warm(
+                        p, X, U, x0, c, tile=tile, final=True,
+                        interpret=interpret),
+                    donate_argnums=(3,))
+        return phase_fns["tail"](Xref, Uref, x0_sub, carry_sub)
 
     def run_phase(iters, Xref, Uref, x0_sub, carry_sub):
         if iters not in phase_fns:
@@ -274,6 +305,26 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
             used += step
             solved_host = np.asarray(sol.solved[:k])
 
+        if precise_tail and not solved_host.all():
+            # Precision-recovery ladder: warm-resume the survivors at
+            # "highest" (docstring).
+            local = np.flatnonzero(~solved_host)
+            g = g[local]
+            k = local.size
+            T = tile if tile else 4096
+            P = -(-k // T) * T if k >= T else _next_pow2(k)
+            P = max(P, min(min_batch, _next_pow2(B)))
+            local_pad = np.concatenate([local, np.full(P - k, local[0])]) \
+                if P > k else local
+            global_pad = np.concatenate([g, np.full(P - k, g[0])]) \
+                if P > k else g
+            sub_x0, carry = gather_phase(x0s, carry, jnp.asarray(local_pad),
+                                         jnp.asarray(global_pad))
+            sol, res, carry = run_tail(Xref, Uref, sub_x0, carry)
+            out_x, out_u, out_iter, out_solved, out_res = scatter_phase(
+                (out_x, out_u, out_iter, out_solved, out_res),
+                jnp.asarray(g), sol, res, jnp.int32(used))
+
         return (Solution(iter=out_iter, solved=out_solved, x=out_x,
                          u=out_u), out_res)
 
@@ -350,6 +401,40 @@ def make_compact_solver(prob: TinyProblem, *, chunk: int = 100,
                     jnp.int32(used))
             used += step
             solved_host = np.asarray(out_solved)
+
+        lane_solved = solved_host.reshape(-1, G)
+        if precise_tail and not lane_solved.all():
+            # Ladder for scenario groups: whole live groups warm-resume
+            # at "highest"; the masked scatter keeps first-convergence
+            # outputs frozen.
+            local_g = np.flatnonzero(~lane_solved[g_groups].all(axis=1))
+            if local_g.size:
+                g_groups = g_groups[local_g]
+                kg = local_g.size
+                k_lanes = kg * G
+                P = -(-k_lanes // T) * T if k_lanes >= T \
+                    else max(_next_pow2(k_lanes), G)
+                P = max(P, min(min_batch, _next_pow2(B)))
+                pg = P // G
+                local_gp = np.concatenate(
+                    [local_g, np.full(pg - kg, local_g[0])]) \
+                    if pg > kg else local_g
+                global_gp = np.concatenate(
+                    [g_groups, np.full(pg - kg, g_groups[0])]) \
+                    if pg > kg else g_groups
+                lane_local = (local_gp[:, None] * G + np.arange(G)).ravel()
+                sub_x0, carry = gather_phase(
+                    x0s, carry, jnp.asarray(lane_local),
+                    jnp.asarray(global_gp))
+                sol, res, carry = run_tail(Xref, Uref, sub_x0, carry)
+                sx, su, sit, ssv, sres = flat(sol, res)
+                sel_lanes = (g_groups[:, None] * G + np.arange(G)).ravel()
+                out_x, out_u, out_iter, out_solved, out_res = \
+                    scatter_phase_masked(
+                        (out_x, out_u, out_iter, out_solved, out_res),
+                        jnp.asarray(sel_lanes),
+                        Solution(iter=sit, solved=ssv, x=sx, u=su), sres,
+                        jnp.int32(used))
 
         r = out_res.shape[0]
         return (Solution(iter=out_iter.reshape(ng0, G),

@@ -662,6 +662,36 @@ def check_two_level_consensus():
                           np.asarray(out[0]))
 
 
+@check("precision ladder: 'highest' tail recovers noise-floor stragglers")
+def check_precision_ladder():
+    """make_compact_solver(precise_tail=...) warm-resumes lanes the
+    bf16x3 noise floor left unsolved at matmul_precision='highest'
+    (round 5, PARITY's solved-fraction decomposition): on a hard batch
+    the tail must recover real lanes, their residuals passing the
+    tolerances, at far less than the 3x of running everything at
+    'highest'."""
+    import tinympc_tpu as tm
+    from tinympc_tpu.kernels import make_compact_solver
+    B = 4096
+    prob = _quadrotor(max_iter=300, N=20, check_termination=25,
+                      matmul_precision="high")
+    import jax.numpy as _jnp
+    Xref = _jnp.tile(_jnp.asarray([0, 0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                                  _jnp.float32), (20, 1))
+    x0s = _x0s(B, scale=0.5, seed=1)
+    base = make_compact_solver(prob, chunk=[300])(x0s, Xref)
+    tail = make_compact_solver(prob, chunk=[300],
+                               precise_tail=300)(x0s, Xref)
+    sv_b = np.asarray(base[0].solved)
+    sv_t = np.asarray(tail[0].solved)
+    rec = sv_t & ~sv_b
+    assert rec.sum() > 0, "ladder recovered no lanes on the hard batch"
+    r = np.asarray(tail[1])
+    assert (r[:4, rec] < prob.settings.abs_pri_tol + 1e-6).all()
+    np.testing.assert_array_equal(np.asarray(tail[0].x)[:, sv_b],
+                                  np.asarray(base[0].x)[:, sv_b])
+
+
 def main():
     import jax
     dev = jax.devices()[0]
