@@ -393,6 +393,28 @@ def main():
            "solves/s", f"solved_frac={float(np.mean(np.asarray(out.solved))):.3f}, "
            f"iters_to_solved={iters_to_solved(out):.0f}", sp)
 
+    # Precision-recovery ladder (round 5): straggler-only 'highest' tail
+    # vs a budget-only control at the same total iterations — the honest
+    # attribution of precision vs budget (docs/PARITY.md).
+    with section("ladder"):
+        from tinympc_tpu.kernels import make_compact_solver
+        lsolver = make_compact_solver(prob, chunk=[100, 400],
+                                      precise_tail=500)
+        lstep = lambda x0: lsolver(x0, Xref)
+        out, dt, sp = bench("ladder", lstep, x0h)
+        record("to-convergence hard batch high-500 + highest-tail-500",
+               B, B / dt, "solves/s",
+               f"solved_frac={float(np.mean(np.asarray(out[0].solved))):.3f}"
+               ", precision-recovery ladder (precise_tail)", sp)
+        p1k = tm.with_settings(prob, max_iter=1000)
+        csolver = make_compact_solver(p1k, chunk=[100, 400, 500])
+        cstep = lambda x0: csolver(x0, Xref)
+        out, dt, sp = bench("ladder_ctrl", cstep, x0h)
+        record("to-convergence hard batch high-1000 (budget control)",
+               B, B / dt, "solves/s",
+               f"solved_frac={float(np.mean(np.asarray(out[0].solved))):.3f}"
+               ", matched-budget control for the ladder row", sp)
+
     # Adaptive rho on the same batch and budget: the IROS-2025 subsystem's
     # value proposition — per-problem rho rescaling should convert
     # unsolved-at-500 lanes into solved ones (rho_benchmark.cpp:175-197).

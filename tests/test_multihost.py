@@ -26,7 +26,8 @@ def test_two_process_simulation():
         capture_output=True, text=True, timeout=600, cwd=ROOT,
         env={**os.environ, "XLA_FLAGS": ""})
     assert out.returncode == 0, out.stdout + out.stderr
-    assert out.stdout.count("MULTIHOST_OK") == 2, out.stdout
+    assert out.stdout.count("MULTIHOST_OK") >= 2, out.stdout
+    assert out.stdout.count("MULTIHOST_CONSENSUS_OK") == 2, out.stdout
 
 
 def test_sharded_fused_ragged_batch():

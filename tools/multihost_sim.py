@@ -91,6 +91,86 @@ def worker(proc_id: int, port: int) -> None:
     print(f"MULTIHOST_OK proc={proc_id} rows=[{lo},{hi}) "
           f"iters={my_iters.tolist()}", flush=True)
 
+    # Stage 2 (round 5): cross-shard consensus on the FUSED kernel over
+    # the same 2-process mesh — scenario-group members span simulated
+    # DCN, the two-level driver's outer mean runs as a pmean across
+    # processes. Verified against a process-local manual reference of
+    # the identical algorithm (the scheme is mesh-size-invariant, so the
+    # unsharded chain of frozen-consensus chunks + exact outer updates
+    # must agree: iter/solved exactly, iterates to cross-program
+    # round-off).
+    import dataclasses
+    from tinympc_tpu.kernels import init_carry, solve_fused_warm
+
+    probc = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                     N=10, dtype=jnp.float32)
+    probc = tm.with_bounds(probc, x_min=-5.0, x_max=5.0, u_min=-0.5,
+                           u_max=0.5)
+    probc = tm.with_settings(probc, max_iter=40, check_termination=5)
+    probc = tm.with_consensus(probc, rho_c=50.0)
+    ng, Gg = 2, 4                      # Gl = 1 member per global device
+    rng2 = np.random.default_rng(1)
+    x0c = jnp.asarray(rng2.uniform(-0.2, 0.2, (ng, Gg, 12)), jnp.float32)
+    sol_sh, _ = shard.solve_fused_consensus_sharded(
+        probc, None, None, x0c, mesh, sync_stride=5, interpret=True)
+    jax.block_until_ready(sol_sh.x)
+
+    Bc = ng * Gg
+    nu = probc.spec.nu
+    p5 = probc.replace(settings=dataclasses.replace(probc.settings,
+                                                    max_iter=5))
+    carry = init_carry(probc, Bc)
+    out = None
+    used = 0
+    for _ in range(8):
+        u0 = carry.u[0]
+        cand = u0 + carry.yc0
+        gm = cand.reshape(nu, ng, Gg).mean(axis=2)
+        zc0 = jnp.repeat(gm[:, :, None], Gg, axis=2).reshape(nu, Bc)
+        carry = dataclasses.replace(carry, zc0=zc0,
+                                    yc0=carry.yc0 + u0 - zc0)
+        solm, _, carry = solve_fused_warm(p5, None, None, x0c, carry,
+                                          final=True,
+                                          consensus_frozen=True,
+                                          interpret=True)
+        fit = solm.iter.reshape(Bc)
+        fsv = solm.solved.reshape(Bc)
+        fx = solm.x.reshape(10, Bc, 12)
+        if out is None:
+            out = [fx, fit + 0, jnp.zeros(Bc, bool)]
+        live = ~out[2]
+        out[0] = jnp.where(live[None, :, None], fx, out[0])
+        out[1] = jnp.where(live, used + fit, out[1])
+        u0_eff = jnp.where((out[2] | fsv)[:, None],
+                           solm.u.reshape(9, Bc, 4)[0], carry.u[0].T)
+        lm2 = u0_eff.reshape(ng, Gg, nu).mean(axis=1)
+        cres = jnp.max(jnp.abs(u0_eff - jnp.repeat(lm2, Gg, axis=0)),
+                       axis=1)
+        out[2] = out[2] | (fsv & (cres < probc.settings.abs_pri_tol))
+        used += 5
+        if bool(jnp.all(out[2])):
+            break
+    # Each process can only read its addressable member shards (this is
+    # real multi-host: devices 2p..2p+1 own members [2p, 2p+2)).
+    def local_concat(garr, axis):
+        shards = sorted(garr.addressable_shards,
+                        key=lambda sh: sh.index[axis].start)
+        lo = shards[0].index[axis].start
+        return lo, np.concatenate([np.asarray(sh.data) for sh in shards],
+                                  axis=axis)
+    m0, x_loc = local_concat(sol_sh.x, 2)
+    _, it_loc = local_concat(sol_sh.iter, 1)
+    _, sv_loc = local_concat(sol_sh.solved, 1)
+    nm = x_loc.shape[2]
+    ref_x = np.asarray(out[0]).reshape(10, ng, Gg, 12)[:, :, m0:m0 + nm]
+    ref_it = np.asarray(out[1]).reshape(ng, Gg)[:, m0:m0 + nm]
+    ref_sv = np.asarray(out[2]).reshape(ng, Gg)[:, m0:m0 + nm]
+    np.testing.assert_array_equal(it_loc, ref_it)
+    np.testing.assert_array_equal(sv_loc, ref_sv)
+    np.testing.assert_allclose(x_loc, ref_x, atol=1e-4)
+    print(f"MULTIHOST_CONSENSUS_OK proc={proc_id} members="
+          f"[{m0},{m0 + nm})", flush=True)
+
 
 def main() -> int:
     with socket.socket() as s:
@@ -108,7 +188,8 @@ def main() -> int:
     ok = True
     for p, pr in enumerate(procs):
         out, _ = pr.communicate(timeout=600)
-        if pr.returncode != 0 or "MULTIHOST_OK" not in out:
+        if (pr.returncode != 0 or "MULTIHOST_OK" not in out
+                or "MULTIHOST_CONSENSUS_OK" not in out):
             ok = False
             print(f"worker {p} FAILED (rc={pr.returncode}):\n{out}")
         else:
