@@ -193,7 +193,9 @@ def main() -> int:
             ok = False
             print(f"worker {p} FAILED (rc={pr.returncode}):\n{out}")
         else:
-            print(out.strip().splitlines()[-1])
+            for line in out.strip().splitlines():
+                if "MULTIHOST" in line:
+                    print(line)
     print("multihost simulation:", "OK" if ok else "FAILED")
     return 0 if ok else 1
 
