@@ -76,6 +76,13 @@ CLAIMS = [
     ("docs/SERVING.md",
      r"([\d.]+)M solves/s = 3.1× the vmap-XLA fallback",
      "hetero fleet 16 systems (bucketed fused)", 1e6, 0.05),
+    # PARITY ladder economics
+    ("docs/PARITY.md",
+     r"equal cost\s*\(([\d]+)k vs [\d]+k solves/s",
+     "to-convergence hard batch high-500 + highest-tail-500", 1e3, 0.05),
+    ("docs/PARITY.md",
+     r"equal cost\s*\([\d]+k vs ([\d]+)k solves/s",
+     "to-convergence hard batch high-1000 (budget control)", 1e3, 0.05),
 ]
 
 # Synthetic keys resolved from bench.py-style artifacts rather than
