@@ -84,3 +84,61 @@ def test_fused_closed_loop_windowed_reset():
 
     np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_r), atol=1e-4)
     np.testing.assert_allclose(np.asarray(us_f), np.asarray(us_r), atol=1e-4)
+
+
+def test_fused_closed_loop_shift_warm_matches_xla():
+    """shift_warm=True (round 5): the in-kernel shift must match the XLA
+    closed loop running the same shift (closed_loop.shift_state) — same
+    plant trajectory, applied inputs, and (to interpret-vs-XLA rounding)
+    iteration counts. The unshifted forms keep their existing parity
+    test above; the shift is an opt-in serving accelerator for
+    transient-heavy regimes — +27% MPC steps/s at max_iter=500 cold
+    fleets, ~cost-neutral at steady state (kernels.shift_carry's
+    measured regime table)."""
+    s = systems.quadrotor_20hz()
+    N, B, T = 10, 8, 10
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=N, dtype=jnp.float32)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    prob = tm.with_settings(prob, max_iter=25, check_termination=5)
+    Xref = jnp.tile(jnp.asarray([0, 0, 0.5, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                                jnp.float32), (N, 1))
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-0.2, 0.2, (B, 12)), jnp.float32)
+
+    xs_r, us_r, it_r, sv_r, _ = closed_loop(
+        prob, tm.init_state(prob, (B,)), x0s, Xref, T, shift_warm=True)
+    xs_f, us_f, it_f, sv_f = closed_loop_fused(
+        prob, Xref, x0s, T, shift_warm=True, tile=B, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(us_f), np.asarray(us_r), atol=1e-4)
+    assert np.mean(np.asarray(it_f) == np.asarray(it_r)) > 0.9
+
+
+def test_shift_carry_and_state_semantics():
+    """shift_carry / shift_state: time rows roll by one with the last
+    repeated; non-time leaves pass through."""
+    from tinympc_tpu.kernels import init_carry, shift_carry
+    from tinympc_tpu.closed_loop import shift_state
+    s = systems.quadrotor_20hz()
+    prob = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"],
+                    N=5, dtype=jnp.float32)
+    prob = tm.with_bounds(prob, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    c = init_carry(prob, 3)
+    import dataclasses
+    marked = dataclasses.replace(
+        c, vnew=jnp.arange(5 * 12 * 3, dtype=jnp.float32).reshape(5, 12, 3))
+    sh = shift_carry(marked)
+    np.testing.assert_array_equal(np.asarray(sh.vnew[:4]),
+                                  np.asarray(marked.vnew[1:]))
+    np.testing.assert_array_equal(np.asarray(sh.vnew[4]),
+                                  np.asarray(marked.vnew[4]))
+    st = tm.init_state(prob, (3,))
+    stm = st.replace(x=jnp.arange(5 * 3 * 12, dtype=jnp.float32)
+                     .reshape(5, 3, 12))
+    sts = shift_state(stm)
+    np.testing.assert_array_equal(np.asarray(sts.x[:4]),
+                                  np.asarray(stm.x[1:]))
+    np.testing.assert_array_equal(np.asarray(sts.x[4]),
+                                  np.asarray(stm.x[4]))

@@ -249,6 +249,36 @@ def init_carry(prob: TinyProblem, B: int) -> FusedCarry:
                       **fam)
 
 
+def shift_carry(carry: FusedCarry) -> FusedCarry:
+    """Advance a warm carry one timestep for receding-horizon reuse
+    (round 5; classic MPC shift warm start, no reference analog — the
+    reference reuses its workspace unshifted, admm.cpp persistent
+    iterates): every time-indexed leaf drops its first row and repeats
+    the last, so the previous solve's tail seeds the new horizon's
+    overlapping window. The u[0] consensus pair and the per-lane rho
+    are step-invariant and pass through. The fused closed loop applies
+    the same shift in-kernel via ``closed_loop_fused(shift_warm=True)``.
+
+    Measured regimes (chip, B=16384, T=50, ct=5 -- the shift costs ~6
+    trajectory copies per step, so it pays only when it saves a couple
+    of iterations): transient-heavy loops (cold fleets, max_iter=500)
+    +27% MPC steps/s (3.30M -> 4.18M; mean iters 39.9 -> 27.5); steady
+    hover at max_iter=100: -2% (15.2 -> 14.8 iters -- cost ~ savings);
+    a moving-reference tracking sweep: iters 22.1 -> 20.8, throughput
+    flat. Opt in accordingly; the external-plant host loop measured
+    12.7 -> 11.4 iters/step on its N=20 workload."""
+    import dataclasses as _dc
+
+    def sh(a):
+        return None if a is None else jnp.concatenate([a[1:], a[-1:]],
+                                                      axis=0)
+
+    return _dc.replace(carry, **{
+        f: sh(getattr(carry, f))
+        for f in ("vnew", "znew", "g", "y", "v", "z", "gc", "yc", "gl",
+                  "yl", "gtv", "ytv", "x", "u")})
+
+
 def _project_soc_rows(seg, mu, dim):
     """SOC projection on a (T, dim, Bt) segment, cone axis = feature axis.
 

@@ -80,7 +80,7 @@ def _kernel(
     *,
     T: int, N: int, nx: int, nu: int, max_iter: int, check_termination: int,
     abs_pri_tol: float, abs_dua_tol: float, rho: float, reset_duals: bool,
-    mm_mode: str = "ambient",
+    mm_mode: str = "ambient", shift_warm: bool = False,
 ):
     f32 = jnp.float32
     Bt = x0_ref.shape[-1]
@@ -262,12 +262,30 @@ def _kernel(
         cm = conv[None, None, :]
         vlast = vnew[last]
         zlast = znew[last]
-        vnew[1] = jnp.where(cm, snap_v[:], vlast)
-        znew[1] = jnp.where(cm, snap_z[:], zlast)
-        g[:] = jnp.where(cm, snap_g[:], g[:])
-        y[:] = jnp.where(cm, snap_y[:], y[:])
-        vstale[:] = jnp.where(cm, snap_vst[:], vlast)
-        zstale[:] = jnp.where(cm, snap_zst[:], zlast)
+        vmerged = jnp.where(cm, snap_v[:], vlast)
+        zmerged = jnp.where(cm, snap_z[:], zlast)
+        gmerged = jnp.where(cm, snap_g[:], g[:])
+        ymerged = jnp.where(cm, snap_y[:], y[:])
+        vstm = jnp.where(cm, snap_vst[:], vlast)
+        zstm = jnp.where(cm, snap_zst[:], zlast)
+        if shift_warm:
+            # Shift warm start (round 5, kernels.shift_carry's in-kernel
+            # twin): the horizon recedes one step between solves, so
+            # drop each carried trajectory's first row and repeat the
+            # last — the previous solution's tail seeds the overlapping
+            # window. Pays in transient-heavy regimes (+27% at
+            # max_iter=500 cold fleets); ~cost-neutral at steady state
+            # (measured regime table in kernels.shift_carry).
+            sh = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
+            vmerged, zmerged = sh(vmerged), sh(zmerged)
+            gmerged, ymerged = sh(gmerged), sh(ymerged)
+            vstm, zstm = sh(vstm), sh(zstm)
+        vnew[1] = vmerged
+        znew[1] = zmerged
+        g[:] = gmerged
+        y[:] = ymerged
+        vstale[:] = vstm
+        zstale[:] = zstm
         u0fin = jnp.where(conv[None, :], snap_u0[:], u0s[:])
 
         # Record and simulate the plant with the applied first input.
@@ -283,6 +301,7 @@ def _kernel(
 
 def closed_loop_fused(prob: TinyProblem, Xref_total, x0s, n_steps: int,
                       Uref=None, *, reset_duals: bool = False,
+                      shift_warm: bool = False,
                       tile: int = DEFAULT_TILE, interpret: bool = False):
     """Run ``n_steps`` receding-horizon MPC steps for a batch of plants,
     fully fused on-chip.
@@ -292,6 +311,12 @@ def closed_loop_fused(prob: TinyProblem, Xref_total, x0s, n_steps: int,
         hold one window fixed (it is then tiled).
       x0s: (B, nx) initial plant states.
       reset_duals: zero y/g before each solve (quadrotor_tracking.cpp:92-93).
+      shift_warm: advance the carried slack/dual trajectories one
+        timestep between solves (the classic MPC shift warm start —
+        measured regime table in kernels.shift_carry: +27% on
+        transient-heavy loops, ~neutral at steady state). Off by
+        default; with it on, parity holds vs
+        closed_loop(shift_warm=True) (tests/test_closed_loop_fused.py).
 
     Returns (xs, us, iters, solved): xs (n_steps, B, nx) plant states,
     us (n_steps, B, nu) applied inputs, iters/solved (n_steps, B).
@@ -349,6 +374,7 @@ def closed_loop_fused(prob: TinyProblem, Xref_total, x0s, n_steps: int,
         max_iter=st.max_iter, check_termination=st.check_termination,
         abs_pri_tol=st.abs_pri_tol, abs_dua_tol=st.abs_dua_tol,
         rho=float(c.rho), reset_duals=reset_duals,
+        shift_warm=shift_warm,
         # Mosaic has no HIGH dot precision; "high" maps to the hand-rolled
         # depth-stacked 3-pass bf16 scheme (see admm_pallas).
         mm_mode="bf16x3" if st.matmul_precision == "high" else "ambient",
