@@ -327,3 +327,29 @@ def test_fused_consensus_cross_shard_warm_sequence():
     np.testing.assert_array_equal(outs[8][1], outs[1][1])
     np.testing.assert_array_equal(outs[8][3], outs[1][3])
     np.testing.assert_allclose(outs[8][2], outs[1][2], atol=1e-4)
+
+
+def test_fused_consensus_cross_shard_with_reference():
+    """Cross-shard consensus with a tracked reference (all prior tests
+    regulate to the origin): the Xref/Uref plumbing must reach the
+    frozen-consensus chunks, and mesh invariance must hold."""
+    prob = _consensus_prob(max_iter=300, rho_c=200.0, tol=5e-3)
+    ng, Gg = 2, 8
+    rng = np.random.default_rng(4)
+    x0s = jnp.asarray(rng.uniform(-1, 1, (ng, Gg, 12)) * 0.05, jnp.float32)
+    Xref = jnp.zeros((10, 12), jnp.float32).at[:, 2].set(0.3)
+    outs = {}
+    for nd in (1, 8):
+        mesh = shard.make_mesh(devices=jax.devices()[:nd])
+        sol, res = shard.solve_fused_consensus_sharded(
+            prob, Xref, None, x0s, mesh, sync_stride=5, interpret=True)
+        outs[nd] = (np.asarray(sol.iter), np.asarray(sol.solved),
+                    np.asarray(sol.x))
+    assert outs[1][1].any(), "premise: some lanes must converge"
+    # The reference is actually tracked: solved lanes climb toward
+    # z=0.3 (x0 ~ 0; N=10 with u bounds doesn't reach it fully).
+    z_end = outs[1][2][-1][outs[1][1]][:, 2]
+    assert z_end.min() > 0.15, z_end
+    np.testing.assert_array_equal(outs[8][0], outs[1][0])
+    np.testing.assert_array_equal(outs[8][1], outs[1][1])
+    np.testing.assert_allclose(outs[8][2], outs[1][2], atol=1e-4)
