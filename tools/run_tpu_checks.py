@@ -692,6 +692,34 @@ def check_precision_ladder():
                                   np.asarray(base[0].x)[:, sv_b])
 
 
+@check("closed loop: fused bitwise == XLA scan, shift off AND on")
+def check_closed_loop_shift_parity():
+    """The fused closed-loop kernel (incl. the round-5 shift-warm-start
+    mode) must be BITWISE equal to the XLA closed loop at 'default'
+    precision on-chip — plant states, applied inputs, and per-step
+    iteration counts, for both shift_warm settings."""
+    import jax.numpy as _jnp
+    import tinympc_tpu as tm
+    from tinympc_tpu.closed_loop import closed_loop
+    from tinympc_tpu.kernels import closed_loop_fused
+    N, B, T = 10, 256, 12
+    prob = _quadrotor(max_iter=25, N=N, matmul_precision="default")
+    Xref = _jnp.zeros((N, 12), _jnp.float32).at[:, 2].set(0.5)
+    x0s = _x0s(B, scale=0.2)
+    for shift in (False, True):
+        xs_r, us_r, it_r, _, _ = closed_loop(
+            prob, tm.init_state(prob, (B,)), x0s, Xref, T,
+            shift_warm=shift)
+        xs_f, us_f, it_f, _ = closed_loop_fused(
+            prob, Xref, x0s, T, shift_warm=shift, tile=B)
+        assert np.array_equal(np.asarray(xs_f), np.asarray(xs_r)), \
+            f"shift={shift} x"
+        assert np.array_equal(np.asarray(us_f), np.asarray(us_r)), \
+            f"shift={shift} u"
+        assert np.array_equal(np.asarray(it_f), np.asarray(it_r)), \
+            f"shift={shift} iters"
+
+
 def main():
     import jax
     dev = jax.devices()[0]
