@@ -49,6 +49,7 @@ from .types import (
     TINY_UNSOLVED,
 )
 from . import admm, compat, diff, projections, riccati, rho_adapt, systems
+from .closed_loop import closed_loop, shift_state
 from .compat import TinyMPC
 from .diff import make_differentiable, make_differentiable_params
 
