@@ -1,6 +1,8 @@
 """Property-based checks on random problems: whenever the solver reports
 convergence, the solution must actually satisfy the contract — projected
 feasibility and residuals below tolerance — independent of any golden."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,3 +111,46 @@ def test_bf16x3_sweeps_approximate_f32():
     scale2 = float(np.abs(np.asarray(ref2.x)).max())
     np.testing.assert_allclose(np.asarray(b32.x), np.asarray(ref2.x),
                                atol=2e-4 * scale2)
+
+
+def test_doc_number_checker_catches_drift(tmp_path):
+    """tools/check_doc_numbers.py is the mechanized single-source-of-
+    truth rule (round 5): it must pass on the checked-in tree and FAIL
+    when a quoted doc number is doctored."""
+    import shutil
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    out = subprocess.run([sys.executable,
+                          os.path.join(root, "tools",
+                                       "check_doc_numbers.py")],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stdout + out.stderr
+
+    # Doctor a copy of the tree's doc artifacts and re-run against it.
+    work = tmp_path / "repo"
+    work.mkdir()
+    for name in ("README.md", "STATUS.md", "BENCH_RESULTS.json"):
+        shutil.copy(os.path.join(root, name), work / name)
+    (work / "docs").mkdir()
+    for name in ("DESIGN.md", "SERVING.md", "PARITY.md"):
+        shutil.copy(os.path.join(root, "docs", name), work / "docs" / name)
+    (work / "tools").mkdir()
+    shutil.copy(os.path.join(root, "tools", "check_doc_numbers.py"),
+                work / "tools" / "check_doc_numbers.py")
+    for fn in os.listdir(root):
+        if fn.startswith("BENCH_r") and fn.endswith(".json"):
+            shutil.copy(os.path.join(root, fn), work / fn)
+    readme = (work / "README.md").read_text()
+    import re
+    doctored = re.sub(
+        r"tinympc-tpu, fused Pallas kernel:\s*[\d,]+ solves/s",
+        "tinympc-tpu, fused Pallas kernel:     9,999,999 solves/s",
+        readme)
+    assert doctored != readme
+    (work / "README.md").write_text(doctored)
+    out = subprocess.run([sys.executable,
+                          str(work / "tools" / "check_doc_numbers.py")],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode != 0 and "DRIFT" in out.stdout, out.stdout
