@@ -249,3 +249,13 @@ def test_fleet_solver_warm_sequence_matches_direct():
             xn[idx] = (np.asarray(x_cur)[idx] @ np.asarray(p.A).T
                        + un[idx] @ np.asarray(p.B).T + np.asarray(p.f))
         x_cur = jnp.asarray(xn)
+
+
+def test_fleet_solver_rejects_consensus_specs():
+    from tinympc_tpu.kernels import make_fleet_solver
+    s = systems.quadrotor_20hz()
+    p = tm.setup(s["A"], s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"], N=10,
+                 dtype=jnp.float32)
+    p = tm.with_bounds(p, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+    with pytest.raises(ValueError, match="consensus"):
+        make_fleet_solver([tm.with_consensus(p, rho_c=10.0)])

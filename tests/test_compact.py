@@ -473,3 +473,29 @@ def test_compact_precise_tail_consensus_groups():
     # Frozen (base-solved) lanes keep their first-convergence outputs.
     np.testing.assert_array_equal(np.asarray(tail[0].x)[:, sv_b],
                                   np.asarray(base[0].x)[:, sv_b])
+
+
+def test_compact_precise_tail_adaptive_rho():
+    """The ladder composes with adaptive rho: the tail phase rebuilds
+    the kernel at 'highest' with the same sensitivity tables, and the
+    per-lane rho rides the carry across the precision change."""
+    from tinympc_tpu.kernels import make_compact_solver
+    prob = _quadrotor(max_iter=20, adaptive_rho=True,
+                      matmul_precision="high")
+    B = 8
+    x0s = _mixed_x0s(B, scale_lo=0.1, scale_hi=0.45, seed=2)
+    base = make_compact_solver(prob, chunk=10, tile=B, min_batch=4,
+                               interpret=True)(x0s)
+    tail = make_compact_solver(prob, chunk=10, tile=B, min_batch=4,
+                               precise_tail=60, interpret=True)(x0s)
+    sv_b = np.asarray(base[0].solved)
+    sv_t = np.asarray(tail[0].solved)
+    assert (~sv_b).any(), "premise: stragglers must remain"
+    assert sv_t.sum() >= sv_b.sum()
+    assert tail[1].shape[0] == 5            # final-rho row rides along
+    rho = np.asarray(tail[1][4])
+    assert (rho >= prob.settings.adaptive_rho_min - 1e-6).all()
+    rec = sv_t & ~sv_b
+    if rec.any():
+        r = np.asarray(tail[1])
+        assert (r[:4, rec] < prob.settings.abs_pri_tol + 1e-6).all()

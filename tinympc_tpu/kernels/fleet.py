@@ -79,6 +79,13 @@ def make_fleet_solver(probs: Sequence[TinyProblem], *,
     if not probs:
         raise ValueError("empty fleet")
     spec0, set0 = probs[0].spec, probs[0].settings
+    if spec0.en_consensus:
+        raise ValueError(
+            "make_fleet_solver takes flat (B, nx) batches; consensus "
+            "specs use grouped (n_groups, G, nx) batches — run each "
+            "system's scenario trees through solve_fused directly (or "
+            "open an issue describing the mixed consensus-fleet shape "
+            "you need)")
     for i, p in enumerate(probs[1:], 1):
         if p.spec != spec0 or p.settings != set0:
             raise ValueError(
