@@ -259,3 +259,29 @@ def test_fleet_solver_rejects_consensus_specs():
     p = tm.with_bounds(p, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
     with pytest.raises(ValueError, match="consensus"):
         make_fleet_solver([tm.with_consensus(p, rho_c=10.0)])
+
+
+def test_fleet_solver_adaptive_rho():
+    """Bucketed fleets compose with adaptive rho: each bucket's launch
+    carries the 5th (final-rho) residual row, scattered into fleet
+    order."""
+    from tinympc_tpu.kernels import make_fleet_solver
+    s = systems.quadrotor_20hz()
+    probs = []
+    for scale in (1.0, 1.01):
+        A = np.asarray(s["A"]) * np.where(np.eye(12) == 1, 1.0, scale)
+        p = tm.setup(A, s["B"], s["Qdiag"], s["Rdiag"], rho=s["rho"], N=10,
+                     dtype=jnp.float32)
+        p = tm.with_bounds(p, x_min=-5.0, x_max=5.0, u_min=-0.5, u_max=0.5)
+        probs.append(tm.with_settings(p, max_iter=30, adaptive_rho=True))
+    B = 16
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.uniform(-0.4, 0.4, (B, 12)), jnp.float32)
+    assignments = np.asarray([0, 1] * 8)
+    sol, res = make_fleet_solver(probs, tile=16, interpret=True)(
+        assignments, x0s)
+    assert res.shape[0] == 5
+    rho = np.asarray(res[4])
+    assert (rho >= probs[0].settings.adaptive_rho_min - 1e-6).all()
+    assert (rho <= probs[0].settings.adaptive_rho_max + 1e-6).all()
+    assert sol.x.shape == (10, B, 12)
