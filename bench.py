@@ -118,15 +118,30 @@ def _bench(step, x0s, reps, min_rep_s=1.0):
     jax.block_until_ready(step(x0s))
     t1 = max(time.perf_counter() - t0, 1e-6)
     k = max(1, int(np.ceil(min_rep_s / t1)))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            out = step(x0s)
-        jax.block_until_ready(out)
-        ts.append((time.perf_counter() - t0) / k)
-    med = float(np.median(ts))
-    return out, med, (max(ts) - min(ts)) / med
+
+    def measure():
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            o = out
+            for _ in range(k):
+                o = step(x0s)
+            jax.block_until_ready(o)
+            ts.append((time.perf_counter() - t0) / k)
+        med = float(np.median(ts))
+        return med, (max(ts) - min(ts)) / med
+
+    med, spread = measure()
+    if spread > 0.5:
+        # The tunnel occasionally stalls (or spuriously fast-returns) a
+        # rep for tens of ms-to-seconds; one remeasure filters those
+        # transients out of the recorded medians (same rule as
+        # bench_all.bench — the round-4 driver capture recorded a 74.7%
+        # ct=1 spread from exactly one such transient).
+        med2, spread2 = measure()
+        if spread2 < spread:
+            med, spread = med2, spread2
+    return out, med, spread
 
 
 def main():

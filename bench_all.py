@@ -577,6 +577,20 @@ def main():
         out, dt, sp = bench("clf5", clf5, x0s)
         record("closed-loop MPC steps (fused kernel, ct=5)", B, B * T / dt,
                "MPC steps/s", f"T={T} warm-started; stride sweet spot", sp)
+        # Transient-heavy regime (cold fleet, max_iter=500): the pair of
+        # rows below pins the docs' shift-warm-start claim
+        # (kernels.shift_carry regime table; +27% = shift-on / shift-off
+        # here, mechanized as a ratio claim in tools/check_doc_numbers.py).
+        p500 = tm.with_settings(p5, max_iter=500)
+        for shift in (False, True):
+            clf500 = jax.jit(lambda x0s, s=shift: closed_loop_fused(
+                p500, Xref, x0s, T, shift_warm=s)[2])
+            out, dt, sp = bench("clf500", clf500, x0s)
+            tag = ", shift-warm" if shift else ""
+            record(f"closed-loop MPC steps (fused, ct=5, mi=500{tag})",
+                   B, B * T / dt, "MPC steps/s",
+                   f"T={T} cold fleet; iters/step "
+                   f"{float(np.mean(np.asarray(out))):.1f}", sp)
 
     stamp = datetime.date.today().isoformat()
     dev = str(jax.devices()[0])

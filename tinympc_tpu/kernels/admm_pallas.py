@@ -262,7 +262,8 @@ def shift_carry(carry: FusedCarry) -> FusedCarry:
     Measured regimes (chip, B=16384, T=50, ct=5 -- the shift costs ~6
     trajectory copies per step, so it pays only when it saves a couple
     of iterations): transient-heavy loops (cold fleets, max_iter=500)
-    +27% MPC steps/s (3.30M -> 4.18M; mean iters 39.9 -> 27.5); steady
+    +34% MPC steps/s (3.29M -> 4.39M; mean iters 39.8 -> 27.5, the
+    BENCH_TABLE "mi=500" row pair); steady
     hover at max_iter=100: -2% (15.2 -> 14.8 iters -- cost ~ savings);
     a moving-reference tracking sweep: iters 22.1 -> 20.8, throughput
     flat. Opt in accordingly; the external-plant host loop measured

@@ -83,6 +83,31 @@ CLAIMS = [
     ("docs/PARITY.md",
      r"equal cost\s*\([\d]+k vs ([\d]+)k solves/s",
      "to-convergence hard batch high-1000 (budget control)", 1e3, 0.05),
+    # Shift warm start (round 5): the +27% and its two endpoints. The
+    # percent claims resolve to 100*(shift_row/base_row - 1) via the
+    # ratio key form below.
+    ("README.md",
+     r"measured \+(\d+)% MPC\s*steps/s on transient-heavy",
+     ("__ratio_pct__",
+      "closed-loop MPC steps (fused, ct=5, mi=500, shift-warm)",
+      "closed-loop MPC steps (fused, ct=5, mi=500)"), 1, 0.10),
+    ("docs/SERVING.md",
+     r"\+(\d+)% at max_iter=500",
+     ("__ratio_pct__",
+      "closed-loop MPC steps (fused, ct=5, mi=500, shift-warm)",
+      "closed-loop MPC steps (fused, ct=5, mi=500)"), 1, 0.10),
+    ("docs/SERVING.md",
+     r"at max_iter=500 \(([\d.]+)M → [\d.]+M",
+     "closed-loop MPC steps (fused, ct=5, mi=500)", 1e6, 0.05),
+    ("docs/SERVING.md",
+     r"at max_iter=500 \([\d.]+M → ([\d.]+)M",
+     "closed-loop MPC steps (fused, ct=5, mi=500, shift-warm)", 1e6, 0.05),
+    ("STATUS.md",
+     r"max_iter=500 cold fleets: ([\d.]+)M →",
+     "closed-loop MPC steps (fused, ct=5, mi=500)", 1e6, 0.05),
+    ("STATUS.md",
+     r"max_iter=500 cold fleets: [\d.]+M →\s*([\d.]+)M",
+     "closed-loop MPC steps (fused, ct=5, mi=500, shift-warm)", 1e6, 0.05),
 ]
 
 # Synthetic keys resolved from bench.py-style artifacts rather than
@@ -98,7 +123,16 @@ def load_results():
 
 
 def resolve(rows, key):
-    """-> (value, spread) for a claim key."""
+    """-> (value, spread) for a claim key.
+
+    A tuple key ("__ratio_pct__", numer_workload, denom_workload)
+    resolves to the percent speedup 100*(numer/denom - 1) with the two
+    rows' spreads summed — for claims like "+27% MPC steps/s" whose
+    truth is a ratio of two benchmark rows.
+    """
+    if isinstance(key, tuple) and key[0] == "__ratio_pct__":
+        (va, sa), (vb, sb) = resolve(rows, key[1]), resolve(rows, key[2])
+        return 100.0 * (va / vb - 1.0), sa + sb
     if key in SYNTHETIC:
         # The ct=1 / to-convergence rows live in the driver-captured
         # bench.py JSON (BENCH_r*.json, newest first; the record may be
