@@ -178,6 +178,23 @@ def main():
                B, B / dt, "solves/s",
                f"coarse_iters=0 reference; "
                f"avg_iters={float(np.mean(np.asarray(out[1]))):.1f}", sp)
+        # Serving-batch asymptote (round 5): the identical step at 8x
+        # the batch — more grid steps per launch amortize the fixed
+        # per-launch cost (measured monotone: 2.83M at 32k, 2.90M at
+        # 64k, 2.93M at 131k, 2.95M at 262k, 2.97M at 524k solves/s).
+        # The canonical headline batch stays 32768 for cross-round
+        # comparability; size real serving batches as large as HBM
+        # allows.
+        B2 = 262144
+        x0h20b = jnp.asarray(
+            np.random.default_rng(0).uniform(-0.5, 0.5, (B2, 12)), f32)
+        hstep2 = bench_headline.build(B2, f32, coarse_iters=coarse)
+        out, dt, sp = bench("headline_serving_batch", hstep2, x0h20b)
+        record("quadrotor_20hz N=20 cold solve (fused, ct=25, B=262144)",
+               B2, B2 / dt, "solves/s",
+               "serving-batch asymptote of the HEADLINE row (launch-cost "
+               "amortization; same step, 8x batch)", sp)
+        del x0h20b, hstep2
 
     # --- SOC rocket landing (XLA path) ---
     prob, s = _mk("rocket_landing_20hz", 10, f32, abs_pri_tol=2e-3)

@@ -108,6 +108,10 @@ CLAIMS = [
     ("STATUS.md",
      r"max_iter=500 cold fleets: [\d.]+M →\s*([\d.]+)M",
      "closed-loop MPC steps (fused, ct=5, mi=500, shift-warm)", 1e6, 0.05),
+    # Serving-batch asymptote of the headline (round 5).
+    ("docs/SERVING.md",
+     r"([\d.]+)M solves/s at B=262144",
+     "quadrotor_20hz N=20 cold solve (fused, ct=25, B=262144)", 1e6, 0.05),
 ]
 
 # Synthetic keys resolved from bench.py-style artifacts rather than
