@@ -154,3 +154,13 @@ def test_doc_number_checker_catches_drift(tmp_path):
                           str(work / "tools" / "check_doc_numbers.py")],
                          capture_output=True, text=True, timeout=120)
     assert out.returncode != 0 and "DRIFT" in out.stdout, out.stdout
+
+    # Ratio claims (round 5: percent speedups resolved as row ratios)
+    # must be policed too: doctor the shift-warm "+NN%" and re-run.
+    doctored2 = re.sub(r"measured \+\d+% MPC", "measured +99% MPC", readme)
+    assert doctored2 != readme
+    (work / "README.md").write_text(doctored2)
+    out = subprocess.run([sys.executable,
+                          str(work / "tools" / "check_doc_numbers.py")],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode != 0 and "DRIFT" in out.stdout, out.stdout
